@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the config block is written for a real
+multi-executor cluster too (AQE, skew-join handling, dynamic partition
+overwrite for the idempotent delete-before-insert sinks — reference
+semantics at task-executor/trans_summary/trans_summary_5min.py:103-128).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tg_reporting_etl_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    - UTC session timezone: testdata timestamps are naive and the DuckDB
+      oracle treats them as UTC-naive; pinning UTC makes hour()/day()
+      derivations agree.
+    - AQE on: runtime coalescing + skew-join splitting (player grain is
+      skewed — whales bet orders of magnitude more than the median).
+    - partitionOverwriteMode=dynamic: the Spark-native replacement for the
+      reference's DELETE-then-INSERT window idempotency.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata parquet stores TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert in sources.readers.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

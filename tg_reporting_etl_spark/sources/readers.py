@@ -1,0 +1,89 @@
+"""Table readers.
+
+The reference pulls every input with ``pd.read_sql`` against MariaDB
+(task-executor/trans_summary/trans_summary_5min.py:92-93, wrapped in
+retry_call tries=10).  Here a scan is a declarative ``spark.read`` —
+Catalyst pushes predicates and prunes columns down to the parquet
+footers, and fault tolerance comes from Spark task retries instead of
+client-side retry loops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver-generated deterministic testdata (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Timestamp columns per testdata table.  The driver parquet stores them as
+# TIMESTAMP(NANOS), which Spark cannot read natively; with
+# spark.sql.legacy.parquet.nanosAsLong=true they surface as nanosecond
+# longs and are converted back to TimestampType here (the generator emits
+# microsecond-precision values, so ``ns div 1000`` is lossless).
+_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table as a DataFrame (columnar, pushdown-capable)."""
+    # Runtime-settable; needed even when the caller's session (e.g. the
+    # driver's) was not built by session.get_spark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan — production equivalent of the reference's MariaDB reads.
+
+    Parallelizes the scan by ``partition_column`` ranges so a 1000-executor
+    cluster does not funnel the whole table through one connection (the
+    reference reads serially through a single client connection).
+    Untested here (no DB in the container) but kept as the production
+    entry point for source parity.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()[name]`` on Spark and its ``oracle_sql()[name]`` on
+DuckDB over the same sf dir, then compares row count, column names/dtypes,
+and an order-insensitive value hash (rows sorted by all columns, floats
+printed at fixed precision).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(lambda v: f"{v:.6g}")
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype(str)
+    rows = sorted(df.itertuples(index=False, name=None))
+    h = hashlib.md5(repr(rows).encode()).hexdigest()
+    return len(rows), list(df.columns), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from tg_reporting_etl_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:34s} rows={len(sdf):7d}  (rows-only, no oracle)  spark={t_spark:.1f}s")
+            if len(sdf) == 0:
+                failures.append((name, "0 rows (rows-only check)"))
+            continue
+        t0 = time.time()
+        odf = con.execute(oracles[name]).df()
+        t_duck = time.time() - t0
+        sn, scols, shash = _canon(sdf)
+        on, ocols, ohash = _canon(odf)
+        ok = (sn == on) and (scols == ocols) and (shash == ohash)
+        status = "OK " if ok else "FAIL"
+        print(f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+        if not ok:
+            failures.append((name, f"rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
+            if scols == ocols and sn and on:
+                merged = _diff_sample(sdf, odf)
+                if merged is not None:
+                    print(merged)
+    if failures:
+        print("\nFAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        return 1
+    print("all green")
+    return 0
+
+
+def _diff_sample(sdf: pd.DataFrame, odf: pd.DataFrame, n: int = 5):
+    try:
+        cols = sorted(sdf.columns)
+        a = sdf[cols].round(4).sort_values(cols).reset_index(drop=True)
+        b = odf[cols].round(4).sort_values(cols).reset_index(drop=True)
+        if len(a) != len(b):
+            only_a = pd.concat([a, b, b]).drop_duplicates(keep=False)
+            return f"  sample rows only in spark:\n{only_a.head(n)}"
+        neq = (a != b) & ~(a.isna() & b.isna())
+        bad = neq.any(axis=1)
+        if bad.any():
+            i = bad.idxmax()
+            return f"  first diff row {i}:\n  spark: {a.loc[i].to_dict()}\n  duck : {b.loc[i].to_dict()}"
+    except Exception as e:  # diff help is best-effort
+        return f"  (diff failed: {e})"
+    return None
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
