@@ -115,7 +115,11 @@ _CTES = {
 }
 
 
-def with_ctes(body: str, *names: str) -> str:
-    """Assemble ``WITH a AS (...), b AS (...) <body>`` for the named CTEs."""
-    parts = [_CTES[n].strip() for n in names]
+def with_ctes(body: str, *names: str, extra: list[str] | None = None) -> str:
+    """Assemble ``WITH a AS (...), b AS (...) <body>``.
+
+    ``names`` pick from the adapter CTEs above; ``extra`` appends
+    caller-supplied raw ``x AS (...)`` strings after them.
+    """
+    parts = [_CTES[n].strip() for n in names] + [e.strip() for e in (extra or [])]
     return "WITH " + ",\n".join(parts) + "\n" + body

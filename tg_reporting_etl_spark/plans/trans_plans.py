@@ -38,11 +38,12 @@ t5 AS (
 )"""
 
 _KEYS = "platform, site_code, player_name, country"
-# ROUND(x, 4) + 0.0: the + 0.0 collapses -0.0 to +0.0 (matches Spark side).
-_ROUND_MEASURES = """ROUND(trans_in_amount, 4) + 0.0 AS trans_in_amount,
-       ROUND(trans_out_amount, 4) + 0.0 AS trans_out_amount,
+# ROUND(x, 6) + 0.0: 6 places avoids decimal-tie ambiguity (all derived
+# values terminate at <=5 decimals); + 0.0 collapses -0.0 to +0.0.
+_ROUND_MEASURES = """ROUND(trans_in_amount, 6) + 0.0 AS trans_in_amount,
+       ROUND(trans_out_amount, 6) + 0.0 AS trans_out_amount,
        trans_in_count, trans_out_count,
-       ROUND(trans_out_lost_amount, 4) + 0.0 AS trans_out_lost_amount"""
+       ROUND(trans_out_lost_amount, 6) + 0.0 AS trans_out_lost_amount"""
 _SUM_MEASURES = """SUM(trans_in_amount) AS trans_in_amount,
          SUM(trans_out_amount) AS trans_out_amount,
          CAST(SUM(trans_in_count) AS BIGINT) AS trans_in_count,

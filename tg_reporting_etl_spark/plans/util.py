@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def round_doubles(df: DataFrame, places: int = 4) -> DataFrame:
+def round_doubles(df: DataFrame, places: int = 6) -> DataFrame:
     """Round every DoubleType column to ``places`` decimals.
 
     Spark and DuckDB sum floating-point columns in different orders; the

@@ -31,7 +31,9 @@ def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].map(lambda v: f"{v:.6g}")
+            # repr = exact bit pattern; queries round to 6 places on both
+            # sides, so surviving diffs are real contract violations.
+            df[c] = df[c].map(repr)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype(str)
         else:
