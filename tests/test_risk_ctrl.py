@@ -1,0 +1,83 @@
+"""risk_ctrl: floor rules (bug-compatible), sigma semantics, on synthetic frames."""
+
+from __future__ import annotations
+
+import pytest
+
+from tg_reporting_etl_spark.config import RISK_CTRL_1D
+from tg_reporting_etl_spark.operators.risk_ctrl import risk_ctrl_player_1d
+
+D, G = 20230110, 20230102
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    keys = ["platform", "site_code", "player_name", "country"]
+    p1h = _mk(
+        spark,
+        [
+            ("UFA", "TG", "p1", "THB", D, 600_000.0, 400_000.0),
+            ("UFA", "TG", "p2", "VND2", D, 100.0, -50.0),
+        ],
+        [*keys, "summary_date", "b_amount", "profit_amount"],
+    )
+    # trailing days: small values -> every wma/wmasd below floor
+    p1d = _mk(
+        spark,
+        [("UFA", "TG", "p1", "THB", G + i, 1000.0 * (i + 1), 10.0 * i) for i in range(8)],
+        [*keys, "summary_date", "b_amount", "profit_amount"],
+    )
+    t1h = _mk(
+        spark,
+        [("UFA", "TG", "p1", "THB", D, 500_000.0, 100.0)],
+        [*keys, "summary_date", "trans_out_amount", "trans_in_amount"],
+    )
+    t1d = _mk(
+        spark,
+        [("UFA", "TG", "p1", "THB", G, 10.0, 5.0)],
+        [*keys, "summary_date", "trans_out_amount", "trans_in_amount"],
+    )
+    out = risk_ctrl_player_1d(p1h, p1d, t1h, t1d, D, G).collect()
+    return {r.player_name: r for r in out}
+
+
+def test_floors_apply_country_rate(result):
+    """All trailing stats below default -> sigma denominators are the
+    defaults scaled by country_rate; THB rate is 0.05
+    (risk_ctrl_player_1d.py:178-202, report_config.py:35-40)."""
+    r = result["p1"]
+    cfg = RISK_CTRL_1D["default_value_player"]
+    rate = RISK_CTRL_1D["country_rate"]["THB"]
+    # b_cur=600k >= floored b_wma (5M*0.05=250k) -> sigma=(600k-250k)/250k=1.4
+    assert r.b_sigma == pytest.approx(
+        (600_000 - cfg["def_b_wma"] * rate) / (cfg["def_b_wmasd"] * rate)
+    )
+    # output carries the UN-floored wma (raw trailing mean), not the floor
+    assert r.b_wma == pytest.approx(sum(1000.0 * (i + 1) for i in range(8)) / 7)
+
+
+def test_negative_profit_zero_sigma(result):
+    """p_cur <= 0 -> p_sigma = 0 regardless of bands
+    (risk_ctrl_player_1d.py:210)."""
+    r = result["p2"]
+    assert r.p_sigma == 0.0
+    assert r.p_trans_multi == 0.0  # no transfers for p2 -> net 0 -> 0
+
+
+def test_p_trans_multi_ratio(result):
+    r = result["p1"]
+    net = 500_000.0 - 100.0
+    assert r.net_trans_cur == pytest.approx(net)
+    assert r.p_trans_multi == pytest.approx(net / r.p_cur)
+
+
+def test_risk_score_weights(result):
+    r = result["p1"]
+    w = RISK_CTRL_1D["risk_score_multi"]
+    assert r.risk_score == pytest.approx(
+        r.b_sigma * w["b"] + r.p_sigma * w["wl"] + r.trans_sigma * w["trans"] + r.p_trans_multi * w["p_trans_multi"]
+    )

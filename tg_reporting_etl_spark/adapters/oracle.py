@@ -35,6 +35,26 @@ player_value_log AS (
   FROM events
 )"""
 
+PLAYER_VALUE_LOG_LI = f"""
+player_value_log_li AS (
+  SELECT
+    {_PLATFORM.format(k='l_suppkey')} AS platform,
+    {_SITE.format(k='l_partkey')} AS site_code,
+    printf('p%05d', l_orderkey % 300) AS player_name,
+    {_COUNTRY.format(k='l_orderkey')} AS country,
+    CASE WHEN l_returnflag = 'N' THEN 'IN' ELSE 'OUT' END AS trade_type,
+    l_extendedprice * 0.5 AS value,
+    l_extendedprice * 12 + l_linenumber AS before_value,
+    CASE WHEN l_returnflag = 'N'
+         THEN (l_extendedprice * 12 + l_linenumber) + l_extendedprice * 0.5
+         ELSE (l_extendedprice * 12 + l_linenumber) - l_extendedprice * 0.5 - (l_suppkey % 5) * 0.25
+    END AS after_value,
+    year(l_shipdate) * 10000 + month(l_shipdate) * 100 + day(l_shipdate) AS trade_date,
+    CASE WHEN l_linenumber % 11 = 0 THEN 'FAIL' ELSE 'SUCCESS' END AS trade_status,
+    l_shipdate AS trade_time
+  FROM lineitem
+)"""
+
 PLAYER_PROFIT_LOG = f"""
 player_profit_log AS (
   SELECT
@@ -108,6 +128,7 @@ player_daily_ranking AS (
 
 _CTES = {
     "player_value_log": PLAYER_VALUE_LOG,
+    "player_value_log_li": PLAYER_VALUE_LOG_LI,
     "player_profit_log": PLAYER_PROFIT_LOG,
     "game_sites": GAME_SITES,
     "player": PLAYER,

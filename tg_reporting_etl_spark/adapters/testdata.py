@@ -69,6 +69,39 @@ def player_value_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def player_value_log_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallet-transfer fact on the *lineitem* time axis (1995-2001).
+
+    The events-derived wallet log lives in 2024-01 while the bet-round
+    fact lives in 1995-2001; risk_ctrl joins the two families per day
+    (risk_ctrl_player_1d.py:86-95,143-148), so a second transfer fact is
+    derived from lineitem with key derivations matching
+    :func:`player_profit_log` (same platform/site/player/country per row
+    domain) and trade_time = l_shipdate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    value = li.l_extendedprice * 0.5
+    before = li.l_extendedprice * 12 + li.l_linenumber
+    is_in = li.l_returnflag == "N"
+    return li.select(
+        _pick(li.l_suppkey, PLATFORMS).alias("platform"),
+        _pick(li.l_partkey, SITE_CODES).alias("site_code"),
+        F.format_string("p%05d", (li.l_orderkey % 300).cast("int")).alias("player_name"),
+        _pick(li.l_orderkey, COUNTRIES).alias("country"),
+        F.when(is_in, "IN").otherwise("OUT").alias("trade_type"),
+        value.alias("value"),
+        before.alias("before_value"),
+        F.when(is_in, before + value)
+        .otherwise(before - value - (li.l_suppkey % 5) * 0.25)
+        .alias("after_value"),
+        (F.year(li.l_shipdate) * 10000 + F.month(li.l_shipdate) * 100 + F.dayofmonth(li.l_shipdate)).alias(
+            "trade_date"
+        ),
+        F.when(li.l_linenumber % 11 == 0, "FAIL").otherwise("SUCCESS").alias("trade_status"),
+        li.l_shipdate.alias("trade_time"),
+    )
+
+
 def player_profit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bet-round fact derived from ``lineitem``.
 

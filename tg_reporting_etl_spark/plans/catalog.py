@@ -61,6 +61,7 @@ def _load_all() -> None:
         return
     from tg_reporting_etl_spark.plans import (  # noqa: F401
         player_plans,
+        register_risk_plans,
         trans_plans,
     )
 
