@@ -62,6 +62,7 @@ def _load_all() -> None:
     from tg_reporting_etl_spark.plans import (  # noqa: F401
         player_plans,
         register_risk_plans,
+        rtp_plans,
         trans_plans,
     )
 
