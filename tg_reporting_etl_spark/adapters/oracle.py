@@ -103,7 +103,7 @@ player AS (
       {_PLATFORM.format(k='c_custkey')} AS platform,
       {_SITE.format(k='c_custkey')} AS site_code,
       TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (c_custkey % 2000) DAY AS reg_time,
-      CASE WHEN c_custkey % 10 = 0 THEN 'ROBOT' ELSE 'NORMAL' END AS type,
+      CASE WHEN c_custkey % 5 = 0 THEN 'ROBOT' ELSE 'NORMAL' END AS type,
       CASE WHEN c_custkey % 7 = 0 THEN 'DISABLED' ELSE 'ACTIVATE' END AS status,
       row_number() OVER (PARTITION BY printf('p%05d', c_custkey % 300) ORDER BY c_custkey) AS _rn
     FROM customer

@@ -177,7 +177,7 @@ def player(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, cast(c_custkey % 2000 as int), 0, 0, 0)").alias(
             "reg_time"
         ),
-        F.when(cu.c_custkey % 10 == 0, "ROBOT").otherwise("NORMAL").alias("type"),
+        F.when(cu.c_custkey % 5 == 0, "ROBOT").otherwise("NORMAL").alias("type"),
         F.when(cu.c_custkey % 7 == 0, "DISABLED").otherwise("ACTIVATE").alias("status"),
     )
     rn = F.row_number().over(W.partitionBy("player_name").orderBy("c_custkey"))

@@ -60,6 +60,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from tg_reporting_etl_spark.plans import (  # noqa: F401
+        leaderboard_plans,
         player_plans,
         register_risk_plans,
         rtp_plans,
