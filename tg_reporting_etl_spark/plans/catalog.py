@@ -64,6 +64,7 @@ def _load_all() -> None:
         player_plans,
         register_risk_plans,
         rtp_plans,
+        runner_plans,
         trans_plans,
     )
 

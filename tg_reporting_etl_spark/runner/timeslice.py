@@ -46,6 +46,7 @@ def expand_timeslices(meta_tasks: DataFrame) -> DataFrame:
 
     months = (
         meta_tasks.filter(F.col("freq_type") == "1M")
+        .withColumn("_g0", F.col("gte_time"))
         .withColumn(
             "gte_time",
             F.explode(
@@ -56,14 +57,17 @@ def expand_timeslices(meta_tasks: DataFrame) -> DataFrame:
                 )
             ),
         )
-        # keep months whose month-end lies inside [gte0, lt0 - 1 day];
-        # the sequence can overshoot at both edges for unaligned inputs
+        # keep months whose month-end lies inside [gte0, lt0 - 1 day] —
+        # the reference's date_range(gte, lt-1d, freq='M') month-end
+        # semantics; the month-start sequence overshoots at both edges
         .withColumn("_mend", F.to_timestamp(F.last_day(F.col("gte_time"))))
     )
     months = (
-        months.filter(F.col("_mend") <= F.col("lt_time") - F.expr("interval 1 day"))
+        months.filter(
+            (F.col("_mend") >= F.col("_g0")) & (F.col("_mend") <= F.col("lt_time") - F.expr("interval 1 day"))
+        )
         .withColumn("lt_time", F.col("gte_time") + F.expr("interval 1 month"))
-        .drop("_mend")
+        .drop("_mend", "_g0")
     )
     assert fixed is not None
     return fixed.unionByName(months).select("gte_time", "lt_time", *PASSTHROUGH)
