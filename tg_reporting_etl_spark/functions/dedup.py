@@ -1,0 +1,182 @@
+"""Document deduplication operators (BASELINE north star: LLM-data layer).
+
+All operators are pure DataFrame compositions — shuffles only where the
+algorithm requires key co-location, hashes are md5-derived so results
+are deterministic across partitionings and replayable by the DuckDB
+oracle.
+
+Scale notes (100 TB design):
+- exact dedup: one hash-shuffle on a 16-byte digest, not the full text.
+- shingle/jaccard: the pair join is keyed on shingles; frequency-skewed
+  shingles are the classic hot key -> AQE skew split handles it, and
+  minhash-LSH replaces the all-pairs join with a (doc, band-key) join
+  whose fan-out is bounded by the band count.
+- simhash: banded by pigeonhole (4 bands x 8 bits), so every pair within
+  hamming distance 3 shares at least one intact band — the band join is
+  *lossless* for the d<=3 predicate while scanning ~n·4 rows instead of
+  n².
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD31 = 2147483647  # 2^31 - 1, keeps rolling-hash arithmetic in int64
+
+
+def h32(col: Column) -> Column:
+    """First 8 md5 hex chars as unsigned 32-bit int (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content digest: keeper = min doc_id per text.
+
+    Groups by md5(text) so the shuffle key is 16 bytes regardless of
+    document size.
+    """
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Distinct character k-grams per document -> (doc_id, shingle)."""
+    pos = F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
+    return (
+        docs.filter(F.length("text") >= k)
+        .select("doc_id", pos.alias("i"), "text")
+        .select("doc_id", F.expr(f"substr(text, i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, tau: float) -> DataFrame:
+    """All-pairs shingle Jaccard >= tau (exact n-gram dedup).
+
+    Pairs materialize only for docs sharing at least one shingle; the
+    intersection count and set sizes are exact, so jaccard is an exact
+    rational — bit-identical across engines.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """MinHash + LSH candidate pairs (shingle -> minhash -> band -> join).
+
+    Signature h_s(doc) = min over shingles of md5int('mh|s|shingle');
+    docs pair up when any band (r = n_hashes/bands consecutive
+    signatures) matches exactly.  This is the scale path: the join key is
+    (band_id, band_key), never a shingle.
+    """
+    r = n_hashes // bands
+    salted = shingles.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("salt"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "salt",
+        h32(F.concat_ws("|", F.lit("mh"), F.col("salt"), F.col("shingle"))).alias("h"),
+    )
+    sig = salted.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("salt") == i, F.col("h"))).alias(f"m{i}") for i in range(n_hashes)]
+    )
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.concat_ws("-", *[F.col(f"m{j * r + i}") for i in range(r)]).alias("band_key"),
+        )
+        for j in range(bands)
+    ]
+    banded = reduce(DataFrame.unionByName, band_frames)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(docs: DataFrame, tau: float, k: int = 5) -> DataFrame:
+    """LSH candidates verified with exact Jaccard >= tau."""
+    sh = char_shingles(docs, k)
+    cands = minhash_candidates(sh)
+    return jaccard_pairs(sh, tau).join(cands, ["doc_a", "doc_b"], "inner")
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (term frequency weighted)."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).withColumn(
+        "h", h32(F.concat_ws("|", F.lit("sh"), F.col("tok")))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    sig: Column = F.lit(0).cast("long")
+    for j in range(32):
+        sig = sig + F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within hamming distance <= 3 via lossless 4x8-bit banding.
+
+    Pigeonhole: <= 3 differing bits cannot touch all 4 bands, so the
+    band join finds every qualifying pair; the exact bit_count(xor)
+    filter then makes the result identical to the O(n²) scan.
+    """
+    sig = simhash_signatures(docs)
+    bands = reduce(
+        DataFrame.unionByName,
+        [
+            sig.select("doc_id", "simhash", F.lit(j).alias("band"), F.expr(f"(simhash >> {8 * j}) & 255").alias("bv"))
+            for j in range(4)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

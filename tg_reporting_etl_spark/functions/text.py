@@ -1,0 +1,102 @@
+"""Text-analysis operators for the documents table.
+
+Pure column expressions (JVM-side, codegen'd) — a 100 TB corpus pays no
+Python tax here.  Each has an exact DuckDB twin in plans/llm_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tg_reporting_etl_spark.functions.dedup import MOD31, h32
+
+# language-marker vocabularies for the n-gram-heuristic language id.
+# (A real pipeline plugs fastText here; the *operator shape* — score per
+# language, deterministic argmax — is what the engine provides.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "fast", "key"],
+    "de": ["order", "row", "merge"],
+    "es": ["data", "join", "table"],
+    "fr": ["scan", "filter", "group"],
+    "zh": ["spark", "query", "stream"],
+}
+
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via the replace-length trick —
+    portable to any SQL engine, no regex dialect drift."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def with_token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count + avg length."""
+    toks = F.split(F.col("text"), " ")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    return (
+        docs.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_bpe_tokens", F.size(bpe).cast("long"))
+        .withColumn(
+            "avg_token_len",
+            (F.length("text") - (F.size(toks) - 1)) / F.size(toks),
+        )
+    )
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Length/stopword-ratio quality score in [0, 1]-ish.
+
+    quality = min(1, n_tokens/100) * 0.5 + stopword_ratio-banded 0.5:
+    corpora-filter shape (too short or stopword-free text scores low).
+    """
+    d = with_token_stats(docs)
+    stop_hits: Column = F.lit(0.0)
+    for w in STOPWORDS:
+        stop_hits = stop_hits + occurrences(F.col("text"), f" {w} ")
+    d = d.withColumn("stopword_ratio", stop_hits / F.col("n_tokens"))
+    return d.withColumn(
+        "quality",
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.when((F.col("stopword_ratio") >= 0.01) & (F.col("stopword_ratio") <= 0.5), 0.5).otherwise(0.0),
+    )
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-count language heuristic with deterministic arg-max.
+
+    Scores = occurrence counts of per-language marker words; ties break
+    by the fixed language order (first wins).
+    """
+    scored = docs
+    for lang, markers in LANG_MARKERS.items():
+        s: Column = F.lit(0.0)
+        for m in markers:
+            s = s + occurrences(F.col("text"), f" {m} ")
+        scored = scored.withColumn(f"_s_{lang}", s)
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [F.col(f"_s_{lang}") >= F.col(f"_s_{other}") for other in langs[langs.index(lang) + 1 :]]
+        cond = later[0]
+        for c in later[1:]:
+            cond = cond & c
+        pred = F.when(cond, lang).otherwise(pred)
+    return scored.withColumn("lang_pred", pred).drop(*[f"_s_{lang}" for lang in langs])
+
+
+def with_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling polynomial hash over whitespace tokens:
+    acc = (acc*31 + h(tok)) mod (2^31-1), h already reduced mod the same
+    prime so the zero-seed fold equals a first-element-seeded fold."""
+    tok_hashes = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: h32(F.concat_ws("|", F.lit("fp"), t)) % MOD31,
+    )
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD31,
+    )
+    return docs.withColumn("fingerprint", fp)

@@ -1,0 +1,331 @@
+"""LLM-data-pipeline queries + DuckDB oracles: dedup family, similarity
+search, text analysis, multimodal metadata (BASELINE north star).
+
+Cross-engine determinism notes:
+- md5 is the shared hash primitive (identical hex in both engines);
+  ints via Spark conv(...,16,10) == DuckDB CAST('0x'... AS BIGINT).
+- Spark's F.aggregate zero-init fold == DuckDB's list_reduce
+  first-element fold because every folded term is pre-reduced
+  (0 + x == x in IEEE; (0*31 + h) % M == h for h < M).
+- jaccard/hamming are exact integer math; cosine is double math rounded
+  to 6 places with (rounded, id) rank ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tg_reporting_etl_spark.functions import dedup as dd
+from tg_reporting_etl_spark.functions import multimodal as mm
+from tg_reporting_etl_spark.functions import similarity as sim
+from tg_reporting_etl_spark.functions import text as tx
+from tg_reporting_etl_spark.functions.text import LANG_MARKERS, STOPWORDS
+from tg_reporting_etl_spark.plans.catalog import register
+from tg_reporting_etl_spark.plans.util import round_doubles
+from tg_reporting_etl_spark.sources.readers import load_table
+
+JACCARD_TAU = 0.35
+COSINE_TAU = 0.45
+N_HASHES, BANDS = 16, 4
+
+# ------------------------------------------------------------------ SQL pieces
+
+_SHINGLES = """
+shingles AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+  FROM documents CROSS JOIN generate_series(1, 2000) t(i)
+  WHERE length(text) >= 5 AND i <= length(text) - 4
+)"""
+
+_SIZES = """
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY 1)"""
+
+_JACCARD = f"""
+jacc AS (
+  SELECT i.doc_a, i.doc_b, ROUND(i.c * 1.0 / (x.n + y.n - i.c), 6) AS jaccard
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}
+)"""
+
+_H32 = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# -------------------------------------------------------------------- dedup
+
+@register(
+    "doc_exact_dedup",
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1""",
+    survey_ids="LLM: exact dedup (hash groupBy)",
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_ngram_jaccard_dups",
+    f"WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}\nSELECT doc_a, doc_b, jaccard FROM jacc",
+    survey_ids="LLM: n-gram Jaccard near-dup",
+)
+def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.jaccard_pairs(dd.char_shingles(_docs(spark, sf_dir)), JACCARD_TAU)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_oracle() -> str:
+    r = N_HASHES // BANDS
+    mins = ",\n         ".join(
+        f"min(CASE WHEN salt = {i} THEN h END) AS m{i}" for i in range(N_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
+        + " AS band_key FROM sig"
+        for b in range(BANDS)
+    )
+    h_expr = _H32.format(s="'mh|' || CAST(salt AS VARCHAR) || '|' || shingle")
+    return f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()},
+salted AS (
+  SELECT doc_id, salt, {h_expr} AS h
+  FROM shingles CROSS JOIN generate_series(0, {N_HASHES - 1}) s(salt)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM salted GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jacc j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b"""
+
+
+@register("doc_minhash_lsh_dups", _minhash_oracle(), survey_ids="LLM: MinHash+LSH near-dup")
+def q_doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.minhash_dedup(_docs(spark, sf_dir), JACCARD_TAU)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(32)
+    )
+    sig_sum = " + ".join(f"CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32))
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM sig" for b in range(4)
+    )
+    h_expr = _H32.format(s="'sh|' || tok")
+    return f"""WITH toks AS (
+  SELECT doc_id, {h_expr} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {sig_sum} AS simhash FROM bits),
+banded AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3"""
+
+
+@register("doc_simhash_dups", _simhash_oracle(), survey_ids="LLM: SimHash near-dup (lossless banding)")
+def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_dup_pairs",
+    f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= {COSINE_TAU}""",
+    survey_ids="LLM: embedding-cosine near-dup",
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_TAU)
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+@register(
+    "embedding_topk",
+    f"""SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND({_cos('q.embedding', 'e.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND({_cos('q.embedding', 'e.embedding')}, 6) DESC, e.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 5""",
+    survey_ids="LLM: brute-force cosine top-k",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.brute_force_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=5)
+
+
+def _ann_oracle() -> str:
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, {b} AS band, ".format(b=b)
+        + " || ".join(f"CASE WHEN embedding[{b * 4 + i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4))
+        + " AS band_key FROM embeddings"
+        for b in range(4)
+    )
+    return f"""WITH banded AS (
+{bands}
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+qb AS (SELECT q.query_id, q.q_emb, b.band, b.band_key FROM banded b JOIN q ON b.vec_id = q.query_id),
+cands AS (
+  SELECT DISTINCT qb.query_id, qb.q_emb, b.vec_id AS neighbor_id
+  FROM banded b JOIN qb ON b.band = qb.band AND b.band_key = qb.band_key
+  WHERE b.vec_id <> qb.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_cos('c.q_emb', 'e.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY ROUND({_cos('c.q_emb', 'e.embedding')}, 6) DESC, c.neighbor_id ASC) AS rank
+  FROM cands c JOIN embeddings e ON e.vec_id = c.neighbor_id
+) WHERE rank <= 3"""
+
+
+@register("ann_sign_lsh_topk", _ann_oracle(), survey_ids="LLM: LSH-bucketed ANN (scale path)")
+def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_sign_lsh_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=3)
+
+
+# ------------------------------------------------------------- text analysis
+
+def _occ(needle: str) -> str:
+    return f"(length(text) - length(replace(text, '{needle}', ''))) / {len(needle)}"
+
+
+def _lang_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    scores = ",\n       ".join(
+        "(" + " + ".join(_occ(f" {m} ") for m in LANG_MARKERS[lang]) + f") AS s_{lang}" for lang in langs
+    )
+    cases = []
+    for idx, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[idx + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""SELECT doc_id, lang, {case_sql} AS lang_pred FROM (
+  SELECT doc_id, lang, {scores}
+  FROM documents
+)"""
+
+
+@register("doc_lang_id", _lang_oracle(), survey_ids="LLM: n-gram-heuristic language id")
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "lang_pred")
+
+
+def _quality_oracle() -> str:
+    stop = " + ".join(_occ(f" {w} ") for w in STOPWORDS)
+    return f"""SELECT doc_id, n_tokens, n_bpe_tokens,
+       ROUND(avg_token_len, 6) AS avg_token_len,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+             + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5 THEN 0.5 ELSE 0.0 END,
+             6) AS quality
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpe_tokens,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS avg_token_len,
+         ({stop}) * 1.0 / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)"""
+
+
+@register("doc_quality", _quality_oracle(), survey_ids="LLM: quality scoring (length/stopword ratios)")
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tx.with_quality(_docs(spark, sf_dir))
+    return round_doubles(
+        d.select("doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len", "stopword_ratio", "quality")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(text, ' '),
+                        t -> {_H32.format(s="'fp|' || t")} % {dd.MOD31}),
+         (a, b) -> (a * 31 + b) % {dd.MOD31}) AS fingerprint
+FROM documents""",
+    survey_ids="LLM: rolling-hash document fingerprint",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------- multimodal
+
+@register(
+    "media_metadata",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       upper(hex(encode(substr(text, 1, 8)))) AS header_hex,
+       md5(text) AS checksum
+FROM documents""",
+    survey_ids="LLM: multimodal binary column + typed metadata",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.media_metadata_expr(mm.attach_fake_media(_docs(spark, sf_dir)))
