@@ -1,0 +1,80 @@
+"""Structured Streaming variant of the 5-min tier (SURVEY §2.10).
+
+The reference fakes streaming with cron + task_board: 5-minute tumbling
+windows minted as tasks (ST1), open windows recomputed every cycle until
+now() passes lt_time (ST2 update mode), and late corrections via the
+rerun cascade (ST3).  Structured Streaming expresses all three natively:
+
+- ST1: ``groupBy(window(trade_time, "5 minutes"), keys)``
+- ST2: update output mode — Spark re-emits a window's row every time a
+  batch changes it, exactly the recompute-and-overwrite loop
+- ST3: ``withWatermark`` keeps window state open for the late-data
+  horizon; a late event re-aggregates its window instead of needing a
+  manual rerun cascade
+- ST6: ``foreachBatch`` + dynamic partition overwrite gives the same
+  idempotent delete-before-insert sink as the batch tier
+
+Local testing drives a parquet-backed stream through
+``processAllAvailable`` (synchronous, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tg_reporting_etl_spark.operators.trans_summary import GROUP_KEYS, MEASURES, _base_aggs
+
+
+def streaming_trans_summary_5min(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """The trans_summary_5min aggregation as a streaming plan.
+
+    Identical measure expressions to the batch operator (shared
+    ``_base_aggs``) — one definition, two runtimes.
+    """
+    filtered = stream.filter(F.col("trade_status") == "SUCCESS").withWatermark(
+        "trade_time", watermark
+    )
+    win = F.window("trade_time", "5 minutes")
+    agg = filtered.groupBy(win.alias("w"), *GROUP_KEYS).agg(*_base_aggs(filtered))
+    return agg.select(
+        *GROUP_KEYS,
+        *MEASURES,
+        F.col("w.start").alias("start_time"),
+        F.col("w.end").alias("end_time"),
+    )
+
+
+def start_memory_sink(agg: DataFrame, name: str, mode: str = "update") -> StreamingQuery:
+    """Drive a streaming aggregation into an in-memory table for tests."""
+    return (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def start_partitioned_sink(agg: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
+    """Production shape: exactly-once-ish idempotent window sink (ST6).
+
+    foreachBatch writes each micro-batch with dynamic partition
+    overwrite on summary_date — re-delivered batches overwrite the same
+    partitions instead of duplicating them.
+    """
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        out = batch.withColumn(
+            "summary_date",
+            (F.year("start_time") * 10000 + F.month("start_time") * 100 + F.dayofmonth("start_time")).cast("int"),
+        )
+        out.write.mode("overwrite").partitionBy("summary_date").parquet(path)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
