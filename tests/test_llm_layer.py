@@ -73,6 +73,22 @@ def test_ann_results_are_subset_quality(emb):
     assert bf_pairs & ann_pairs, "ANN found none of the true top-5"
 
 
+def test_blocked_equals_fold(emb):
+    """Blocked numpy GEMM cosine == exact sequential-fold cosine after
+    6-place rounding (the scale path changes execution, not results)."""
+    tau = 0.3
+    fold = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in sim.embedding_dup_pairs(emb, tau).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.embedding_dup_pairs_blocked(emb, tau).collect()
+    }
+    assert fold.keys() == blocked.keys()
+    for k in fold:
+        assert abs(fold[k] - blocked[k]) < 2e-6
+
+
 def test_media_pandas_path_matches_expr_path(docs):
     """mapInPandas feature extraction (Arrow batches) == JVM expression
     twin — the multimodal plumbing is real even though decode is stubbed."""

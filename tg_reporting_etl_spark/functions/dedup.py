@@ -32,6 +32,14 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def salt_constant(i: int) -> int:
+    """Deterministic 32-bit salt constant for the minhash xor family —
+    computed with hashlib so the oracle SQL embeds the same literal."""
+    import hashlib
+
+    return int(hashlib.md5(f"mhsalt|{i}".encode()).hexdigest()[:8], 16)
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by content digest: keeper = min doc_id per text.
 
@@ -82,6 +90,69 @@ def jaccard_pairs(shingles: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def discriminative_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Shingles with document frequency <= max_df (stop-shingle pruning).
+
+    High-df shingles are the hot keys that blow the candidate join up to
+    ~sum(df²) rows (billions on a shared-vocabulary corpus); they carry
+    no dedup signal — every near-identical pair also shares low-df
+    shingles (the word-boundary k-grams specific to its word order).
+    Candidate generation over the df-capped set is the standard
+    web-dedup optimization; the jaccard itself stays over full sets.
+    """
+    df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return shingles.join(df_counts.filter(F.col("_df") <= max_df), "shingle").select(
+        "doc_id", "shingle"
+    )
+
+
+def candidate_pairs(shingles: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one shingle."""
+    a, b = shingles.alias("a"), shingles.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
+    """Exact full-set Jaccard >= tau for the given candidate pairs only.
+
+    Cost is |pairs| x shingles-per-doc instead of sum(df²) — the
+    candidate set (from LSH bands or df-capped shingles) bounds the
+    join, which is what survives a 100 TB corpus.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = pairs.join(shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+    inter = (
+        pa.join(shingles.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_dedup(docs: DataFrame, tau: float, k: int = 5, max_df_divisor: int = 20) -> DataFrame:
+    """n-gram Jaccard near-dup with df-capped candidate generation.
+
+    max_df = n_docs // max_df_divisor (integer math so the SQL oracle
+    computes the identical cap).
+    """
+    n_docs = docs.count()
+    sh = char_shingles(docs, k)
+    cands = candidate_pairs(discriminative_shingles(sh, n_docs // max_df_divisor))
+    return jaccard_for_pairs(sh, cands, tau)
+
+
 def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """MinHash + LSH candidate pairs (shingle -> minhash -> band -> join).
 
@@ -91,17 +162,15 @@ def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) 
     (band_id, band_key), never a shingle.
     """
     r = n_hashes // bands
-    salted = shingles.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("salt"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "salt",
-        h32(F.concat_ws("|", F.lit("mh"), F.col("salt"), F.col("shingle"))).alias("h"),
-    )
-    sig = salted.groupBy("doc_id").agg(
-        *[F.min(F.when(F.col("salt") == i, F.col("h"))).alias(f"m{i}") for i in range(n_hashes)]
+    # one md5 per shingle; the hash family is h_i = h XOR C_i (salt
+    # constants themselves md5-derived).  All signatures come out of ONE
+    # aggregation pass — no exploded shuffle, no 16x md5 cost.
+    base = shingles.withColumn("_h", h32(F.concat_ws("|", F.lit("mh"), F.col("shingle"))))
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"_h ^ {salt_constant(i)}")).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
     )
     band_frames = [
         sig.select(
@@ -126,10 +195,14 @@ def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) 
 
 
 def minhash_dedup(docs: DataFrame, tau: float, k: int = 5) -> DataFrame:
-    """LSH candidates verified with exact Jaccard >= tau."""
+    """LSH candidates verified with exact Jaccard >= tau.
+
+    Jaccard is computed only for LSH candidates (never all pairs) — the
+    band join bounds the quadratic term, which is the whole point of
+    MinHash at scale.
+    """
     sh = char_shingles(docs, k)
-    cands = minhash_candidates(sh)
-    return jaccard_pairs(sh, tau).join(cands, ["doc_a", "doc_b"], "inner")
+    return jaccard_for_pairs(sh, minhash_candidates(sh), tau)
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

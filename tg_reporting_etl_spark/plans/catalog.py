@@ -66,6 +66,7 @@ def _load_all() -> None:
         register_risk_plans,
         rtp_plans,
         runner_plans,
+        session_plans,
         trans_plans,
     )
 

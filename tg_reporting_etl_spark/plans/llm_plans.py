@@ -90,20 +90,45 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
+_NGRAM_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()},
+disc AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1
+        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM disc a JOIN disc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM cands c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, ROUND(i.c * 1.0 / (x.n + y.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes x ON x.doc_id = i.doc_a
+JOIN sizes y ON y.doc_id = i.doc_b
+WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}"""
+
+
 @register(
     "doc_ngram_jaccard_dups",
-    f"WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}\nSELECT doc_a, doc_b, jaccard FROM jacc",
-    survey_ids="LLM: n-gram Jaccard near-dup",
+    _NGRAM_ORACLE,
+    survey_ids="LLM: n-gram Jaccard near-dup (df-capped candidates)",
 )
 def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.jaccard_pairs(dd.char_shingles(_docs(spark, sf_dir)), JACCARD_TAU)
+    pairs = dd.ngram_jaccard_dedup(_docs(spark, sf_dir), JACCARD_TAU)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _minhash_oracle() -> str:
     r = N_HASHES // BANDS
     mins = ",\n         ".join(
-        f"min(CASE WHEN salt = {i} THEN h END) AS m{i}" for i in range(N_HASHES)
+        f"min(xor(h, {dd.salt_constant(i)})) AS m{i}" for i in range(N_HASHES)
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, ".format(b=b)
@@ -111,16 +136,15 @@ def _minhash_oracle() -> str:
         + " AS band_key FROM sig"
         for b in range(BANDS)
     )
-    h_expr = _H32.format(s="'mh|' || CAST(salt AS VARCHAR) || '|' || shingle")
+    h_expr = _H32.format(s="'mh|' || shingle")
     return f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()},
-salted AS (
-  SELECT doc_id, salt, {h_expr} AS h
-  FROM shingles CROSS JOIN generate_series(0, {N_HASHES - 1}) s(salt)
+hashed AS (
+  SELECT doc_id, {h_expr} AS h FROM shingles
 ),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM salted GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 banded AS (
 {band_rows}
@@ -185,14 +209,7 @@ WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= {COSINE_TAU}""",
     survey_ids="LLM: embedding-cosine near-dup",
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(sim.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_TAU)
-    )
+    return sim.embedding_dup_pairs_blocked(_emb(spark, sf_dir), COSINE_TAU)
 
 
 # -------------------------------------------------------- similarity search
