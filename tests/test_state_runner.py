@@ -1,0 +1,72 @@
+"""Runner state persistence + init seeding."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from tg_reporting_etl_spark.runner.board import (
+    has_rows,
+    init_date_structure,
+    init_task_list,
+    monthly_dep_backfill,
+)
+from tg_reporting_etl_spark.runner.state import run_rtp_day
+
+D = 20230110
+KEYS_COLS = [
+    "platform", "site_code", "player_name", "game_code", "country",
+    "summary_date", "b_amount", "profit_amount",
+]
+
+
+def _hours(spark, profit, n=12):
+    rows = [("UFA", "TG", "p1", "01", "THB", D, 1000.0, profit / n) for _ in range(n)]
+    return spark.createDataFrame(rows, KEYS_COLS)
+
+
+def test_rtp_state_persists_across_runs(spark, tmp_path):
+    """Snapshot round-trips through parquet; counters continue."""
+    sd = str(tmp_path / "rtp_state")
+    risky = _hours(spark, 60_000.0)
+    s1 = run_rtp_day(spark, risky, D, dt.datetime(2023, 1, 10, 12, 0), sd)
+    assert s1.first().alert_count == 0  # first run initializes only
+    s2 = run_rtp_day(spark, risky, D, dt.datetime(2023, 1, 10, 12, 5), sd)
+    assert s2.first().alert_count == 1  # reloaded state, alert fired
+    s3 = run_rtp_day(spark, risky, D, dt.datetime(2023, 1, 10, 12, 5, 20), sd)
+    r = s3.first()
+    assert (r.alert_count, r.send_alert) == (1, 0)  # throttled, state kept
+
+
+def test_init_seeding_and_monthly_backfill(spark):
+    ds = init_date_structure(spark, "2022-10-25 00:00:00")
+    rows = {r.freq_type: r for r in ds.collect()}
+    assert rows["1M"].gte_time == dt.datetime(2022, 9, 1)
+    assert rows["1M"].lt_time == dt.datetime(2022, 10, 1)
+    assert rows["1D"].lt_time == dt.datetime(2022, 10, 26)
+
+    reports = spark.createDataFrame(
+        [
+            ("trans_summary", "trans_summary_1d", "1D", 300),
+            ("trans_summary", "trans_summary_1m", "1M", 400),
+        ],
+        "report_class string, assignee string, freq_type string, level int",
+    )
+    tasks = init_task_list(reports, ds, {"platform": "ALL", "site_code": "ALL", "game_code": "ALL"})
+    assert has_rows(tasks)
+    assert tasks.filter(F.col("done") != 0).count() == 0
+
+    backfill = monthly_dep_backfill(tasks)
+    # 1M covers [9/1, 10/1); 1D starts 10/25 -> backfill 10/1..10/24 done
+    days = sorted(r.gte_time for r in backfill.collect())
+    assert len(days) == 24
+    assert days[0] == dt.datetime(2022, 10, 1)
+    assert days[-1] == dt.datetime(2022, 10, 24)
+    assert backfill.filter(F.col("done") != 1).count() == 0
+
+
+def test_has_rows_probe(spark):
+    df = spark.range(5)
+    assert has_rows(df)
+    assert not has_rows(df.filter(F.col("id") < 0))

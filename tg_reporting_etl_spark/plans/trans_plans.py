@@ -52,13 +52,18 @@ _SUM_MEASURES = """SUM(trans_in_amount) AS trans_in_amount,
 _DATE_KEY = "CAST(year({c}) * 10000 + month({c}) * 100 + day({c}) AS INT)"
 
 
+_TIER_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def _tiers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    pvl = td.player_value_log(spark, sf_dir)
-    t5 = trans_summary_5min(pvl, EVENTS_GTE, EVENTS_LT)
-    t1h = trans_summary_1h(t5)
-    t1d = trans_summary_1d(t1h)
-    t1m = trans_summary_1m(t1d)
-    return {"5min": t5, "1h": t1h, "1d": t1d, "1m": t1m}
+    key = (id(spark), sf_dir)
+    if key not in _TIER_CACHE:
+        pvl = td.player_value_log(spark, sf_dir)
+        t5 = trans_summary_5min(pvl, EVENTS_GTE, EVENTS_LT).persist()
+        t1h = trans_summary_1h(t5)
+        t1d = trans_summary_1d(t1h)
+        _TIER_CACHE[key] = {"5min": t5, "1h": t1h, "1d": t1d, "1m": trans_summary_1m(t1d)}
+    return _TIER_CACHE[key]
 
 
 @register(

@@ -22,6 +22,59 @@ LEVELS = {"5min": 100, "1H": 200, "1D": 300, "1M": 400}
 DEP_FREQ = {"1H": "5min", "1D": "1H", "1M": "1D"}
 
 
+def has_rows(df: DataFrame) -> bool:
+    """O2: LIMIT-1 existence probe (leaderboard :78-88 upsert check)."""
+    return not df.limit(1).isEmpty()
+
+
+def init_date_structure(spark, date_str: str) -> DataFrame:
+    """G4: initial (freq, gte, lt) seed rows for one init date
+    (initialize/init_main.py:8-42).  5min/1H/1D start at the date; 1M
+    covers the *previous* month so the first monthly run has data."""
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(date_str)
+    curr_month = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    last_month = (curr_month - dt.timedelta(days=1)).replace(day=1)
+    rows = [
+        ("5min", d, d + dt.timedelta(minutes=5)),
+        ("1H", d, d + dt.timedelta(hours=1)),
+        ("1D", d, d + dt.timedelta(days=1)),
+        ("1M", last_month, curr_month),
+    ]
+    return spark.createDataFrame(rows, "freq_type string, gte_time timestamp, lt_time timestamp")
+
+
+def init_task_list(reports: DataFrame, date_structure: DataFrame, platform_info: dict[str, str]) -> DataFrame:
+    """G4/J8: report config enriched with the seed windows
+    (init_main.py:47-68).  ``reports`` columns: report_class, assignee,
+    freq_type, level."""
+    out = reports.join(F.broadcast(date_structure), "freq_type", "left")
+    for col in ("platform", "site_code", "game_code"):
+        out = out.withColumn(col, F.lit(platform_info[col]))
+    return out.withColumn("done", F.lit(0))
+
+
+def monthly_dep_backfill(init_tasks: DataFrame) -> DataFrame:
+    """J6: self-join on report_class pairing 1D rows with their 1M row,
+    minting already-done 1D tasks over [1M start, 1D start) so the first
+    monthly dependency check can pass (init_main.py:70-95)."""
+    m = init_tasks.filter(F.col("freq_type") == "1M").select(
+        "report_class", F.col("lt_time").alias("_m_lt")
+    )
+    d = init_tasks.filter(F.col("freq_type") == "1D")
+    dep = (
+        d.join(m, "report_class", "inner")
+        .withColumn("lt_time", F.col("gte_time"))
+        .withColumn("gte_time", F.col("_m_lt"))
+        .drop("_m_lt")
+        .filter(F.col("gte_time") != F.col("lt_time"))
+    )
+    return expand_timeslices(dep.select("gte_time", "lt_time", *PASSTHROUGH)).withColumn(
+        "done", F.lit(1)
+    )
+
+
 def scan_task_board(task_board: DataFrame, rerun_board: DataFrame, report_class: str) -> DataFrame:
     """T2/U1/O1: union pending tasks from both boards, tag provenance,
     priority order (ExecUtils.py:11-31; Scas*Task.py:14)."""
