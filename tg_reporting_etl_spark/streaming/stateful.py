@@ -1,0 +1,98 @@
+"""ST5 as a native streaming stateful operator.
+
+The batch engine runs the rtp alert lifecycle as snapshot merges
+(operators/risk_ctrl_rtp.py).  This module is the streaming form: keyed
+state (alert_count, last_alert_epoch) carried across micro-batches by
+``applyInPandasWithState`` — the reference's DB-backed alert throttling
+(risk_ctrl_rtp_1d.py:172-194) without a DB.
+
+Clock: the event-time high-water mark of each batch (max now_ts column),
+not wall clock, so tests and replays are deterministic — the same
+discipline as the injectable ``now`` in the batch operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tg_reporting_etl_spark.config import RISK_CTRL_1D
+
+KEYS = ["platform", "site_code", "player_name", "game_code", "country"]
+
+OUTPUT_SCHEMA = (
+    "platform string, site_code string, player_name string, game_code string, country string, "
+    "b_count long, b_cur double, p_cur double, rtp_cur double, "
+    "is_risky int, send_alert int, alert_count long, last_alert_epoch long"
+)
+STATE_SCHEMA = "alert_count long, last_alert_epoch long"
+
+
+def _alert_step(
+    key: tuple[str, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cfg = RISK_CTRL_1D["rtp"]
+    pdf = pd.concat(list(pdfs))
+    b_count = int(pdf["b_amount"].count())
+    b_cur = float(pdf["b_amount"].sum())
+    p_cur = float(pdf["profit_amount"].sum())
+    rtp_cur = p_cur / b_cur if b_cur != 0 else 0.0
+    now_epoch = int(pdf["now_epoch"].max())
+
+    risky = int(
+        (
+            p_cur >= cfg["profit_threshold"]
+            and b_count >= cfg["bet_count_threshold"]
+            and rtp_cur >= cfg["rtp_threshold"]
+        )
+        or p_cur >= cfg["profit_unconditional"]
+    )
+    alert_count, last_alert = state.get if state.exists else (0, 0)
+
+    send = risky
+    if not risky:
+        alert_count, last_alert = 0, 0
+    else:
+        if (now_epoch - last_alert) / 60.0 < cfg["time_to_alert_minutes"] and last_alert > 0:
+            send = 0
+        if send and alert_count >= cfg["alert_limit"]:
+            send = 0
+        if send:
+            alert_count += 1
+            last_alert = now_epoch
+    state.update((alert_count, last_alert))
+
+    yield pd.DataFrame(
+        [
+            {
+                **dict(zip(KEYS, key)),
+                "b_count": b_count,
+                "b_cur": b_cur,
+                "p_cur": p_cur,
+                "rtp_cur": rtp_cur,
+                "is_risky": risky,
+                "send_alert": int(send),
+                "alert_count": alert_count,
+                "last_alert_epoch": last_alert,
+            }
+        ]
+    )
+
+
+def streaming_rtp_alerts(hourly_rows: DataFrame) -> DataFrame:
+    """hourly summary stream -> per-key alert decisions with carried state.
+
+    Input columns: KEYS + b_amount, profit_amount, now_epoch (event-time
+    clock).  Output mode: update (one row per key per batch).
+    """
+    return hourly_rows.groupBy(*KEYS).applyInPandasWithState(
+        _alert_step,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
