@@ -64,6 +64,7 @@ def _load_all() -> None:
         llm_plans,
         player_plans,
         register_risk_plans,
+        rollup_plans,
         rtp_plans,
         runner_plans,
         session_plans,
