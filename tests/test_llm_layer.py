@@ -89,6 +89,22 @@ def test_blocked_equals_fold(emb):
         assert abs(fold[k] - blocked[k]) < 2e-6
 
 
+def test_ivf_partitions_corpus_and_finds_neighbors(emb):
+    """Every vector lands in exactly one cell; IVF answers overlap the
+    exact top-k (recall sanity on a tiny corpus)."""
+    import pyspark.sql.functions as F2
+
+    assigned = sim.ivf_assign(emb)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    ivf = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, F2.col("vec_id") < 10).collect()}
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, F2.col("vec_id") < 10, k=5).collect()
+    }
+    assert ivf and ivf & bf
+
+
 def test_media_pandas_path_matches_expr_path(docs):
     """mapInPandas feature extraction (Arrow batches) == JVM expression
     twin — the multimodal plumbing is real even though decode is stubbed."""

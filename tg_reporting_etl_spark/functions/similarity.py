@@ -176,6 +176,85 @@ def ann_sign_lsh_topk(embeddings: DataFrame, query_pred: Column, k: int = 3) -> 
     )
 
 
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (cross-engine exact)."""
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """IVF coarse quantization: nearest of ``n_cells`` fixed centroids.
+
+    The quantizer is 'externally trained' — here the first n_cells
+    vectors, deterministically; a production build plugs k-means
+    centroids in, same shape.  Assignment is one broadcast nested-loop
+    over n x k rows (k tiny), argmin by (distance, centroid id).
+    """
+    from pyspark.sql import Window as W
+
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = embeddings.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cell_id", _dist2(F.col("embedding"), F.col("c_emb")).alias("d2")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest cells, exact cosine rerank.
+
+    At scale the assignment table is the materialized index (partitioned
+    by cell_id -> a query touches nprobe partitions, not the corpus).
+    """
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(embeddings, n_cells)
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q = embeddings.filter(query_pred).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "q_emb", "cell_id", _dist2(F.col("q_emb"), F.col("c_emb")).alias("d2"))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    cands = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .distinct()
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= tau, a < b).
 

@@ -263,6 +263,56 @@ def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_sign_lsh_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=3)
 
 
+_D2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 2, k: int = 3) -> str:
+    return f"""WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < {n_cells}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_D2.format(a='e.embedding', b='c.c_emb')} ASC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, q_emb, cell_id FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_D2.format(a='q.q_emb', b='c.c_emb')} ASC, c.cell_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, p.q_emb, a.vec_id AS neighbor_id, a.embedding
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROUND({_cos('q_emb', 'embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND({_cos('q_emb', 'embedding')}, 6) DESC, neighbor_id ASC) AS rank
+  FROM cands
+) WHERE rank <= {k}"""
+
+
+@register("ann_ivf_topk", _ivf_oracle(), survey_ids="LLM: IVF coarse-quantized ANN (scale path)")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=3)
+
+
 # ------------------------------------------------------------- text analysis
 
 def _occ(needle: str) -> str:
