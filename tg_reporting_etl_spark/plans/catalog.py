@@ -60,6 +60,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from tg_reporting_etl_spark.plans import (  # noqa: F401
+        events_plans,
         leaderboard_plans,
         llm_plans,
         player_plans,
