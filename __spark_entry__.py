@@ -8,11 +8,19 @@ order-insensitive value-hash).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tg_reporting_etl_spark.plans import catalog
+# the engine package lives beside this file; make the import robust to
+# whatever cwd/sys.path the driver uses
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from tg_reporting_etl_spark.plans import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
