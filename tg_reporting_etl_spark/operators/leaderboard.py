@@ -185,7 +185,9 @@ def vnd_ou_leaderboard(
     bonus_pick = F.row_number().over(combo.orderBy(F.md5(F.concat(key, F.lit(":bonus")))))
 
     return final.select(
-        d.alias("state_date"),
+        # timestamp (not date): pandas renders DATE columns differently
+        # per engine, which breaks dtype-sensitive result hashing
+        d.cast("timestamp").alias("state_date"),
         *LEADERBOARD_KEYS,
         "player_name",
         F.round(F.col("bet"), 6).alias("bet"),

@@ -123,7 +123,7 @@ config AS (
   FROM boosted
 )""",
     ]
-    body = f"""SELECT CAST('{STATE_DATE}' AS DATE) AS state_date,
+    body = f"""SELECT CAST('{STATE_DATE}' AS TIMESTAMP) AS state_date,
        platform, site_code, game_code, room_type, country, player_name,
        ROUND(bet, 6) AS bet, ROUND(win, 6) AS win,
        CAST(rank_no AS INT) AS rank_no,
