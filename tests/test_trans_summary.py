@@ -90,3 +90,14 @@ def test_wildcard_filter_narrow(tiers, spark, sf_dir):
     narrowed = trans_summary_5min(pvl, GTE, LT, platform="UFA", site_code="TG")
     got = narrowed.select("platform", "site_code").distinct().collect()
     assert {(r.platform, r.site_code) for r in got} <= {("UFA", "TG")}
+
+
+def test_append_sink(tiers, tmp_path):
+    """S2: plain append accumulates (vs the idempotent overwrite)."""
+    from tg_reporting_etl_spark.sources.writers import write_append
+
+    out = str(tmp_path / "append_sink")
+    df = tiers["5min"].limit(50)
+    write_append(df, out)
+    write_append(df, out)
+    assert df.sparkSession.read.parquet(out).count() == 2 * df.count()
