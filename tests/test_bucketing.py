@@ -8,6 +8,9 @@ the engine's write/read path actually produces a shuffle-free plan.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 import pyspark.sql.functions as F
 
 from tg_reporting_etl_spark.adapters import testdata as td
@@ -15,9 +18,15 @@ from tg_reporting_etl_spark.adapters import testdata as td
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # warehouse dir is static config; the session default (cwd
-    # spark-warehouse) is fine for a temp table pair
+    # spark-warehouse) is fine for a temp table pair.  A fresh session's
+    # metastore doesn't know about table dirs left behind by a previous
+    # run, so DROP TABLE alone can no-op while saveAsTable still refuses
+    # the existing LOCATION — clear both layers explicitly.
     spark.sql("DROP TABLE IF EXISTS b_profit")
     spark.sql("DROP TABLE IF EXISTS b_trans")
+    warehouse = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    for tbl in ("b_profit", "b_trans"):
+        shutil.rmtree(warehouse / tbl, ignore_errors=True)
 
     ppl = td.player_profit_log(spark, sf_dir).select("player_name", "bet", "profit")
     pvl = td.player_value_log_lineitem(spark, sf_dir).select("player_name", "value")

@@ -77,3 +77,36 @@ def test_rerun_is_idempotent(executed, spark):
     execute_board(spark, executed["board"], family, NOW)
     after = {t: family.read_tier(spark, t).count() for t in ("5min", "1h", "1d")}
     assert before == after
+
+
+def test_intraday_incremental_preserves_earlier_windows(spark, sf_dir, tmp_path):
+    """Steady-state case: two half-day runs == one full-day run.
+
+    The 5min tier is partitioned at (summary_date, hours, mins), so the
+    afternoon run's dynamic overwrite must NOT wipe the morning windows;
+    and the 1h rollup's date bound must include the run day even when
+    lt has a time-of-day component (lt-1s, inclusive)."""
+    out = str(tmp_path / "tables")
+    family = TransSummaryFamily(td.player_value_log(spark, sf_dir), out)
+    day, noon, nxt = "2024-01-02 00:00:00", "2024-01-02 12:00:00", "2024-01-03 00:00:00"
+
+    family.run_tier(spark, "5min", day, noon)
+    morning = family.read_tier(spark, "5min").count()
+    assert morning > 0
+    n_1h_am = family.run_tier(spark, "1h", day, noon)
+    assert n_1h_am > 0  # old exclusive bound made this 0 rows
+
+    family.run_tier(spark, "5min", noon, nxt)
+    family.run_tier(spark, "1h", noon, nxt)
+    assert family.read_tier(spark, "5min").count() > morning  # morning survived
+
+    # equivalence against a one-shot full-day run
+    out2 = str(tmp_path / "tables_fullday")
+    full = TransSummaryFamily(td.player_value_log(spark, sf_dir), out2)
+    full.run_tier(spark, "5min", day, nxt)
+    full.run_tier(spark, "1h", day, nxt)
+    for tier in ("5min", "1h"):
+        a = family.read_tier(spark, tier)
+        b = full.read_tier(spark, tier)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

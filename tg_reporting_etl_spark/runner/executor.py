@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import time
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,12 +28,33 @@ from pyspark.sql import functions as F
 from tg_reporting_etl_spark.operators import trans_summary as ts
 from tg_reporting_etl_spark.sources.writers import overwrite_window_partitions
 
+# Partition layout per tier == the reference's DELETE keys
+# (trans_summary_5min.py deletes at (summary_date, hours, mins);
+# _1h at (summary_date, hours); _1d at summary_date; _1m at
+# summary_month).  Dynamic partition overwrite then replaces exactly
+# the windows the batch recomputed — an intra-day incremental run can
+# never wipe earlier same-day windows it didn't touch.
 TIER_PARTITIONS = {
-    "5min": ["summary_date"],
-    "1h": ["summary_date"],
+    "5min": ["summary_date", "hours", "mins"],
+    "1h": ["summary_date", "hours"],
     "1d": ["summary_date"],
     "1m": ["summary_month"],
 }
+
+
+def _bound_date_keys(gte_s: str, lt_s: str) -> tuple[int, int]:
+    """Inclusive int-date-key bounds for a half-open [gte, lt) range.
+
+    ``lt`` is exclusive, so the last covered instant is ``lt - 1s``;
+    using ``int(lt[:10])`` as an exclusive bound breaks on intra-day
+    runs (lt = 15:00 on day D would yield an empty filter).  The
+    rollup is idempotent per window, so over-inclusion within the
+    boundary days is safe.
+    """
+    lo = int(gte_s[:10].replace("-", ""))
+    last = datetime.fromisoformat(lt_s) - timedelta(seconds=1)
+    hi = int(last.strftime("%Y%m%d"))
+    return lo, hi
 
 
 class TransSummaryFamily:
@@ -59,11 +81,12 @@ class TransSummaryFamily:
         else:
             finer = {"1h": "5min", "1d": "1h", "1m": "1d"}[tier]
             src = self.read_tier(spark, finer)
-            date_lo = int(gte_s[:10].replace("-", ""))
-            date_hi = int(lt_s[:10].replace("-", ""))
-            # partition pruning on the finer tier's date key
-            key = "summary_date" if finer != "1m" else "summary_month"
-            src = src.filter((F.col(key) >= date_lo) & (F.col(key) < date_hi))
+            date_lo, date_hi = _bound_date_keys(gte_s, lt_s)
+            # partition pruning on the finer tier's date key (inclusive
+            # both ends — see _bound_date_keys)
+            src = src.filter(
+                (F.col("summary_date") >= date_lo) & (F.col("summary_date") <= date_hi)
+            )
             out = {
                 "1h": ts.trans_summary_1h,
                 "1d": ts.trans_summary_1d,
