@@ -32,6 +32,16 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def h60(col: Column) -> Column:
+    """First 15 md5 hex chars as a 60-bit int.
+
+    Wide enough that distinct shingles collide with probability ~2^-60 —
+    used as a compact internal set-element representation where carrying
+    the strings themselves would dominate memory/GC.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def salt_constant(i: int) -> int:
     """Deterministic 32-bit salt constant for the minhash xor family —
     computed with hashlib so the oracle SQL embeds the same literal."""
@@ -54,13 +64,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
-    """Distinct character k-grams per document -> (doc_id, shingle)."""
-    pos = F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
+    """Distinct character k-grams per document -> (doc_id, shingle).
+
+    Per-doc dedup happens row-locally (``array_distinct`` over the
+    generated array) — a document's shingles never leave the row they
+    were generated from, so this is a pure narrow map with NO shuffle,
+    unlike explode-then-``.distinct()`` which would shuffle the full
+    doc×shingle fan-out (the dominant intermediate at corpus scale).
+    """
+    arr = F.expr(
+        f"array_distinct(transform(sequence(1, length(text) - {k - 1}), i -> substr(text, i, {k})))"
+    )
+    # shingling is CPU-bound (k·len(text) substrings + a per-row hash
+    # set), so a compact scan (one small parquet file -> one partition)
+    # would serialize it; spread the docs across the cluster first.
+    # No-op when the scan already has enough partitions (the 100 TB
+    # case — never add a shuffle there).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return (
         docs.filter(F.length("text") >= k)
-        .select("doc_id", pos.alias("i"), "text")
-        .select("doc_id", F.expr(f"substr(text, i, {k})").alias("shingle"))
-        .distinct()
+        .select("doc_id", F.explode(arr).alias("shingle"))
     )
 
 
@@ -90,7 +115,7 @@ def jaccard_pairs(shingles: DataFrame, tau: float) -> DataFrame:
     )
 
 
-def discriminative_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
+def discriminative_shingles(shingles: DataFrame, max_df: int, key: str = "shingle") -> DataFrame:
     """Shingles with document frequency <= max_df (stop-shingle pruning).
 
     High-df shingles are the hot keys that blow the candidate join up to
@@ -99,58 +124,117 @@ def discriminative_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
     shingles (the word-boundary k-grams specific to its word order).
     Candidate generation over the df-capped set is the standard
     web-dedup optimization; the jaccard itself stays over full sets.
+    ``key`` is the shingle column — pass "h" to run the df-count and
+    join shuffles on 8-byte hashes instead of strings.
     """
-    df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
-    return shingles.join(df_counts.filter(F.col("_df") <= max_df), "shingle").select(
-        "doc_id", "shingle"
-    )
+    df_counts = shingles.groupBy(key).agg(F.count("*").alias("_df"))
+    return shingles.join(df_counts.filter(F.col("_df") <= max_df), key).select("doc_id", key)
 
 
-def candidate_pairs(shingles: DataFrame) -> DataFrame:
+def candidate_pairs(shingles: DataFrame, key: str = "shingle") -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one shingle."""
     a, b = shingles.alias("a"), shingles.alias("b")
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
 
-def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
+def hash_shingles(shingles: DataFrame) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, h): 60-bit md5-derived longs.
+
+    The compact internal representation every downstream dedup shuffle
+    runs on — 8-byte keys instead of k-char strings.  Injective up to
+    2^-60 collisions, so string-set semantics (and the string-based
+    DuckDB oracle) are preserved.  A frame that already carries ``h``
+    (see :func:`shingle_hashes`) passes through untouched.
+    """
+    if "h" in shingles.columns:
+        return shingles.select("doc_id", "h")
+    return shingles.select("doc_id", F.xxhash64("shingle").alias("h"))
+
+
+def shingle_hashes(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-doc distinct k-gram hashes: (doc_id, h, mh) — all longs.
+
+    One narrow pass computes both hash views every dedup operator
+    consumes: ``h`` (xxhash64 — internal set identity for jaccard,
+    never seen by the oracle, so the fast native hash is safe) and
+    ``mh`` (32-bit md5 'mh|' hash — the minhash base, which DEFINES
+    the LSH result and must match the oracle's md5 bit-for-bit).
+    Caching THIS instead of the string shingle table keeps the shared
+    persisted intermediate at 24 bytes/row with no string churn — the
+    strings never outlive the row they were generated in.
+    """
+    sh = char_shingles(docs, k)
+    return sh.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("h"),
+        h32(F.concat_ws("|", F.lit("mh"), F.col("shingle"))).alias("mh"),
+    )
+
+
+def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
     """Exact full-set Jaccard >= tau for the given candidate pairs only.
 
-    Cost is |pairs| x shingles-per-doc instead of sum(df²) — the
-    candidate set (from LSH bands or df-capped shingles) bounds the
-    join, which is what survives a 100 TB corpus.
+    Each doc's shingle-hash set is collected ONCE into an array of
+    longs (carrying strings per pair is a GC storm at |pairs| scale),
+    and the pair list hash-joins that set table twice on doc_id; the
+    intersection is a per-row ``array_intersect`` over primitive longs
+    — no exploded pairs×shingles fan-out, no shuffle proportional to
+    shingle volume.  A size-compatibility prune runs first: J >= tau
+    forces tau·max(|A|,|B|) <= min(|A|,|B|), so wildly different-sized
+    pairs never pay for an intersect.  This is the shape that survives
+    a 100 TB corpus: array size is bounded by doc length, pair count
+    by the candidate generator, per-pair payload is 8 B per shingle.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pa = pairs.join(shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-    inter = (
-        pa.join(shingles.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # persisted: referenced once per join side below, and the renamed
+    # projections defeat exchange reuse — without this the collect_set
+    # shuffle over the full shingle volume runs twice
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs")).persist()
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    na, nb = F.size("hs_a"), F.size("hs_b")
+    c = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.least(na, nb) >= F.lit(tau) * F.greatest(na, nb))
+        .withColumn("c", c)
+        .withColumn("jaccard", F.col("c") / (na + nb - F.col("c")))
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def ngram_jaccard_dedup(docs: DataFrame, tau: float, k: int = 5, max_df_divisor: int = 20) -> DataFrame:
+def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
+    """String-shingle convenience wrapper over :func:`_jaccard_on_hashed`."""
+    return _jaccard_on_hashed(hash_shingles(shingles), pairs, tau)
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    tau: float,
+    k: int = 5,
+    max_df_divisor: int = 20,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """n-gram Jaccard near-dup with df-capped candidate generation.
 
     max_df = n_docs // max_df_divisor (integer math so the SQL oracle
-    computes the identical cap).
+    computes the identical cap).  Pass a (persisted) ``shingles`` frame
+    to share the explode+distinct shuffle with other dedup queries —
+    the shingle table is the dominant intermediate at corpus scale and
+    is referenced several times per query.
     """
     n_docs = docs.count()
-    sh = char_shingles(docs, k)
-    cands = candidate_pairs(discriminative_shingles(sh, n_docs // max_df_divisor))
-    return jaccard_for_pairs(sh, cands, tau)
+    sh = char_shingles(docs, k) if shingles is None else shingles
+    hashed = hash_shingles(sh)
+    # persisted: the candidate self-join references disc twice, which
+    # would otherwise run the df-count shuffle + join twice
+    disc = discriminative_shingles(hashed, n_docs // max_df_divisor, key="h").persist()
+    return _jaccard_on_hashed(hashed, candidate_pairs(disc, key="h"), tau)
 
 
 def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) -> DataFrame:
@@ -165,13 +249,21 @@ def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) 
     # one md5 per shingle; the hash family is h_i = h XOR C_i (salt
     # constants themselves md5-derived).  All signatures come out of ONE
     # aggregation pass — no exploded shuffle, no 16x md5 cost.
-    base = shingles.withColumn("_h", h32(F.concat_ws("|", F.lit("mh"), F.col("shingle"))))
+    if "mh" in shingles.columns:
+        base = shingles.select("doc_id", F.col("mh").alias("_h"))
+    else:
+        base = shingles.select(
+            "doc_id", h32(F.concat_ws("|", F.lit("mh"), F.col("shingle"))).alias("_h")
+        )
+    # persisted: the band self-join references the signature table on
+    # both sides — without this the signature aggregation (the one pass
+    # over the full shingle volume) runs twice
     sig = base.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"_h ^ {salt_constant(i)}")).alias(f"m{i}")
             for i in range(n_hashes)
         ]
-    )
+    ).persist()
     band_frames = [
         sig.select(
             "doc_id",
@@ -194,19 +286,24 @@ def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) 
     )
 
 
-def minhash_dedup(docs: DataFrame, tau: float, k: int = 5) -> DataFrame:
+def minhash_dedup(
+    docs: DataFrame, tau: float, k: int = 5, shingles: DataFrame | None = None
+) -> DataFrame:
     """LSH candidates verified with exact Jaccard >= tau.
 
     Jaccard is computed only for LSH candidates (never all pairs) — the
     band join bounds the quadratic term, which is the whole point of
-    MinHash at scale.
+    MinHash at scale.  ``shingles`` as in :func:`ngram_jaccard_dedup`.
     """
-    sh = char_shingles(docs, k)
-    return jaccard_for_pairs(sh, minhash_candidates(sh), tau)
+    sh = char_shingles(docs, k) if shingles is None else shingles
+    return _jaccard_on_hashed(hash_shingles(sh), minhash_candidates(sh), tau)
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over whitespace tokens (term frequency weighted)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # CPU-bound fan-out; see char_shingles
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).withColumn(
         "h", h32(F.concat_ws("|", F.lit("sh"), F.col("tok")))
     )
@@ -229,7 +326,9 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     band join finds every qualifying pair; the exact bit_count(xor)
     filter then makes the result identical to the O(n²) scan.
     """
-    sig = simhash_signatures(docs)
+    # persisted: the band self-join references sig on both sides —
+    # without this the 32-bit-sum aggregation over all tokens runs twice
+    sig = simhash_signatures(docs).persist()
     bands = reduce(
         DataFrame.unionByName,
         [

@@ -22,7 +22,7 @@ from tg_reporting_etl_spark.functions import similarity as sim
 from tg_reporting_etl_spark.functions import text as tx
 from tg_reporting_etl_spark.functions.text import LANG_MARKERS, STOPWORDS
 from tg_reporting_etl_spark.plans.catalog import register
-from tg_reporting_etl_spark.plans.util import round_doubles
+from tg_reporting_etl_spark.plans.util import cached_df, round_doubles
 from tg_reporting_etl_spark.sources.readers import load_table
 
 JACCARD_TAU = 0.35
@@ -77,6 +77,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted 5-gram shingle-hash table (doc_id, h, mh — all longs)
+    shared by the ngram and minhash dedup queries (each references it
+    several times per plan — one generation pass session-wide, cached
+    at 24 bytes/row with no string churn)."""
+    return cached_df(
+        spark, f"shingles5|{sf_dir}", lambda: dd.shingle_hashes(_docs(spark, sf_dir), 5)
+    )
+
+
 # -------------------------------------------------------------------- dedup
 
 @register(
@@ -121,7 +131,9 @@ WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}"""
     survey_ids="LLM: n-gram Jaccard near-dup (df-capped candidates)",
 )
 def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.ngram_jaccard_dedup(_docs(spark, sf_dir), JACCARD_TAU)
+    pairs = dd.ngram_jaccard_dedup(
+        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+    )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -160,7 +172,9 @@ FROM jacc j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b"""
 
 @register("doc_minhash_lsh_dups", _minhash_oracle(), survey_ids="LLM: MinHash+LSH near-dup")
 def q_doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.minhash_dedup(_docs(spark, sf_dir), JACCARD_TAU)
+    pairs = dd.minhash_dedup(
+        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+    )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -20,7 +20,7 @@ from tg_reporting_etl_spark.operators.player_summary import (
     player_summary_5min,
 )
 from tg_reporting_etl_spark.plans.catalog import LINEITEM_GTE, LINEITEM_LT, register
-from tg_reporting_etl_spark.plans.util import round_doubles
+from tg_reporting_etl_spark.plans.util import cached_df, round_doubles
 
 _KEYS = "platform, site_code, game_code, player_name, country"
 
@@ -115,23 +115,21 @@ def _oracle(tier: str) -> str:
     return orc.with_ctes(body, "player_profit_log", "game_sites", extra=chain)
 
 
-_TIER_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-
-
 def _tiers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Materialized-rollup cascade with the 5min/1h tiers persisted —
     the four tier queries, new_register and risk_ctrl all read them, so
     one session computes each tier once (exactly the reference's
     'coarser tiers never rescan raw' design, in cache form)."""
-    key = (id(spark), sf_dir)
-    if key not in _TIER_CACHE:
-        ppl = td.player_profit_log(spark, sf_dir)
-        sites = td.game_sites(spark, sf_dir)
-        p5 = player_summary_5min(ppl, sites, LINEITEM_GTE, LINEITEM_LT).persist()
-        p1h = player_summary_1h(p5).persist()
-        p1d = player_summary_1d(p1h)
-        _TIER_CACHE[key] = {"5min": p5, "1h": p1h, "1d": p1d, "1m": player_summary_1m(p1d)}
-    return _TIER_CACHE[key]
+    p5 = cached_df(
+        spark,
+        f"player5|{sf_dir}",
+        lambda: player_summary_5min(
+            td.player_profit_log(spark, sf_dir), td.game_sites(spark, sf_dir), LINEITEM_GTE, LINEITEM_LT
+        ),
+    )
+    p1h = cached_df(spark, f"player1h|{sf_dir}", lambda: player_summary_1h(p5))
+    p1d = player_summary_1d(p1h)
+    return {"5min": p5, "1h": p1h, "1d": p1d, "1m": player_summary_1m(p1d)}
 
 
 @register("player_summary_5min", _oracle("5min"), survey_ids="A1 A2 A4 J1 F6 F7 P3 P4 P6 F1")

@@ -18,7 +18,7 @@ from tg_reporting_etl_spark.operators.trans_summary import (
     trans_summary_5min,
 )
 from tg_reporting_etl_spark.plans.catalog import EVENTS_GTE, EVENTS_LT, register
-from tg_reporting_etl_spark.plans.util import round_doubles
+from tg_reporting_etl_spark.plans.util import cached_df, round_doubles
 
 _T5_CTE = f"""
 t5 AS (
@@ -52,18 +52,15 @@ _SUM_MEASURES = """SUM(trans_in_amount) AS trans_in_amount,
 _DATE_KEY = "CAST(year({c}) * 10000 + month({c}) * 100 + day({c}) AS INT)"
 
 
-_TIER_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-
-
 def _tiers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark), sf_dir)
-    if key not in _TIER_CACHE:
-        pvl = td.player_value_log(spark, sf_dir)
-        t5 = trans_summary_5min(pvl, EVENTS_GTE, EVENTS_LT).persist()
-        t1h = trans_summary_1h(t5)
-        t1d = trans_summary_1d(t1h)
-        _TIER_CACHE[key] = {"5min": t5, "1h": t1h, "1d": t1d, "1m": trans_summary_1m(t1d)}
-    return _TIER_CACHE[key]
+    t5 = cached_df(
+        spark,
+        f"trans5|{sf_dir}",
+        lambda: trans_summary_5min(td.player_value_log(spark, sf_dir), EVENTS_GTE, EVENTS_LT),
+    )
+    t1h = trans_summary_1h(t5)
+    t1d = trans_summary_1d(t1h)
+    return {"5min": t5, "1h": t1h, "1d": t1d, "1m": trans_summary_1m(t1d)}
 
 
 @register(

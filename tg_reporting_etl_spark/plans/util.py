@@ -2,9 +2,47 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Session-scoped persisted-DataFrame cache.  Keyed by the Spark
+# applicationId (unique per SparkContext — unlike ``id(session)``,
+# which CPython can reuse for a new session after the old one is
+# garbage-collected, silently serving frames persisted in a dead
+# context) plus a caller-chosen key that must include every input the
+# built frame depends on (e.g. the sf_dir).
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_df(spark: SparkSession, key: str, build: Callable[[], DataFrame]) -> DataFrame:
+    """Build-once-persist DataFrame shared across catalog queries.
+
+    The shared rollup tiers and the dedup shingle table are each used
+    by several queries; persisting them once turns N recomputes of the
+    same shuffle into one.
+    """
+    app_id = spark.sparkContext.applicationId
+    ck = (app_id, key)
+    if ck not in _DF_CACHE:
+        # a new application means every frame cached under an old one is
+        # dead weight (and unpersist() on them would fail anyway) — evict
+        for stale in [k for k in _DF_CACHE if k[0] != app_id]:
+            del _DF_CACHE[stale]
+        _DF_CACHE[ck] = build().persist()
+    return _DF_CACHE[ck]
+
+
+def clear_df_cache() -> None:
+    """Explicit invalidation hook (tests / long-lived drivers)."""
+    for df in _DF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DF_CACHE.clear()
 
 
 def round_doubles(df: DataFrame, places: int = 6) -> DataFrame:

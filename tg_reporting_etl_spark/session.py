@@ -33,6 +33,12 @@ def get_spark(app_name: str = "tg_reporting_etl_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory lets AQE coalesce byte-small shuffles
+        # (e.g. candidate-pair lists) down to 1-5 partitions even when
+        # the next stage is CPU-dense per row (array intersects, GEMM
+        # blocks); 8m keeps such stages wide without fragmenting
+        # byte-heavy ones.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
