@@ -11,10 +11,10 @@ Scale notes (100 TB design):
   shingles are the classic hot key -> AQE skew split handles it, and
   minhash-LSH replaces the all-pairs join with a (doc, band-key) join
   whose fan-out is bounded by the band count.
-- simhash: banded by pigeonhole (4 bands x 8 bits), so every pair within
-  hamming distance 3 shares at least one intact band — the band join is
-  *lossless* for the d<=3 predicate while scanning ~n·4 rows instead of
-  n².
+- simhash: 64-bit signatures banded by pigeonhole (4 bands x 16 bits,
+  65,536 buckets per band), so every pair within hamming distance 3
+  shares at least one intact band — the band join is *lossless* for the
+  d<=3 predicate while scanning ~n·4 rows instead of n².
 """
 
 from __future__ import annotations
@@ -299,44 +299,93 @@ def minhash_dedup(
     return _jaccard_on_hashed(hash_shingles(sh), minhash_candidates(sh), tau)
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash over whitespace tokens (term frequency weighted)."""
+def simhash_band_values(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash as four 16-bit band values (doc_id, bv0..bv3).
+
+    Per-token hash bits come from two md5-derived 32-bit halves (md5
+    hex chars 1-8 and 9-16) — a single 64-bit value would overflow the
+    string->long cast for the top half of the space.  Emitting the
+    signature as four shallow 16-term band expressions (instead of one
+    64-term chain) keeps the generated code small enough that janino
+    compile time doesn't dwarf the actual aggregation.
+    """
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)  # CPU-bound fan-out; see char_shingles
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).withColumn(
-        "h", h32(F.concat_ws("|", F.lit("sh"), F.col("tok")))
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("_m", F.md5(F.concat_ws("|", F.lit("sh"), F.col("tok"))))
+        .withColumn("hlo", F.conv(F.substring("_m", 1, 8), 16, 10).cast("long"))
+        .withColumn("hhi", F.conv(F.substring("_m", 9, 8), 16, 10).cast("long"))
     )
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"b{j}")
-            for j in range(32)
-        ]
+
+    def _bit(b: int) -> str:
+        return f"(hlo >> {b}) & 1" if b < 32 else f"(hhi >> {b - 32}) & 1"
+
+    # two 32-bit counter lanes per accumulator long (bit 2j low, 2j+1
+    # high): 32 agg columns instead of 64 roughly halves the generated
+    # aggregation code.  No cross-lane carry: each lane's sum is
+    # bounded by the doc's token count < 2^31.
+    def _lane(j: int) -> str:
+        return f"({_bit(2 * j)}) + (({_bit(2 * j + 1)}) << 32)"
+
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.expr(_lane(j))).alias(f"a{j}") for j in range(32)],
     )
-    sig: Column = F.lit(0).cast("long")
-    for j in range(32):
-        sig = sig + F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+    # lane extraction: bit j's count s_j lives in accumulator a_{j//2}
+    def _s(j: int) -> str:
+        k, hi = divmod(j, 2)
+        return f"(a{k} >> 32)" if hi else f"(a{k} & 4294967295)"
+
+    # bit j of the signature is set iff the majority of tokens set it:
+    # 2*s_j >= n (== the classic sum(+1/-1) >= 0, ties included)
+    bvs = [
+        " + ".join(
+            f"(CASE WHEN 2 * {_s(16 * k + i)} >= n THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        for k in range(4)
+    ]
+    return agg.select(
+        "doc_id", *[F.expr(bv).cast("long").alias(f"bv{k}") for k, bv in enumerate(bvs)]
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Full 64-bit SimHash signature (doc_id, simhash), derived by
+    bit-packing the band values — bit 63 lands in the sign bit via
+    Java's wrapping left shift, giving the standard signed two's
+    complement representation (identical in DuckDB)."""
+    return simhash_band_values(docs).select(
+        "doc_id",
+        F.expr("bv0 | (bv1 << 16) | (bv2 << 32) | (bv3 << 48)").alias("simhash"),
+    )
 
 
 def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within hamming distance <= 3 via lossless 4x8-bit banding.
+    """Pairs within hamming distance <= 3 via lossless 4x16-bit banding.
 
     Pigeonhole: <= 3 differing bits cannot touch all 4 bands, so the
-    band join finds every qualifying pair; the exact bit_count(xor)
-    filter then makes the result identical to the O(n²) scan.
+    band join finds every qualifying pair; the exact hamming filter
+    (sum of per-band bit_counts) then makes the result identical to
+    the O(n²) scan.  16-bit bands give 65,536 buckets per band — at
+    billions of docs the within-bucket self-join stays bounded, where
+    8-bit bands (256 buckets) would explode.
     """
     # persisted: the band self-join references sig on both sides —
-    # without this the 32-bit-sum aggregation over all tokens runs twice
-    sig = simhash_signatures(docs).persist()
+    # without this the 64-bit-sum aggregation over all tokens runs twice
+    sig = simhash_band_values(docs).persist()
     bands = reduce(
         DataFrame.unionByName,
         [
-            sig.select("doc_id", "simhash", F.lit(j).alias("band"), F.expr(f"(simhash >> {8 * j}) & 255").alias("bv"))
+            sig.select("doc_id", "bv0", "bv1", "bv2", "bv3", F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
             for j in range(4)
         ],
     )
     a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(F.expr(f"bit_count(a.bv{k} ^ b.bv{k})") for k in range(4))
     return (
         a.join(
             b,
@@ -347,7 +396,7 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -179,17 +179,23 @@ def q_doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    def bit(j: int) -> str:
+        return f"(hlo >> {j}) & 1" if j < 32 else f"(hhi >> {j - 32}) & 1"
+
     bit_sums = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(32)
-    )
-    sig_sum = " + ".join(f"CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32))
+        f"sum({bit(j)}) AS s{j}" for j in range(64)
+    ) + ",\n         count(*) AS n"
+    sig_terms = [f"CASE WHEN 2 * s{j} >= n THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(63)]
+    sig_terms.append(f"CASE WHEN 2 * s63 >= n THEN CAST({-(1 << 63)} AS BIGINT) ELSE 0 END")
+    sig_sum = " + ".join(sig_terms)
     bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM sig" for b in range(4)
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {16 * b}) & 65535 AS bv FROM sig" for b in range(4)
     )
-    h_expr = _H32.format(s="'sh|' || tok")
     return f"""WITH toks AS (
-  SELECT doc_id, {h_expr} AS h
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  SELECT doc_id,
+         CAST(('0x' || substr(m, 1, 8)) AS BIGINT) AS hlo,
+         CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS hhi
+  FROM (SELECT doc_id, md5('sh|' || unnest(string_split(text, ' '))) AS m FROM documents)
 ),
 bits AS (
   SELECT doc_id,
