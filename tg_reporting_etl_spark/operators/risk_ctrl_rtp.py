@@ -132,9 +132,24 @@ def run_rtp_scenario(
     player_1h_batches: list[DataFrame], date_key: int, clocks: list[dt.datetime]
 ) -> DataFrame:
     """Drive N update-mode runs over one day (ST2: each run sees a grown
-    source) and return the final snapshot."""
+    source) and return the final snapshot.
+
+    Each merge references its batch twice (left join + anti join) and
+    the prior state twice, so an unpersisted N-run chain recomputes
+    early states 2^k times; persisting each batch and intermediate
+    state keeps the plan linear.  Repeated source frames (the same
+    DataFrame object passed for several runs — e.g. update-mode reruns
+    over an unchanged source) aggregate once.
+    """
     state: DataFrame | None = None
-    for batch_src, now in zip(player_1h_batches, clocks):
-        state = rtp_merge(state, rtp_batch(batch_src, date_key), now)
+    batch_cache: dict[int, DataFrame] = {}
+    n = len(player_1h_batches)
+    for i, (batch_src, now) in enumerate(zip(player_1h_batches, clocks)):
+        key = id(batch_src)
+        if key not in batch_cache:
+            batch_cache[key] = rtp_batch(batch_src, date_key).persist()
+        state = rtp_merge(state, batch_cache[key], now)
+        if i < n - 1:  # the final state is consumed once — don't cache it
+            state = state.persist()
     assert state is not None
     return state

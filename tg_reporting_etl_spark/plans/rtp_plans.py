@@ -132,12 +132,26 @@ FROM s3"""
 
 @register("risk_ctrl_rtp_1d", _oracle(), survey_ids="J4 J5 A9 F4 F7 ST2 ST5")
 def q_risk_ctrl_rtp_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.plans.player_plans import _tiers
+
     ppl = td.player_profit_log(spark, sf_dir)
     sites = td.game_sites(spark, sf_dir)
 
     def tier_1h(src: DataFrame) -> DataFrame:
         return player_summary_1h(player_summary_5min(src, sites, _D_TS, _D1_TS))
 
-    batches = [tier_1h(ppl.filter(ppl.jp_value >= 0)), tier_1h(ppl), tier_1h(ppl)]
+    # The full-day tier comes from the session-shared persisted 5min
+    # tier: the risk day is 5-min aligned, so a post-agg summary_date
+    # filter selects exactly the rows the bespoke [D, D+1) window would
+    # produce — one shared aggregation pass instead of a second raw
+    # scan.  Built ONCE and passed for runs 2 and 3 (run_rtp_scenario
+    # aggregates repeated source objects a single time).  The partial
+    # run-1 batch filters raw rows (jp_value), so it can't come from
+    # the tier.
+    p5 = _tiers(spark, sf_dir)["5min"]
+    full = player_summary_1h(p5.filter(F.col("summary_date") == RISK_DAY))
+    batches = [tier_1h(ppl.filter(ppl.jp_value >= 0)), full, full]
     final = run_rtp_scenario(batches, RISK_DAY, [T1, T2, T3])
     return round_doubles(final)
