@@ -104,6 +104,43 @@ def test_degenerate_range_dropped(spark):
     assert rerun_cascade(req).count() == 0
 
 
+def test_sub_unit_span_expands_to_zero_windows(spark):
+    """A rerun spanning less than one 5-min unit (the 5min path keeps
+    raw bounds, matching the reference) must yield zero windows, not an
+    IllegalArgumentException from F.sequence(start > stop)."""
+    req = spark.createDataFrame(
+        [
+            (
+                _ts("2024-01-10 10:00:00"),
+                _ts("2024-01-10 10:03:00"),  # < one 5-min unit
+                "ALL", "ALL", "ALL", "trans_summary", 1, 0, 0, 0,
+            )
+        ],
+        "gte_time timestamp, lt_time timestamp, platform string, site_code string, "
+        "game_code string, report_class string, `5min` int, `1h` int, `1d` int, `1m` int",
+    )
+    assert rerun_cascade(req).count() == 0
+
+
+def test_sub_day_month_crossing_span(spark):
+    """A sub-day 1M meta row whose lt-1d crosses back over a month
+    boundary must expand to zero windows, not crash the month sequence."""
+    from tg_reporting_etl_spark.runner.timeslice import expand_timeslices
+
+    meta = spark.createDataFrame(
+        [
+            (
+                _ts("2024-03-01 00:30:00"),
+                _ts("2024-03-01 02:00:00"),
+                "ALL", "ALL", "ALL", "trans_summary", "trans_summary_1m", "1M", 400,
+            )
+        ],
+        "gte_time timestamp, lt_time timestamp, platform string, site_code string, "
+        "game_code string, report_class string, assignee string, freq_type string, level int",
+    )
+    assert expand_timeslices(meta).count() == 0
+
+
 def test_dependency_gate(spark):
     def task(gte, lt, assignee, freq, done=0):
         return (_ts(gte), _ts(lt), "ALL", "ALL", "ALL", "trans_summary", assignee, freq, 100, done)

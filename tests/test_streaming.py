@@ -86,3 +86,54 @@ def test_late_data_updates_window(spark, sf_dir, tmp_path):
     assert first == 10.0
     # update mode re-emitted the window: first emission 10, corrected emission 15
     assert [r.trans_in_amount for r in emissions] == [10.0, 15.0]
+
+
+def test_partitioned_sink_upserts_at_window_key_grain(spark, sf_dir, tmp_path):
+    """ST6: a later micro-batch that changes ONE key of a window must not
+    wipe the window's other keys from the sink (update mode re-emits
+    only changed rows; the sink merges, never partition-overwrites)."""
+    from tg_reporting_etl_spark.streaming.pipeline import start_partitioned_sink
+
+    pvl = td.player_value_log(spark, sf_dir).limit(0)
+    schema = pvl.schema
+    src = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def rows_df(player, ts, value):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (
+                    "UFA", "TG", player, "THB", "IN",
+                    value, 0.0, 0.0, 20240105, "SUCCESS",
+                    dt.datetime.fromisoformat(ts),
+                )
+            ],
+            schema,
+        )
+
+    # batch 1: two keys in the same 5-min window
+    rows_df("p1", "2024-01-05 10:01:00", 10.0).unionAll(
+        rows_df("p2", "2024-01-05 10:02:00", 7.0)
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_partitioned_sink(streaming_trans_summary_5min(stream), out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: late event updates ONLY p1's row of that window
+        rows_df("p1", "2024-01-05 10:03:00", 5.0).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.player_name: r.trans_in_amount
+        for r in spark.read.parquet(out)
+        .filter(F.col("start_time") == "2024-01-05 10:00:00")
+        .collect()
+    }
+    # p1 upserted to 15, p2's untouched row survived the second batch
+    assert got == {"p1": 15.0, "p2": 7.0}

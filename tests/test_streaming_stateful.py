@@ -31,16 +31,25 @@ def test_alert_state_across_batches(spark, tmp_path):
     try:
         q.processAllAvailable()
         first = spark.sql("SELECT * FROM alerts").collect()
-        # batch 2 arrives 30 s later -> risky again but throttled
+        # batch 2, 30 s later: NOT throttled — the first run sent
+        # without stamping (batch-twin parity with rtp_merge's
+        # reference-faithful first-run quirk), so this alert fires
+        # and is the first to count + stamp
         _batch(spark, 5000.0, 1_000_030).coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
-        rows = spark.sql("SELECT * FROM alerts ORDER BY last_alert_epoch").collect()
+        second = spark.sql("SELECT * FROM alerts ORDER BY last_alert_epoch").collect()[-1]
+        # batch 3, another 30 s later: inside the 1-minute window -> throttled
+        _batch(spark, 5000.0, 1_000_060).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        third = spark.sql("SELECT * FROM alerts ORDER BY last_alert_epoch").collect()[-1]
     finally:
         q.stop()
 
     assert len(first) == 1
-    assert (first[0].is_risky, first[0].send_alert, first[0].alert_count) == (1, 1, 1)
-    assert len(rows) == 2
-    second = rows[-1]
-    assert (second.send_alert, second.alert_count) == (0, 1)  # throttled, counter kept
-    assert second.last_alert_epoch == 1_000_000
+    # first run sends but does not count/stamp (reference :129-135)
+    assert (first[0].is_risky, first[0].send_alert, first[0].alert_count) == (1, 1, 0)
+    assert first[0].last_alert_epoch == 0
+    assert (second.send_alert, second.alert_count) == (1, 1)
+    assert second.last_alert_epoch == 1_000_030
+    assert (third.send_alert, third.alert_count) == (0, 1)  # throttled, counter kept
+    assert third.last_alert_epoch == 1_000_030

@@ -26,17 +26,19 @@ def load_state(spark: SparkSession, state_dir: str, date_key: int) -> DataFrame 
 
 
 def save_state(state: DataFrame, state_dir: str, date_key: int) -> None:
-    """Two-phase overwrite: the new state plan may *read* the current
-    snapshot (old state), so it is materialized to a staging dir first,
-    then copied over the live path."""
-    import shutil
+    """Persist a day snapshot through the MERGE-shaped sink.
+
+    ``merge_into`` with the report's grain keys: matched rows are
+    replaced by the new state, unmatched kept, new keys inserted —
+    and its two-phase staging covers the fact that the new state plan
+    *reads* the current snapshot.  (rtp_merge already emits the full
+    merged snapshot, so replace-all is the degenerate merge; the keyed
+    API is what a MERGE-capable table format maps onto directly.)"""
+    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import KEYS
+    from tg_reporting_etl_spark.sources.writers import merge_into
 
     path = os.path.join(state_dir, f"summary_date={date_key}")
-    tmp = path + "__staging"
-    state.write.mode("overwrite").parquet(tmp)
-    staged = state.sparkSession.read.parquet(tmp)
-    staged.write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    merge_into(state.sparkSession, path, state, keys=KEYS)
 
 
 def run_rtp_day(

@@ -30,6 +30,11 @@ def expand_timeslices(meta_tasks: DataFrame) -> DataFrame:
     for freq, unit in _UNIT.items():
         part = (
             meta_tasks.filter(F.col("freq_type") == freq)
+            # a span shorter than its unit expands to zero windows (the
+            # reference's pd.date_range yields an empty range); without
+            # this guard F.sequence(gte, lt - unit) has start > stop
+            # with a positive step and kills the whole job at runtime
+            .filter(F.col("lt_time") >= F.col("gte_time") + F.expr(unit))
             .withColumn(
                 "gte_time",
                 F.explode(
@@ -46,6 +51,12 @@ def expand_timeslices(meta_tasks: DataFrame) -> DataFrame:
 
     months = (
         meta_tasks.filter(F.col("freq_type") == "1M")
+        # sub-day spans crossing a month boundary would make the month
+        # sequence's start > stop (same failure mode as above)
+        .filter(
+            F.date_trunc("month", F.col("lt_time") - F.expr("interval 1 day"))
+            >= F.date_trunc("month", F.col("gte_time"))
+        )
         .withColumn("_g0", F.col("gte_time"))
         .withColumn(
             "gte_time",

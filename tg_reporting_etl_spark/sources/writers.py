@@ -33,3 +33,67 @@ def overwrite_window_partitions(df: DataFrame, path: str, partition_cols: list[s
     SURVEY.md §2.10 ST6.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def merge_into(
+    spark,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """MERGE-shaped upsert onto a parquet table.
+
+    Semantics (the reference's row-level UPDATE sites — ExecUtils.py:48-54,
+    risk_ctrl_rtp_1d.py:122-170 — and Delta's ``MERGE INTO`` with
+    when_matched=overwrite, when_not_matched=insert):
+
+    - target rows whose ``keys`` match a batch row are REPLACED by it;
+    - target rows with no batch match are KEPT untouched;
+    - batch rows with no target match are INSERTED.
+
+    Parquet backend: when ``partition_cols`` is given, only the
+    partitions the batch touches are read, merged (anti-join on keys +
+    union) and rewritten via dynamic partition overwrite — cost scales
+    with the touched partitions, never the table.  The merged plan
+    reads the live files, so it is staged to a sibling directory first
+    and rewritten from there (two-phase).  With a MERGE-capable format
+    (Delta/Iceberg) installed, the same signature maps 1:1 onto the
+    native MERGE; this container has none, so the parquet path is the
+    only backend.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    try:
+        target = spark.read.parquet(target_path)
+        target.schema  # force resolution
+    except Exception:
+        writer = batch.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(target_path)
+        return
+
+    if partition_cols:
+        # restrict the merge to touched partitions (broadcast semi join
+        # on the partition tuple -> partition pruning on the scan)
+        touched = batch.select(*partition_cols).distinct()
+        target = target.join(F.broadcast(touched), partition_cols, "left_semi")
+    kept = target.join(batch.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.select(*batch.columns).unionByName(batch)
+
+    staging = target_path.rstrip("/") + f"__merge_{uuid.uuid4().hex[:8]}"
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        writer = staged.write.mode("overwrite")
+        if partition_cols:
+            # dynamic mode: only the partitions present in `staged`
+            # (== the touched set) are replaced
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(target_path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

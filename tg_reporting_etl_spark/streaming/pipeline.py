@@ -60,17 +60,35 @@ def start_memory_sink(agg: DataFrame, name: str, mode: str = "update") -> Stream
 def start_partitioned_sink(agg: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
     """Production shape: exactly-once-ish idempotent window sink (ST6).
 
-    foreachBatch writes each micro-batch with dynamic partition
-    overwrite on summary_date — re-delivered batches overwrite the same
-    partitions instead of duplicating them.
+    Update mode re-emits only the (window, key) rows a micro-batch
+    changed, so the sink must UPSERT at exactly that grain: foreachBatch
+    merges the batch into the table on (group keys, start_time), keeping
+    every previously-emitted row the batch didn't touch.  A plain
+    partition overwrite — even at (date, hour, min) granularity — would
+    wipe same-window rows for keys absent from the batch.  Re-delivered
+    batches merge to the same rows (idempotent).  Partitioned by
+    (summary_date, hours, mins): the merge reads and rewrites only the
+    touched window partitions, the reference's delete keys.
     """
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        out = batch.withColumn(
-            "summary_date",
-            (F.year("start_time") * 10000 + F.month("start_time") * 100 + F.dayofmonth("start_time")).cast("int"),
+        from tg_reporting_etl_spark.sources.writers import merge_into
+
+        out = (
+            batch.withColumn(
+                "summary_date",
+                (F.year("start_time") * 10000 + F.month("start_time") * 100 + F.dayofmonth("start_time")).cast("int"),
+            )
+            .withColumn("hours", F.hour("start_time"))
+            .withColumn("mins", F.minute("start_time"))
         )
-        out.write.mode("overwrite").partitionBy("summary_date").parquet(path)
+        merge_into(
+            batch.sparkSession,
+            path,
+            out,
+            keys=[*GROUP_KEYS, "start_time"],
+            partition_cols=["summary_date", "hours", "mins"],
+        )
 
     return (
         agg.writeStream.outputMode("update")

@@ -51,11 +51,18 @@ def _alert_step(
         )
         or p_cur >= cfg["profit_unconditional"]
     )
-    alert_count, last_alert = state.get if state.exists else (0, 0)
+    first_run = not state.exists
+    alert_count, last_alert = (0, 0) if first_run else state.get
 
     send = risky
     if not risky:
         alert_count, last_alert = 0, 0
+    elif first_run:
+        # batch-twin parity (operators/risk_ctrl_rtp.py rtp_merge,
+        # reference risk_ctrl_rtp_1d.py:129-135): a key's FIRST run
+        # sends without counting or stamping — so the next alert may
+        # fire immediately, same quirk as the batch lifecycle.
+        pass
     else:
         if (now_epoch - last_alert) / 60.0 < cfg["time_to_alert_minutes"] and last_alert > 0:
             send = 0
