@@ -11,7 +11,15 @@ import pytest
 
 from tg_reporting_etl_spark.adapters import testdata as td
 from tg_reporting_etl_spark.runner.board import LEVELS
-from tg_reporting_etl_spark.runner.executor import TransSummaryFamily, execute_board
+from tg_reporting_etl_spark.runner.executor import (
+    LeaderboardFamily,
+    NewRegisterFamily,
+    PlayerSummaryFamily,
+    RiskCtrlGameFamily,
+    RiskCtrlPlayerFamily,
+    TransSummaryFamily,
+    execute_board,
+)
 from tg_reporting_etl_spark.runner.timeslice import expand_timeslices
 
 G0, L0 = "2024-01-02 00:00:00", "2024-01-04 00:00:00"
@@ -77,6 +85,145 @@ def test_rerun_is_idempotent(executed, spark):
     execute_board(spark, executed["board"], family, NOW)
     after = {t: family.read_tier(spark, t).count() for t in ("5min", "1h", "1d")}
     assert before == after
+
+
+# the profit log (player family + downstream risk/register/ranking)
+# spans 1995-2001; the wallet log spans 2024-01 — see TESTDATA.md
+PG0, PL0 = "1996-06-14 00:00:00", "1996-06-16 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def executed_all(spark, sf_dir, tmp_path_factory):
+    """One board run across every report family the reference executes."""
+    out = str(tmp_path_factory.mktemp("all_tables"))
+    rows = [
+        (G0, L0, "trans_summary", f, s)
+        for f, s in (("5min", "5min"), ("1H", "1h"), ("1D", "1d"))
+    ]
+    rows += [
+        (PG0, PL0, "player_summary", f, s)
+        for f, s in (("5min", "5min"), ("1H", "1h"), ("1D", "1d"))
+    ]
+    rows += [
+        (PG0, PL0, "new_register_summary", "1D", "1d"),
+        (PG0, PL0, "risk_ctrl_player", "1D", "1d"),
+        (PG0, PL0, "risk_ctrl_game", "1D", "1d"),
+        (PG0, PL0, "player_ranking", "1D", "1d"),
+    ]
+    meta = spark.createDataFrame(
+        [
+            (g, l, "ALL", "ALL", "ALL", rc_, f"{rc_}_{s}", f, LEVELS[f])
+            for g, l, rc_, f, s in rows
+        ],
+        "gte_time string, lt_time string, platform string, site_code string, game_code string, "
+        "report_class string, assignee string, freq_type string, level int",
+    )
+    meta = meta.withColumn("gte_time", F.col("gte_time").cast("timestamp")).withColumn(
+        "lt_time", F.col("lt_time").cast("timestamp")
+    )
+    board = expand_timeslices(meta).withColumn("done", F.lit(0))
+
+    trans = TransSummaryFamily(td.player_value_log(spark, sf_dir), out)
+    player = PlayerSummaryFamily(
+        td.player_profit_log(spark, sf_dir), td.game_sites(spark, sf_dir), out
+    )
+    families = [
+        trans,
+        player,
+        NewRegisterFamily(player, td.player(spark, sf_dir), out),
+        RiskCtrlPlayerFamily(player, trans, out),
+        RiskCtrlGameFamily(player, out),
+        LeaderboardFamily(td.player(spark, sf_dir), td.player_daily_ranking(spark, sf_dir), out),
+    ]
+    records = execute_board(spark, board, families, NOW)
+    return {"families": families, "records": records, "board": board}
+
+
+def test_all_families_materialize(executed_all, spark):
+    recs = executed_all["records"]
+    assert {r["report_class"] for r in recs} == {
+        "trans_summary",
+        "player_summary",
+        "new_register_summary",
+        "risk_ctrl_player",
+        "risk_ctrl_game",
+        "player_ranking",
+    }
+    assert all(r["done"] == 1 for r in recs)
+    written = {}
+    for r in recs:
+        key = (r["report_class"], r["freq_type"])
+        written[key] = max(written.get(key, 0), r["rows_written"])
+    for (rclass, freq), n in written.items():
+        fam = next(f for f in executed_all["families"] if f.report_class == rclass)
+        tier = {"5min": "5min", "1H": "1h", "1D": "1d", "1M": "1m"}[freq]
+        if n:
+            assert fam.read_tier(spark, tier).count() == n, (rclass, tier)
+    # every family except new_register (no reg-day/activity overlap at
+    # sf0.001 — it has rows at sf0.01, see CORRECTNESS new_register row)
+    # must have produced data
+    assert all(
+        n > 0 for (rclass, _), n in written.items() if rclass != "new_register_summary"
+    ), written
+
+
+def test_cascade_equals_direct_per_family(executed_all, spark, sf_dir):
+    """Materialized cascade == direct one-shot aggregation, per family.
+
+    The reference computes every family off materialized upstream tables;
+    this is the golden equivalence for the whole dependency graph."""
+    from tg_reporting_etl_spark.operators import new_register as nr
+    from tg_reporting_etl_spark.operators import player_summary as ps
+    from tg_reporting_etl_spark.operators import risk_ctrl as rc
+
+    fams = {f.report_class: f for f in executed_all["families"]}
+
+    p5 = ps.player_summary_5min(
+        td.player_profit_log(spark, sf_dir), td.game_sites(spark, sf_dir), PG0, PL0
+    ).cache()
+    p1h = ps.player_summary_1h(p5).cache()
+    p1d = ps.player_summary_1d(p1h).cache()
+    t1h = fams["trans_summary"].read_tier(spark, "1h")
+    t1d = fams["trans_summary"].read_tier(spark, "1d")
+
+    def same(got, want):
+        assert got.count() == want.count()
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    same(fams["player_summary"].read_tier(spark, "1d"), p1d)
+    # new_register is empty at sf0.001 (no reg-day activity overlap);
+    # the direct computation must agree it is empty
+    nr_direct = nr.new_register_summary_1d(p5, td.player(spark, sf_dir))
+    nr_rec = [
+        r for r in executed_all["records"] if r["report_class"] == "new_register_summary"
+    ]
+    assert nr_rec and nr_rec[0]["rows_written"] == nr_direct.count()
+    if nr_rec[0]["rows_written"]:
+        same(fams["new_register_summary"].read_tier(spark, "1d"), nr_direct)
+    same(
+        fams["risk_ctrl_player"].read_tier(spark, "1d").filter(F.col("summary_date") == 19960615),
+        rc.risk_ctrl_player_1d(p1h, p1d, t1h, t1d, 19960615, 19960607),
+    )
+    same(
+        fams["risk_ctrl_game"].read_tier(spark, "1d").filter(F.col("summary_date") == 19960615),
+        rc.risk_ctrl_game_1d(p1h, p1d, 19960615, 19960607),
+    )
+    for df in (p5, p1h, p1d):
+        df.unpersist()
+
+
+def test_rerun_all_families_is_noop(executed_all, spark):
+    import os
+
+    counts = lambda: {  # noqa: E731
+        (f.report_class, t): f.read_tier(spark, t).count()
+        for f in executed_all["families"]
+        for t in f.tiers
+        if t != "1m" and os.path.exists(f.table_path(t))
+    }
+    before = counts()
+    execute_board(spark, executed_all["board"], executed_all["families"], NOW)
+    assert before == counts()
 
 
 def test_intraday_incremental_preserves_earlier_windows(spark, sf_dir, tmp_path):
