@@ -105,6 +105,44 @@ def test_ivf_partitions_corpus_and_finds_neighbors(emb):
     assert ivf and ivf & bf
 
 
+def test_ivf_kmeans_quantizer_recall_holds(emb, spark):
+    """Trained (seeded k-means) quantizer: same (cell_id, c_emb) index
+    shape as the fixed variant, partitions the corpus exactly once, and
+    on clustered data (what real embedding corpora look like — the
+    driver's embeddings table is uniform random, where any coarse
+    quantizer is equally blind) it reaches full recall at nprobe=1
+    while the fixed quantizer needs the queries inside its centroid
+    set to do the same."""
+    import numpy as np
+    import pyspark.sql.functions as F2
+
+    # index-shape + partition checks on the real embeddings table
+    cents = sim.kmeans_centroids(emb, n_cells=16, seed=7)
+    assert cents.count() == 16
+    assigned = sim.ivf_assign(emb, centroids=cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+    # recall on clustered data, queries NOT in either quantizer's view
+    rng = np.random.default_rng(42)
+    centers = rng.normal(0, 10, (16, 8))
+    rows = [
+        (i, [float(x) for x in centers[i // 20] + rng.normal(0, 0.5, 8)])
+        for i in range(320)
+    ]
+    cl = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = (F2.col("vec_id") >= 100) & (F2.col("vec_id") < 110)
+    tcents = sim.kmeans_centroids(cl, n_cells=16, seed=7)
+    bf = {(r.query_id, r.neighbor_id) for r in sim.brute_force_topk(cl, q, k=3).collect()}
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(cl, q, nprobe=1, centroids=tcents).collect()
+    }
+    fixed = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(cl, q, nprobe=1).collect()}
+    assert trained & bf == bf  # full recall probing ONE of 16 cells
+    assert len(trained & bf) >= len(fixed & bf)  # holds vs the fixed variant
+
+
 def test_media_pandas_path_matches_expr_path(docs):
     """mapInPandas feature extraction (Arrow batches) == JVM expression
     twin — the multimodal plumbing is real even though decode is stubbed."""

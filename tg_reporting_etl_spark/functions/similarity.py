@@ -185,19 +185,51 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
-    """IVF coarse quantization: nearest of ``n_cells`` fixed centroids.
+def _fixed_centroids(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic quantizer: the first ``n_cells`` vectors.
 
-    The quantizer is 'externally trained' — here the first n_cells
-    vectors, deterministically; a production build plugs k-means
-    centroids in, same shape.  Assignment is one broadcast nested-loop
-    over n x k rows (k tiny), argmin by (distance, centroid id).
+    This is the oracle-checked variant (DuckDB can reproduce it row for
+    row); :func:`kmeans_centroids` is the trained production quantizer.
+    """
+    return embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+
+
+def kmeans_centroids(embeddings: DataFrame, n_cells: int = 16, seed: int = 7) -> DataFrame:
+    """Train the IVF quantizer with seeded k-means (pyspark.ml).
+
+    Returns the same (cell_id, c_emb) shape as the fixed quantizer so
+    :func:`ivf_assign`/:func:`ivf_topk` take either interchangeably.
+    Training cost is a few corpus passes over an ml-vector projection;
+    at 100 TB you train on a sample (``embeddings.sample(...)``) — the
+    assignment step, not training, is the part that must scan everything.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(array_to_vector(_dvec(F.col("embedding"))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, c_emb array<double>",
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16, centroids: DataFrame | None = None
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid per vector.
+
+    ``centroids`` defaults to the deterministic fixed quantizer
+    (:func:`_fixed_centroids`); pass :func:`kmeans_centroids` output for
+    the trained index.  Assignment is one broadcast nested-loop over
+    n x k rows (k tiny), argmin by (distance, centroid id).
     """
     from pyspark.sql import Window as W
 
-    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
     scored = embeddings.join(F.broadcast(cents)).select(
         "vec_id", "embedding", "cell_id", _dist2(F.col("embedding"), F.col("c_emb")).alias("d2")
     )
@@ -215,18 +247,19 @@ def ivf_topk(
     k: int = 3,
     n_cells: int = 16,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest cells, exact cosine rerank.
 
     At scale the assignment table is the materialized index (partitioned
     by cell_id -> a query touches nprobe partitions, not the corpus).
+    ``centroids=None`` uses the fixed oracle-checked quantizer; pass
+    :func:`kmeans_centroids` output for the trained variant.
     """
     from pyspark.sql import Window as W
 
-    assigned = ivf_assign(embeddings, n_cells)
-    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
+    assigned = ivf_assign(embeddings, n_cells, cents)
     q = embeddings.filter(query_pred).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     probe_w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
     probes = (
