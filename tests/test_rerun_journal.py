@@ -1,0 +1,81 @@
+"""Rerun-request journaling: consumed requests are marked applied and a
+replayed scan is a no-op (GetRelatedTimeSplit.py:87-96)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tg_reporting_etl_spark.runner.rerun import (
+    consume_rerun_requests,
+    submit_rerun_requests,
+)
+
+NOW = "2024-01-10 00:00:00"
+
+_SCHEMA = (
+    "platform string, site_code string, game_code string, report_class string, "
+    "gte_time timestamp, lt_time timestamp, `5min` int, `1h` int, `1d` int, `1m` int"
+)
+
+
+def _req(spark, gte, lt, flags=(1, 1, 1, 0)):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (
+                "P1",
+                "S1",
+                "ALL",
+                "trans_summary",
+                datetime.fromisoformat(gte),
+                datetime.fromisoformat(lt),
+                *flags,
+            )
+        ],
+        _SCHEMA,
+    )
+
+
+def test_consume_marks_applied_and_replay_is_noop(spark, tmp_path):
+    path = str(tmp_path / "rerun_journal")
+    submit_rerun_requests(spark, path, _req(spark, "2024-01-02 00:10:00", "2024-01-02 03:20:00"))
+
+    tasks = consume_rerun_requests(spark, path, NOW)
+    n = tasks.count()
+    assert n > 0
+    # 5min windows keep raw bounds; 1h floored/ceiled; 1d covers the day
+    assert tasks.filter(F.col("freq_type") == "5min").count() == 38
+    assert tasks.filter(F.col("freq_type") == "1H").count() == 4
+    assert tasks.filter(F.col("freq_type") == "1D").count() == 1
+
+    journal = spark.read.parquet(path)
+    row = journal.collect()[0]
+    assert row.done == 1 and str(row.apply_time) == NOW
+
+    # replay: nothing pending -> empty expansion
+    assert consume_rerun_requests(spark, path, NOW).count() == 0
+
+
+def test_later_submission_expands_only_new_request(spark, tmp_path):
+    path = str(tmp_path / "rerun_journal")
+    submit_rerun_requests(spark, path, _req(spark, "2024-01-02 00:00:00", "2024-01-02 01:00:00"))
+    consume_rerun_requests(spark, path, NOW)
+
+    submit_rerun_requests(spark, path, _req(spark, "2024-01-03 00:00:00", "2024-01-03 01:00:00"))
+    tasks = consume_rerun_requests(spark, path, NOW)
+    assert tasks.count() > 0
+    days = {r.gte_time.day for r in tasks.select("gte_time").collect()}
+    assert days == {3}
+
+    journal = spark.read.parquet(path)
+    assert journal.count() == 2 and journal.filter(F.col("done") == 0).count() == 0
+
+
+def test_resubmitting_applied_request_stays_applied(spark, tmp_path):
+    path = str(tmp_path / "rerun_journal")
+    req = _req(spark, "2024-01-02 00:00:00", "2024-01-02 01:00:00")
+    submit_rerun_requests(spark, path, req)
+    consume_rerun_requests(spark, path, NOW)
+    submit_rerun_requests(spark, path, req)  # identical key -> no-op
+    assert consume_rerun_requests(spark, path, NOW).count() == 0

@@ -1,0 +1,91 @@
+"""Manual-rerun request journal.
+
+The reference keeps manual rerun requests in the
+``rerun_board_manually_insert`` table: operators INSERT rows with
+``done=0``; the producer expands each pending row into tasks and then
+UPDATEs it with ``apply_time`` + ``done=1`` so the next scan skips it
+(GetRelatedTimeSplit.py:87-96).  Spark-first equivalent: the journal is
+a parquet table, consumption is one job — scan pending, expand via
+:func:`rerun_cascade`, mark applied with the MERGE-shaped upsert.
+Replaying the scan is then a no-op (the "done = replay is empty" test
+in tests/test_rerun_journal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tg_reporting_etl_spark.runner.board import rerun_cascade
+from tg_reporting_etl_spark.sources.writers import merge_into
+
+#: Identity of one request row — the full WHERE clause of the
+#: reference's UPDATE (platform/site/game/report_class/bounds/flags).
+REQUEST_KEYS = [
+    "platform",
+    "site_code",
+    "game_code",
+    "report_class",
+    "gte_time",
+    "lt_time",
+    "5min",
+    "1h",
+    "1d",
+    "1m",
+]
+
+
+def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: DataFrame) -> None:
+    """Append operator-submitted requests to the journal (``done=0``).
+
+    Resubmitting an already-applied identical request is a MERGE no-op
+    on its key — applied rows keep their ``done=1``/``apply_time`` only
+    if the new row doesn't replace them, so a deliberate re-request must
+    change its bounds (same as the reference, where a second INSERT of
+    the same row would just be consumed again).
+    """
+    batch = requests.withColumn("done", F.lit(0)).withColumn(
+        "apply_time", F.lit(None).cast("timestamp")
+    )
+    try:
+        existing = spark.read.parquet(journal_path)
+        existing.schema
+    except Exception:
+        batch.write.mode("overwrite").parquet(journal_path)
+        return
+    # keep applied rows applied: only insert requests whose key is new
+    fresh = batch.join(existing.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
+    merge_into(spark, journal_path, fresh, keys=REQUEST_KEYS)
+
+
+def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> DataFrame:
+    """Expand every pending request into tasks and journal it applied.
+
+    Returns the expanded task rows (materialized — the journal update
+    happens before the caller sees them, matching the reference's
+    update-inside-the-loop).  A second call with no new submissions
+    returns an empty frame.
+    """
+    try:
+        journal = spark.read.parquet(journal_path)
+        journal.schema
+    except Exception:
+        return _empty_tasks(spark)
+    pending = journal.filter(F.col("done") == 0).select(*REQUEST_KEYS)
+    if pending.limit(1).isEmpty():
+        return _empty_tasks(spark)
+    tasks = rerun_cascade(pending).localCheckpoint(eager=True)
+    applied = pending.withColumn("done", F.lit(1)).withColumn(
+        "apply_time", F.lit(now).cast("timestamp")
+    )
+    merge_into(spark, journal_path, applied, keys=REQUEST_KEYS)
+    return tasks
+
+
+def _empty_tasks(spark: SparkSession) -> DataFrame:
+    probe = spark.createDataFrame(
+        [],
+        "platform string, site_code string, game_code string, report_class string, "
+        "gte_time timestamp, lt_time timestamp, `5min` int, `1h` int, `1d` int, `1m` int",
+    )
+    return rerun_cascade(probe)
