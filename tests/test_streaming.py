@@ -137,3 +137,54 @@ def test_partitioned_sink_upserts_at_window_key_grain(spark, sf_dir, tmp_path):
     }
     # p1 upserted to 15, p2's untouched row survived the second batch
     assert got == {"p1": 15.0, "p2": 7.0}
+
+
+def test_streaming_player_summary_matches_batch(spark, sf_dir, tmp_path):
+    """player_summary streaming twin: two micro-batches (pre-agg
+    stream-static dim join) reproduce the batch tier exactly."""
+    from tg_reporting_etl_spark.operators.player_summary import player_summary_5min
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_player_summary_5min
+
+    # watermarks need TIMESTAMP (the adapter yields NTZ from lineitem dates)
+    ppl = td.player_profit_log(spark, sf_dir).withColumn(
+        "round_time", F.col("round_time").cast("timestamp")
+    )
+    sites = td.game_sites(spark, sf_dir)
+    split = "1997-01-01 00:00:00"
+    src = str(tmp_path / "ppl_src")
+    ppl.filter(F.col("round_time") < split).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ppl.schema).parquet(src)
+    q = start_memory_sink(
+        streaming_player_summary_5min(stream, sites), "p5_stream", mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        ppl.filter(F.col("round_time") >= split).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert q.lastProgress is None or q.recentProgress  # drove >= 2 batches
+        got = (
+            spark.sql("SELECT * FROM p5_stream")
+            .agg(
+                F.count("*"),
+                F.round(F.sum("profit_amount"), 4),
+                F.round(F.sum("p_after_amount"), 4),
+                F.sum("b_count"),
+                F.sum("is_risky"),
+            )
+            .first()
+        )
+    finally:
+        q.stop()
+    want = (
+        player_summary_5min(ppl, sites, "1995-01-01 00:00:00", "2002-01-01 00:00:00")
+        .agg(
+            F.count("*"),
+            F.round(F.sum("profit_amount"), 4),
+            F.round(F.sum("p_after_amount"), 4),
+            F.sum("b_count"),
+            F.sum("is_risky"),
+        )
+        .first()
+    )
+    assert tuple(got) == tuple(want)

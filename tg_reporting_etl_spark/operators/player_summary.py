@@ -69,6 +69,44 @@ def with_risky_flag(df: DataFrame) -> Column | DataFrame:
     return df.withColumn("is_risky", F.when(risky, 1).otherwise(0))
 
 
+def base_player_aggs() -> list[Column]:
+    """The 5-min measure expressions (player_summary_5min.py:77-89) —
+    shared by the batch operator and the streaming twin (one definition,
+    two runtimes, same as trans_summary's ``_base_aggs``)."""
+    return [
+        F.count("bet").alias("b_count"),
+        F.sum("bet").alias("b_amount"),
+        F.sum("win").alias("w_amount"),
+        F.sum("fee").alias("fee_amount"),
+        F.sum("profit").alias("profit_amount"),
+        F.sum("refund").alias("refund_amount"),
+        F.sum("normal_value").alias("normal_amount"),
+        F.sum("bonus_value").alias("bonus_amount"),
+        clamped_sum(F.col("free_value")).alias("free_amount"),
+        clamped_sum(F.col("jp_value")).alias("jp_amount"),
+        F.sum("valid_value").alias("valid_amount"),
+        F.sum("cancel_value").alias("cancel_amount"),
+    ]
+
+
+def derive_player_measures(agg: DataFrame) -> DataFrame:
+    """rtp, revenue split and is_risky over an aggregated frame that
+    already carries a ``ratio`` column — row-wise projections, recomputed
+    identically at every tier and in both runtimes."""
+    derived = (
+        agg.withColumn("rtp", safe_div(F.col("profit_amount"), F.col("b_amount")))
+        .withColumn("p_before_amount", F.col("profit_amount"))
+        .withColumn("p_after_amount", F.col("profit_amount") * (1 - F.col("ratio")))
+        .withColumn("tg_after_amount", F.col("profit_amount") * F.col("ratio"))
+    )
+    return with_risky_flag(derived)
+
+
+def site_ratio_dim(game_sites: DataFrame) -> DataFrame:
+    """(platform, site_code, ratio) broadcast dim."""
+    return F.broadcast(game_sites.select("platform", F.col("code").alias("site_code"), "ratio"))
+
+
 def player_summary_5min(
     ppl: DataFrame,
     game_sites: DataFrame,
@@ -91,32 +129,12 @@ def player_summary_5min(
         & (ppl.round_time < F.lit(lt).cast("timestamp"))
     )
     win = F.window("round_time", "5 minutes")
-    agg = f.groupBy(win.alias("w"), *GROUP_KEYS).agg(
-        F.count("bet").alias("b_count"),
-        F.sum("bet").alias("b_amount"),
-        F.sum("win").alias("w_amount"),
-        F.sum("fee").alias("fee_amount"),
-        F.sum("profit").alias("profit_amount"),
-        F.sum("refund").alias("refund_amount"),
-        F.sum("normal_value").alias("normal_amount"),
-        F.sum("bonus_value").alias("bonus_amount"),
-        clamped_sum(F.col("free_value")).alias("free_amount"),
-        clamped_sum(F.col("jp_value")).alias("jp_amount"),
-        F.sum("valid_value").alias("valid_amount"),
-        F.sum("cancel_value").alias("cancel_amount"),
-    )
-    agg = agg.withColumn("rtp", safe_div(F.col("profit_amount"), F.col("b_amount")))
+    agg = f.groupBy(win.alias("w"), *GROUP_KEYS).agg(*base_player_aggs())
 
-    dim = F.broadcast(game_sites.select("platform", F.col("code").alias("site_code"), "ratio"))
-    joined = agg.join(dim, on=["platform", "site_code"], how="left").withColumn(
+    joined = agg.join(site_ratio_dim(game_sites), on=["platform", "site_code"], how="left").withColumn(
         "ratio", F.coalesce(F.col("ratio"), F.lit(0.0))
     )
-    enriched = (
-        joined.withColumn("p_before_amount", F.col("profit_amount"))
-        .withColumn("p_after_amount", F.col("profit_amount") * (1 - F.col("ratio")))
-        .withColumn("tg_after_amount", F.col("profit_amount") * F.col("ratio"))
-    )
-    flagged = with_risky_flag(enriched)
+    flagged = derive_player_measures(joined)
     return flagged.select(*GROUP_KEYS, *OUT_COLUMNS, *window_time_keys(F.col("w.start"), "5min"))
 
 

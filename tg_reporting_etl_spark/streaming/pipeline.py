@@ -46,6 +46,46 @@ def streaming_trans_summary_5min(stream: DataFrame, watermark: str = "10 minutes
     )
 
 
+def streaming_player_summary_5min(
+    stream: DataFrame, game_sites: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The player_summary_5min aggregation as a streaming plan.
+
+    Same measure expressions as the batch operator (shared
+    ``base_player_aggs``/``derive_player_measures``).  One structural
+    difference forced by the runtime: Structured Streaming forbids joins
+    after a streaming aggregation, so the site-ratio dim joins the event
+    stream BEFORE the groupBy (stream-static broadcast join) and rides
+    through as ``min(ratio)`` — ratio is functionally dependent on
+    (platform, site_code), so the result is identical to the batch
+    post-agg join.
+    """
+    from tg_reporting_etl_spark.operators.player_summary import (
+        GROUP_KEYS as P_KEYS,
+        OUT_COLUMNS as P_OUT,
+        base_player_aggs,
+        derive_player_measures,
+        site_ratio_dim,
+    )
+
+    enriched = (
+        stream.filter(F.col("is_robot") == 0)
+        .join(site_ratio_dim(game_sites), on=["platform", "site_code"], how="left")
+        .withColumn("ratio", F.coalesce(F.col("ratio"), F.lit(0.0)))
+        .withWatermark("round_time", watermark)
+    )
+    win = F.window("round_time", "5 minutes")
+    agg = enriched.groupBy(win.alias("w"), *P_KEYS).agg(
+        *base_player_aggs(), F.min("ratio").alias("ratio")
+    )
+    return derive_player_measures(agg).select(
+        *P_KEYS,
+        *P_OUT,
+        F.col("w.start").alias("start_time"),
+        F.col("w.end").alias("end_time"),
+    )
+
+
 def start_memory_sink(agg: DataFrame, name: str, mode: str = "update") -> StreamingQuery:
     """Drive a streaming aggregation into an in-memory table for tests."""
     return (
