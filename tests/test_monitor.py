@@ -1,0 +1,82 @@
+"""Monitoring layer: retrying pipeline, error_log parquet, alert format."""
+
+from __future__ import annotations
+
+from tg_reporting_etl_spark.runner.monitor import (
+    CollectingNotifier,
+    format_alert,
+    read_error_log,
+    run_pipeline,
+)
+
+
+def test_retry_then_success_leaves_no_error(spark, tmp_path):
+    path = str(tmp_path / "error_log")
+    notifier = CollectingNotifier()
+    attempts = {"n": 0}
+
+    def flaky(data, ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = run_pipeline(
+        [flaky], {}, spark=spark, error_log_path=path, notifier=notifier, tries=3
+    )
+    assert out == "ok" and attempts["n"] == 3
+    assert notifier.messages == []
+    import os
+
+    assert not os.path.exists(path)
+
+
+def test_failure_journals_notifies_and_stops(spark, tmp_path):
+    path = str(tmp_path / "error_log")
+    notifier = CollectingNotifier()
+    ran = []
+
+    def boom(data, ctx):
+        raise ValueError("bad input")
+
+    def downstream(data, ctx):
+        ran.append(True)
+        return data
+
+    run_pipeline(
+        [boom, downstream],
+        {"pipeline": "TestPipeline"},
+        spark=spark,
+        error_log_path=path,
+        notifier=notifier,
+        tries=2,
+    )
+    assert ran == []  # pipeline stopped at the failed step
+    log = read_error_log(spark, path).collect()
+    assert len(log) == 1
+    row = log[0]
+    assert row.pipeline == "TestPipeline" and row.process == "boom"
+    assert "ValueError" in row.content and "bad input" in row.traceback
+    assert row.error_time is not None
+    assert len(notifier.messages) == 1
+    msg = notifier.messages[0]
+    assert "pipeline: TestPipeline" in msg and "process: boom" in msg
+    assert "TRACEBACK" in msg
+
+
+def test_error_log_appends_across_failures(spark, tmp_path):
+    path = str(tmp_path / "error_log")
+
+    def boom(data, ctx):
+        raise RuntimeError("x")
+
+    for _ in range(2):
+        run_pipeline([boom], {}, spark=spark, error_log_path=path, tries=1)
+    assert read_error_log(spark, path).count() == 2
+
+
+def test_alert_format_mirrors_reference():
+    rec = {"pipeline": "P", "process": "S", "content": "repr", "traceback": "tb"}
+    msg = format_alert("title", rec)
+    assert msg.startswith("***** title Error *****\n")
+    assert "content: repr" in msg and msg.endswith("tb")
