@@ -39,6 +39,21 @@ def test_minhash_candidates_superset_of_high_jaccard(docs):
     assert exact_high <= cands
 
 
+def test_prefix_filter_is_lossless(docs):
+    """Prefix-filtered ngram dedup == brute-force all-pairs Jaccard —
+    the AllPairs/PPJoin guarantee, end to end."""
+    sh = dd.char_shingles(docs)
+    brute = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6) for r in dd.jaccard_pairs(sh, 0.8).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in dd.ngram_jaccard_dedup(docs, 0.8).collect()
+    }
+    assert brute, "expected at least one >=0.8 near-dup pair in testdata"
+    assert fast == brute
+
+
 def test_simhash_banding_is_lossless(docs, spark):
     """Banded pair generation == brute-force for hamming <= 3."""
     sig = dd.simhash_signatures(docs.limit(150)).cache()

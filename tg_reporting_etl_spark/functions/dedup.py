@@ -193,16 +193,33 @@ def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataF
     # projections defeat exchange reuse — without this the collect_set
     # shuffle over the full shingle volume runs twice
     sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs")).persist()
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    na, nb = F.size("hs_a"), F.size("hs_b")
+    # one action on the persisted frame prices the broadcast decision:
+    # Catalyst's size estimate for a collect_set aggregate is too
+    # conservative to auto-broadcast, leaving both set joins as
+    # sort-merge with array_intersect evaluated (twice!) inside the
+    # interpreted join condition — the dominant cost of the verify.
+    stats = sets.select(F.count("*").alias("n"), F.sum(F.size("hs")).alias("tot")).first()
+    small = stats.tot is not None and stats.tot * 8 + stats.n * 64 < 64 * 2**20
+    _b = F.broadcast if small else (lambda df: df)
+
+    # size-compat prune on a SLIM (doc_id, n) projection BEFORE any
+    # array payload moves: J >= tau forces tau·max(|A|,|B|) <= min.
+    sz_a = _b(sets.select(F.col("doc_id").alias("doc_a"), F.size("hs").alias("na")))
+    sz_b = _b(sets.select(F.col("doc_id").alias("doc_b"), F.size("hs").alias("nb")))
+    compat = (
+        pairs.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(F.least("na", "nb") >= F.lit(tau) * F.greatest("na", "nb"))
+    )
+
+    a = _b(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")))
+    b = _b(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")))
     c = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        pairs.join(a, "doc_a")
+        compat.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(F.least(na, nb) >= F.lit(tau) * F.greatest(na, nb))
         .withColumn("c", c)
-        .withColumn("jaccard", F.col("c") / (na + nb - F.col("c")))
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -213,7 +230,77 @@ def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> Data
     return _jaccard_on_hashed(hash_shingles(shingles), pairs, tau)
 
 
+def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
+    """LOSSLESS candidate pairs for Jaccard >= tau via prefix filtering
+    (Bayardo et al. AllPairs / Xiao et al. PPJoin).
+
+    Under any global total order on shingles, J(A,B) >= tau forces
+    |A∩B| >= ceil(tau·|A|), so the first ``|A| - ceil(tau·|A|) + 1``
+    elements of A must contain a common element (likewise for B): pairs
+    whose prefixes are disjoint cannot qualify.  Ordering the universe
+    by ASCENDING document frequency puts the RAREST shingles in every
+    prefix, so the candidate join runs on low-df keys — sum(df²) over
+    prefix elements is orders of magnitude below the raw shingle join,
+    with zero lost pairs (unlike a df-cap, which silently drops pairs
+    whose overlap happens to sit in frequent shingles).
+
+    The prefix length uses exact integer arithmetic (tau as a rational
+    p/q: ceil(tau·n) = (p·n + q - 1) div q) — float ceil(0.8·n) is off
+    by one exactly when 0.8·n rounds up across an integer, which would
+    silently shorten prefixes and break the guarantee.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(tau))
+    p, q = frac.numerator, frac.denominator
+
+    dfc = hashed.groupBy("h").agg(F.count("*").alias("_df"))
+    by_rarity = hashed.join(dfc, "h").select("doc_id", F.struct("_df", "h").alias("_o"))
+    prefixes = (
+        by_rarity.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("_o")).alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.transform("_s", lambda x: x["h"]),
+                    F.lit(1),
+                    F.col("_n") - ((F.col("_n") * p + q - 1) / q).cast("long") + 1,
+                )
+            ).alias("h"),
+        )
+    )
+    return candidate_pairs(prefixes, key="h")
+
+
 def ngram_jaccard_dedup(
+    docs: DataFrame,
+    tau: float,
+    k: int = 5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup: every pair with J >= tau.
+
+    Candidate generation is the lossless prefix filter
+    (:func:`prefix_filter_candidates`), so the result equals the O(n²)
+    all-pairs scan — no df-cap approximation.  This is the right shape
+    for natural-text corpora, where rarity ordering makes prefixes
+    near-unique; on a low-entropy corpus (tiny vocabulary, e.g. the
+    synthetic test documents) no shingle is rare and the candidate set
+    degrades toward n² — use :func:`ngram_jaccard_dedup_capped` there
+    and accept its documented approximation.  Pass a (persisted)
+    ``shingles`` frame to share the explode+distinct shuffle with other
+    dedup queries.
+    """
+    sh = char_shingles(docs, k) if shingles is None else shingles
+    # hash_shingles over the shared persisted shingle table is a pure
+    # projection — each consumer below re-reads the cached rows, so no
+    # extra persist tier is needed here
+    hashed = hash_shingles(sh)
+    return _jaccard_on_hashed(hashed, prefix_filter_candidates(hashed, tau), tau)
+
+
+def ngram_jaccard_dedup_capped(
     docs: DataFrame,
     tau: float,
     k: int = 5,
@@ -223,10 +310,12 @@ def ngram_jaccard_dedup(
     """n-gram Jaccard near-dup with df-capped candidate generation.
 
     max_df = n_docs // max_df_divisor (integer math so the SQL oracle
-    computes the identical cap).  Pass a (persisted) ``shingles`` frame
-    to share the explode+distinct shuffle with other dedup queries —
-    the shingle table is the dominant intermediate at corpus scale and
-    is referenced several times per query.
+    computes the identical cap).  The cap is an APPROXIMATION: a pair
+    whose shared shingles are all high-df generates no candidate (at
+    //20 this keeps 213/243 of the exact pairs on the sf0.1 corpus;
+    tightening the divisor loses more).  Throughput-optimal on
+    low-entropy corpora where the lossless prefix filter
+    (:func:`ngram_jaccard_dedup`) has no rare shingles to exploit.
     """
     n_docs = docs.count()
     sh = char_shingles(docs, k) if shingles is None else shingles

@@ -128,6 +128,13 @@ def player_summary_5min(
         & (ppl.round_time >= F.lit(gte).cast("timestamp"))
         & (ppl.round_time < F.lit(lt).cast("timestamp"))
     )
+    # see trans_summary_5min: groups ≈ rows at this grain, so pre-
+    # partitioning by the group keys replaces the agg exchange and
+    # parallelizes unsplittable single-row-group scans; no-op on a
+    # cluster-scale input
+    par = ppl.sparkSession.sparkContext.defaultParallelism
+    if f.rdd.getNumPartitions() < par:
+        f = f.repartition(par, *GROUP_KEYS)
     win = F.window("round_time", "5 minutes")
     agg = f.groupBy(win.alias("w"), *GROUP_KEYS).agg(*base_player_aggs())
 

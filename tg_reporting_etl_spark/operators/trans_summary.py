@@ -72,6 +72,15 @@ def trans_summary_5min(
         & (pvl.trade_time >= F.lit(gte).cast("timestamp"))
         & (pvl.trade_time < F.lit(lt).cast("timestamp"))
     )
+    # The (window, keys) grain barely compresses (groups ≈ rows), so
+    # map-side partial aggregation is pure overhead; pre-partitioning by
+    # the group keys replaces the agg exchange (subset hash satisfies the
+    # clustering requirement) AND parallelizes the decode when the scan
+    # has fewer splits than cores (single-row-group files can't split).
+    # No-op at cluster scale, where the scan already has enough splits.
+    par = pvl.sparkSession.sparkContext.defaultParallelism
+    if filtered.rdd.getNumPartitions() < par:
+        filtered = filtered.repartition(par, *GROUP_KEYS)
     win = F.window("trade_time", "5 minutes")
     agg = filtered.groupBy(win.alias("w"), *GROUP_KEYS).agg(*_base_aggs(pvl))
     return agg.select(*GROUP_KEYS, *MEASURES, *window_time_keys(F.col("w.start"), "5min"))

@@ -100,6 +100,14 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
+# Candidate policy note: the engine also ships a LOSSLESS prefix-filter
+# variant (dedup.ngram_jaccard_dedup, AllPairs/PPJoin — the scale path
+# for natural text, proven equal to brute force in
+# tests/test_llm_layer.py::test_prefix_filter_is_lossless).  The
+# catalog query uses the df-capped policy because the synthetic corpus
+# has a ~30-word vocabulary: NO shingle is rare, prefixes stop pruning,
+# and the lossless candidate set degrades toward n².  The oracle
+# mirrors the cap exactly, so the check verifies the capped semantics.
 _NGRAM_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()},
 disc AS (
   SELECT s.doc_id, s.shingle
@@ -131,7 +139,7 @@ WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}"""
     survey_ids="LLM: n-gram Jaccard near-dup (df-capped candidates)",
 )
 def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.ngram_jaccard_dedup(
+    pairs = dd.ngram_jaccard_dedup_capped(
         _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
     )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
