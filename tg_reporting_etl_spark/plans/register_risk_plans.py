@@ -248,10 +248,20 @@ FROM sg"""
 
 
 def _trans_tiers_li(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    pvl_li = td.player_value_log_lineitem(spark, sf_dir)
-    t5 = trans_summary_5min(pvl_li, LINEITEM_GTE, LINEITEM_LT)
-    t1h = trans_summary_1h(t5)
-    return {"1h": t1h, "1d": trans_summary_1d(t1h)}
+    """Lineitem-axis trans tiers, session-persisted like the other tier
+    caches — without this every consumer (risk_ctrl_player, rtp twins)
+    re-runs the 600k-row raw scan + two aggregation levels."""
+    from tg_reporting_etl_spark.plans.util import cached_df
+
+    t1h = cached_df(
+        spark,
+        f"trans_li_1h|{sf_dir}",
+        lambda: trans_summary_1h(
+            trans_summary_5min(td.player_value_log_lineitem(spark, sf_dir), LINEITEM_GTE, LINEITEM_LT)
+        ),
+    )
+    t1d = cached_df(spark, f"trans_li_1d|{sf_dir}", lambda: trans_summary_1d(t1h))
+    return {"1h": t1h, "1d": t1d}
 
 
 @register("risk_ctrl_player_1d", _risk_player_oracle(), survey_ids="A5 J2 J7 W3 F5-F8 (stddev_pop delta)")
