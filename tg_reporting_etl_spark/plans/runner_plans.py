@@ -61,3 +61,90 @@ def q_timeslice_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lt_time", meta.lt_time.cast("timestamp")
     )
     return expand_timeslices(meta)
+
+
+# ---------------------------------------------------------------- rerun cascade
+
+# Four requests covering the cascade's edge semantics
+# (GetRelatedTimeSplit.py:26-84): intra-day flooring/ceiling, a month
+# boundary exactly at month start (no carry), a non-aligned month cross
+# (carry to the next month), and a sub-unit span (expands to zero 5min
+# windows instead of erroring — the reference's empty pd.date_range).
+_RERUN_REQS = [
+    ("P1", "S1", "ALL", "trans_summary", "2024-01-02 00:10:00", "2024-01-02 03:20:00", 1, 1, 1, 0),
+    ("P1", "S1", "ALL", "player_summary", "2024-01-31 22:00:00", "2024-02-01 00:00:00", 0, 1, 1, 1),
+    ("P2", "TG", "ALL", "trans_summary", "2024-03-30 23:30:00", "2024-04-01 01:30:00", 0, 0, 1, 1),
+    ("P2", "TG", "ALL", "trans_summary", "2024-01-05 10:01:00", "2024-01-05 10:03:00", 1, 1, 0, 0),
+]
+
+
+def _rerun_oracle() -> str:
+    vals = ",\n  ".join(
+        f"('{p}', '{s}', '{g}', '{rc}', TIMESTAMP '{gte}', TIMESTAMP '{lt}', {f5}, {f1h}, {f1d}, {f1m})"
+        for p, s, g, rc, gte, lt, f5, f1h, f1d, f1m in _RERUN_REQS
+    )
+    fixed = []
+    for flag, unit, suffix, freq, level in (
+        ('"5min"', "INTERVAL 5 MINUTE", "_5min", "5min", 100),
+        ('"1h"', "INTERVAL 1 HOUR", "_1h", "1H", 200),
+        ('"1d"', "INTERVAL 1 DAY", "_1d", "1D", 300),
+    ):
+        trunc = {"_5min": None, "_1h": "hour", "_1d": "day"}[suffix]
+        if trunc is None:
+            # 5min keeps RAW bounds — the reference does not floor them
+            g, l = "r.gte_time", "r.lt_time"
+        else:
+            g = f"date_trunc('{trunc}', r.gte_time)"
+            l = (
+                f"CASE WHEN date_trunc('{trunc}', r.lt_time) = r.lt_time THEN r.lt_time "
+                f"ELSE date_trunc('{trunc}', r.lt_time) + {unit} END"
+            )
+        fixed.append(
+            f"""SELECT t AS gte_time, t + {unit} AS lt_time,
+       platform, site_code, game_code, report_class,
+       report_class || '{suffix}' AS assignee, '{freq}' AS freq_type, {level} AS level
+FROM (
+  SELECT unnest(generate_series({g}, ({l}) - {unit}, {unit})) AS t,
+         r.platform, r.site_code, r.game_code, r.report_class
+  FROM reqs r
+  WHERE r.{flag} = 1 AND ({l}) >= ({g}) + {unit}
+)"""
+        )
+    months = """SELECT t AS gte_time, t + INTERVAL 1 MONTH AS lt_time,
+       platform, site_code, game_code, report_class,
+       report_class || '_1m' AS assignee, '1M' AS freq_type, 400 AS level
+FROM (
+  SELECT unnest(generate_series(b.g, date_trunc('month', b.l - INTERVAL 1 DAY), INTERVAL 1 MONTH)) AS t,
+         b.g, b.l, b.platform, b.site_code, b.game_code, b.report_class
+  FROM (
+    SELECT date_trunc('month', r.gte_time) AS g,
+           CASE WHEN date_trunc('month', r.lt_time) = r.lt_time
+                THEN date_trunc('month', r.lt_time)
+                ELSE date_trunc('month', r.lt_time) + INTERVAL 1 MONTH END AS l,
+           r.platform, r.site_code, r.game_code, r.report_class
+    FROM reqs r WHERE r."1m" = 1
+  ) b
+  WHERE date_trunc('month', b.l - INTERVAL 1 DAY) >= date_trunc('month', b.g)
+)
+WHERE CAST(last_day(t) AS TIMESTAMP) >= g
+  AND CAST(last_day(t) AS TIMESTAMP) <= l - INTERVAL 1 DAY"""
+    body = "\nUNION ALL\n".join(fixed + [months])
+    return f"WITH reqs AS (\n  SELECT * FROM (VALUES\n  {vals}\n) AS v(platform, site_code, game_code, report_class, gte_time, lt_time, \"5min\", \"1h\", \"1d\", \"1m\"))\n{body}"
+
+
+@register("rerun_cascade_expansion", _rerun_oracle(), survey_ids="G3 F2 F10 U1 P9")
+def q_rerun_cascade_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tg_reporting_etl_spark.runner.board import rerun_cascade
+
+    reqs = spark.createDataFrame(
+        [
+            (p, s, g, rc, gte, lt, f5, f1h, f1d, f1m)
+            for p, s, g, rc, gte, lt, f5, f1h, f1d, f1m in _RERUN_REQS
+        ],
+        "platform string, site_code string, game_code string, report_class string, "
+        "gte_time string, lt_time string, `5min` int, `1h` int, `1d` int, `1m` int",
+    )
+    reqs = reqs.withColumn("gte_time", reqs.gte_time.cast("timestamp")).withColumn(
+        "lt_time", reqs.lt_time.cast("timestamp")
+    )
+    return rerun_cascade(reqs)
