@@ -148,3 +148,85 @@ def q_rerun_cascade_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lt_time", reqs.lt_time.cast("timestamp")
     )
     return rerun_cascade(reqs)
+
+
+# ---------------------------------------------------------------- dependency gate
+
+# One day: 24 publishable-or-held 1H tasks + the 1D task above them +
+# one hour of 5min tasks (the unconditional pass-through branch).  The
+# done board holds all 24 done 1H children but only the 5min children
+# of [00:00, 20:00) — hours 20-23 must gate (dep_count 0-11 < 12) while
+# the 1D task publishes (24/24 1H done).  SURVEY §2.10 ST4 / A7.
+_DEP_DAY = "2024-01-02"
+_DEP_DONE_5MIN_LT = "2024-01-02 20:00:00"
+
+
+def _dep_oracle() -> str:
+    day0 = f"TIMESTAMP '{_DEP_DAY} 00:00:00'"
+    day1 = f"{day0} + INTERVAL 1 DAY"
+    return f"""WITH h_tasks AS (
+  SELECT unnest(generate_series({day0}, {day1} - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS gte_time
+),
+done_5 AS (
+  SELECT unnest(generate_series({day0}, TIMESTAMP '{_DEP_DONE_5MIN_LT}' - INTERVAL 5 MINUTE,
+                                INTERVAL 5 MINUTE)) AS g
+),
+h_counted AS (
+  SELECT h.gte_time, CAST(count(d.g) AS BIGINT) AS dep_count
+  FROM h_tasks h LEFT JOIN done_5 d
+    ON d.g >= h.gte_time AND d.g + INTERVAL 5 MINUTE <= h.gte_time + INTERVAL 1 HOUR
+  GROUP BY 1
+)
+SELECT gte_time, gte_time + INTERVAL 1 HOUR AS lt_time,
+       'trans_summary_1h' AS assignee, '1H' AS freq_type, dep_count,
+       CASE WHEN dep_count = 12 THEN 1 ELSE 0 END AS matched
+FROM h_counted
+UNION ALL
+SELECT {day0} AS gte_time, {day1} AS lt_time,
+       'trans_summary_1d' AS assignee, '1D' AS freq_type,
+       CAST(24 AS BIGINT) AS dep_count, 1 AS matched
+UNION ALL
+SELECT g AS gte_time, g + INTERVAL 5 MINUTE AS lt_time,
+       'trans_summary_5min' AS assignee, '5min' AS freq_type,
+       CAST(0 AS BIGINT) AS dep_count, 1 AS matched
+FROM (SELECT unnest(generate_series({day0}, {day0} + INTERVAL 55 MINUTE, INTERVAL 5 MINUTE)) AS g)"""
+
+
+@register("dependency_gate", _dep_oracle(), survey_ids="ST4 A7 P9 U1")
+def q_dependency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.runner.board import dependency_check
+
+    day0, day1 = f"{_DEP_DAY} 00:00:00", "2024-01-03 00:00:00"
+
+    def _meta(rows):
+        meta = spark.createDataFrame(
+            rows,
+            "gte_time string, lt_time string, platform string, site_code string, "
+            "game_code string, report_class string, assignee string, freq_type string, level int",
+        )
+        return meta.withColumn("gte_time", meta.gte_time.cast("timestamp")).withColumn(
+            "lt_time", meta.lt_time.cast("timestamp")
+        )
+
+    fill = ("ALL", "ALL", "ALL", "trans_summary")
+    tasks = expand_timeslices(
+        _meta(
+            [
+                (day0, day1, *fill, "trans_summary_1h", "1H", LEVELS["1H"]),
+                (day0, day1, *fill, "trans_summary_1d", "1D", LEVELS["1D"]),
+                (day0, f"{_DEP_DAY} 01:00:00", *fill, "trans_summary_5min", "5min", LEVELS["5min"]),
+            ]
+        )
+    )
+    done = expand_timeslices(
+        _meta(
+            [
+                (day0, _DEP_DONE_5MIN_LT, *fill, "trans_summary_5min", "5min", LEVELS["5min"]),
+                (day0, day1, *fill, "trans_summary_1h", "1H", LEVELS["1H"]),
+            ]
+        )
+    ).withColumn("done", F.lit(1))
+    out = dependency_check(tasks, done)
+    return out.select("gte_time", "lt_time", "assignee", "freq_type", "dep_count", "matched")
