@@ -64,6 +64,81 @@ def extract_media_features(media: DataFrame, batch_target_rows: int = 1024) -> D
     return media.repartition("doc_id").mapInPandas(_features, MEDIA_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, media_type string, width int, height int, thumb binary"
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched image resize via mapInPandas.
+
+    A real pipeline decodes (:func:`decode_image`), resizes with
+    PIL/libvips and re-encodes; with no codecs in the container the
+    transform is a deterministic byte-level downsample (stride-sampled
+    payload truncated to width*height bytes) so batch shape, output
+    schema and the binary round-trip are end-to-end testable.  Only
+    image rows are shipped to Python — the filter prunes other
+    modalities before the Arrow exchange.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+
+        def thumb(b: bytes) -> bytes:
+            data = bytes(b)
+            if not data:
+                return b""
+            stride = max(1, len(data) // n_out)
+            return data[::stride][:n_out]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "thumb": pdf["media"].map(thumb),
+                }
+            )
+
+    imgs = media.filter(F.col("media_type").startswith("image/"))
+    return imgs.repartition("doc_id").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_no int, frame_offset long, frame binary"
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> DataFrame:
+    """Uniform frame sampling over video payloads via mapInPandas.
+
+    Emits ``n_frames`` evenly-spaced byte windows per video (one output
+    row per frame — the fan-out happens inside the Arrow batch, so a
+    1-row-in/N-rows-out pandas function demonstrates the non-1:1 batch
+    shape).  A real build seeks container keyframes with pyav/ffmpeg at
+    exactly this spot.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                if not data:
+                    continue
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    off = min(i * step, max(0, len(data) - 1))
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(data[off : off + frame_bytes])
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_no": "int32", "frame_offset": "int64"}
+            )
+
+    vids = media.filter(F.col("media_type").startswith("video/"))
+    return vids.repartition("doc_id").mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)
+
+
 def media_metadata_expr(media: DataFrame) -> DataFrame:
     """The same features as pure column expressions (JVM fast path) —
     used as the oracle-checked twin of the mapInPandas route."""
