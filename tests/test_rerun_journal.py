@@ -72,10 +72,29 @@ def test_later_submission_expands_only_new_request(spark, tmp_path):
     assert journal.count() == 2 and journal.filter(F.col("done") == 0).count() == 0
 
 
-def test_resubmitting_applied_request_stays_applied(spark, tmp_path):
+def test_resubmitting_applied_request_is_consumed_again(spark, tmp_path):
+    """Reference semantics (ScanRerunManually.py:19-25): an operator may
+    re-INSERT an identical request after it was applied and have it
+    expanded again — the merge re-activates the applied row."""
     path = str(tmp_path / "rerun_journal")
     req = _req(spark, "2024-01-02 00:00:00", "2024-01-02 01:00:00")
     submit_rerun_requests(spark, path, req)
-    consume_rerun_requests(spark, path, NOW)
-    submit_rerun_requests(spark, path, req)  # identical key -> no-op
+    first = consume_rerun_requests(spark, path, NOW).count()
+    assert first > 0
+
+    submit_rerun_requests(spark, path, req)  # applied -> re-activated
+    journal = spark.read.parquet(path)
+    assert journal.count() == 1 and journal.collect()[0].done == 0
+    assert consume_rerun_requests(spark, path, NOW).count() == first
+    assert consume_rerun_requests(spark, path, NOW).count() == 0
+
+
+def test_duplicate_submit_while_pending_is_noop(spark, tmp_path):
+    """A duplicate of a still-pending request must not double-expand."""
+    path = str(tmp_path / "rerun_journal")
+    req = _req(spark, "2024-01-02 00:00:00", "2024-01-02 01:00:00")
+    submit_rerun_requests(spark, path, req)
+    submit_rerun_requests(spark, path, req)
+    assert spark.read.parquet(path).count() == 1
+    assert consume_rerun_requests(spark, path, NOW).count() > 0
     assert consume_rerun_requests(spark, path, NOW).count() == 0

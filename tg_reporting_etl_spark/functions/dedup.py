@@ -24,22 +24,14 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tg_reporting_etl_spark.functions.persist import tracked_persist
+
 MOD31 = 2147483647  # 2^31 - 1, keeps rolling-hash arithmetic in int64
 
 
 def h32(col: Column) -> Column:
     """First 8 md5 hex chars as unsigned 32-bit int (engine-portable)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
-def h60(col: Column) -> Column:
-    """First 15 md5 hex chars as a 60-bit int.
-
-    Wide enough that distinct shingles collide with probability ~2^-60 —
-    used as a compact internal set-element representation where carrying
-    the strings themselves would dominate memory/GC.
-    """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def salt_constant(i: int) -> int:
@@ -192,7 +184,7 @@ def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataF
     # persisted: referenced once per join side below, and the renamed
     # projections defeat exchange reuse — without this the collect_set
     # shuffle over the full shingle volume runs twice
-    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs")).persist()
+    sets = tracked_persist(hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs")))
     # one action on the persisted frame prices the broadcast decision:
     # Catalyst's size estimate for a collect_set aggregate is too
     # conservative to auto-broadcast, leaving both set joins as
@@ -265,7 +257,9 @@ def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
                 F.slice(
                     F.transform("_s", lambda x: x["h"]),
                     F.lit(1),
-                    F.col("_n") - ((F.col("_n") * p + q - 1) / q).cast("long") + 1,
+                    # exact int64 arithmetic — float division here is off
+                    # by one exactly when tau·n crosses an integer
+                    F.col("_n") - F.expr(f"(_n * {p} + {q - 1}) div {q}") + 1,
                 )
             ).alias("h"),
         )
@@ -322,7 +316,7 @@ def ngram_jaccard_dedup_capped(
     hashed = hash_shingles(sh)
     # persisted: the candidate self-join references disc twice, which
     # would otherwise run the df-count shuffle + join twice
-    disc = discriminative_shingles(hashed, n_docs // max_df_divisor, key="h").persist()
+    disc = tracked_persist(discriminative_shingles(hashed, n_docs // max_df_divisor, key="h"))
     return _jaccard_on_hashed(hashed, candidate_pairs(disc, key="h"), tau)
 
 
@@ -347,12 +341,14 @@ def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) 
     # persisted: the band self-join references the signature table on
     # both sides — without this the signature aggregation (the one pass
     # over the full shingle volume) runs twice
-    sig = base.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"_h ^ {salt_constant(i)}")).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
-    ).persist()
+    sig = tracked_persist(
+        base.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(f"_h ^ {salt_constant(i)}")).alias(f"m{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    )
     band_frames = [
         sig.select(
             "doc_id",
@@ -465,7 +461,7 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     # persisted: the band self-join references sig on both sides —
     # without this the 64-bit-sum aggregation over all tokens runs twice
-    sig = simhash_band_values(docs).persist()
+    sig = tracked_persist(simhash_band_values(docs))
     bands = reduce(
         DataFrame.unionByName,
         [

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from tg_reporting_etl_spark.config import RISK_CTRL_1D
 from tg_reporting_etl_spark.functions.core import safe_div
+from tg_reporting_etl_spark.functions.persist import tracked_persist
 
 KEYS = ["platform", "site_code", "player_name", "game_code", "country"]
 _EPOCH = "1970-01-01 00:00:00"
@@ -147,9 +148,9 @@ def run_rtp_scenario(
     for i, (batch_src, now) in enumerate(zip(player_1h_batches, clocks)):
         key = id(batch_src)
         if key not in batch_cache:
-            batch_cache[key] = rtp_batch(batch_src, date_key).persist()
+            batch_cache[key] = tracked_persist(rtp_batch(batch_src, date_key))
         state = rtp_merge(state, batch_cache[key], now)
         if i < n - 1:  # the final state is consumed once — don't cache it
-            state = state.persist()
+            state = tracked_persist(state)
     assert state is not None
     return state

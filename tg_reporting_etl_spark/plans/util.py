@@ -36,13 +36,21 @@ def cached_df(spark: SparkSession, key: str, build: Callable[[], DataFrame]) -> 
 
 
 def clear_df_cache() -> None:
-    """Explicit invalidation hook (tests / long-lived drivers)."""
+    """Explicit invalidation hook (tests / long-lived drivers).
+
+    Also releases the operators' tracked intra-query persists
+    (functions.persist) — one valve covers every cached block the
+    engine creates.
+    """
+    from tg_reporting_etl_spark.functions.persist import release_persists
+
     for df in _DF_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _DF_CACHE.clear()
+    release_persists()
 
 
 def round_doubles(df: DataFrame, places: int = 6) -> DataFrame:

@@ -38,11 +38,13 @@ REQUEST_KEYS = [
 def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: DataFrame) -> None:
     """Append operator-submitted requests to the journal (``done=0``).
 
-    Resubmitting an already-applied identical request is a MERGE no-op
-    on its key — applied rows keep their ``done=1``/``apply_time`` only
-    if the new row doesn't replace them, so a deliberate re-request must
-    change its bounds (same as the reference, where a second INSERT of
-    the same row would just be consumed again).
+    Resubmitting a request identical to one still PENDING is a no-op
+    (it would double-expand the same window).  Resubmitting a request
+    that was already APPLIED re-activates it — the merge replaces the
+    ``done=1`` row with a fresh ``done=0`` one, so the next consume
+    picks it up again.  This matches the reference, where operators may
+    INSERT the same row a second time and have it consumed again
+    (task-producer/rerun_producer/ScanRerunManually.py:19-25).
     """
     batch = requests.withColumn("done", F.lit(0)).withColumn(
         "apply_time", F.lit(None).cast("timestamp")
@@ -53,8 +55,10 @@ def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: Data
     except Exception:
         batch.write.mode("overwrite").parquet(journal_path)
         return
-    # keep applied rows applied: only insert requests whose key is new
-    fresh = batch.join(existing.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
+    # drop only duplicates of still-pending requests; applied rows get
+    # replaced by the merge and become pending again
+    pending = existing.filter(F.col("done") == 0)
+    fresh = batch.join(pending.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
     merge_into(spark, journal_path, fresh, keys=REQUEST_KEYS)
 
 

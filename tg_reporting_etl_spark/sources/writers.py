@@ -27,12 +27,21 @@ def write_append(df: DataFrame, path: str, partition_cols: list[str] | None = No
 def overwrite_window_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Delete-before-insert as dynamic partition overwrite.
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
-    session.py): only partitions present in ``df`` are replaced; all other
-    windows are untouched.  This is the exactly-once-ish sink semantics of
-    SURVEY.md §2.10 ST6.
+    The dynamic mode is forced per-write (Spark >= 2.4 honours the
+    ``partitionOverwriteMode`` write option over the session conf), so the
+    sink keeps delete-before-insert semantics even on a vanilla session
+    where ``spark.sql.sources.partitionOverwriteMode`` is still STATIC —
+    under STATIC the identical plan would silently drop every partition
+    not present in ``df``.  Only partitions present in ``df`` are
+    replaced; all other windows are untouched.  This is the
+    exactly-once-ish sink semantics of SURVEY.md §2.10 ST6.
     """
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def merge_into(
@@ -91,9 +100,15 @@ def merge_into(
         staged = spark.read.parquet(staging)
         writer = staged.write.mode("overwrite")
         if partition_cols:
-            # dynamic mode: only the partitions present in `staged`
-            # (== the touched set) are replaced
-            writer = writer.partitionBy(*partition_cols)
+            # dynamic mode forced per-write: only the partitions present
+            # in `staged` (== the touched set) are replaced.  merge_into
+            # is a library entry point also called from streaming
+            # foreachBatch and rerun/state code, where the session may be
+            # vanilla — relying on the session conf would turn this write
+            # into a full-table wipe under Spark's default STATIC mode.
+            writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+                *partition_cols
+            )
         writer.parquet(target_path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
