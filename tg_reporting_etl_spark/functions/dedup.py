@@ -167,6 +167,11 @@ def shingle_hashes(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+#: dense-bitmap verify is allowed only while the dictionary stays small
+#: enough for a broadcast join and a single-partition rank window.
+_DENSE_MAX_V = 1 << 16
+
+
 def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
     """Exact full-set Jaccard >= tau for the given candidate pairs only.
 
@@ -180,19 +185,42 @@ def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataF
     pairs never pay for an intersect.  This is the shape that survives
     a 100 TB corpus: array size is bounded by doc length, pair count
     by the candidate generator, per-pair payload is 8 B per shingle.
+
+    Representation is ADAPTIVE: when the distinct-shingle vocabulary V
+    fits in no more memory than the average set array (V <= 64·avg|S|,
+    and V <= 2^16), each set is dictionary-encoded into a dense bitmask
+    of longs and the per-pair intersection becomes
+    ``sum(bit_count(a & b))`` — pure integer ops, no per-pair hash-set
+    build.  That is exactly the low-entropy/templated-corpus regime
+    where candidate counts explode (no shingle is rare), so the cheap
+    verify lands where it is needed most.  Real-text corpora have
+    V ~ corpus size, fail the gate, and keep the array path — the gate
+    costs one aggregate pass over the already-persisted compact sets.
+    Both representations compute the identical exact Jaccard.
     """
     # persisted: referenced once per join side below, and the renamed
     # projections defeat exchange reuse — without this the collect_set
     # shuffle over the full shingle volume runs twice
     sets = tracked_persist(hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs")))
-    # one action on the persisted frame prices the broadcast decision:
-    # Catalyst's size estimate for a collect_set aggregate is too
-    # conservative to auto-broadcast, leaving both set joins as
-    # sort-merge with array_intersect evaluated (twice!) inside the
-    # interpreted join condition — the dominant cost of the verify.
-    stats = sets.select(F.count("*").alias("n"), F.sum(F.size("hs")).alias("tot")).first()
-    small = stats.tot is not None and stats.tot * 8 + stats.n * 64 < 64 * 2**20
+    # one action on the persisted frame prices the broadcast decision
+    # and the dense-verify gate: Catalyst's size estimate for a
+    # collect_set aggregate is too conservative to auto-broadcast,
+    # leaving both set joins as sort-merge with array_intersect
+    # evaluated (twice!) inside the interpreted join condition — the
+    # dominant cost of the verify.
+    ex = sets.select("doc_id", F.explode("hs").alias("h"))
+    stats = ex.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.count("*").alias("tot"),
+        F.approx_count_distinct("h").alias("v_est"),
+    ).first()
+    n_docs, tot = stats.n, stats.tot or 0
+    small = tot > 0 and tot * 8 + n_docs * 64 < 64 * 2**20
     _b = F.broadcast if small else (lambda df: df)
+
+    dense = tot > 0 and stats.v_est * 1.2 <= min(64 * tot / n_docs, _DENSE_MAX_V)
+    if dense:
+        return _verify_dense(sets, ex, pairs, tau, _b)
 
     # size-compat prune on a SLIM (doc_id, n) projection BEFORE any
     # array payload moves: J >= tau forces tau·max(|A|,|B|) <= min.
@@ -210,6 +238,52 @@ def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataF
     return (
         compat.join(a, "doc_a")
         .join(b, "doc_b")
+        .withColumn("c", c)
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _verify_dense(sets: DataFrame, ex: DataFrame, pairs: DataFrame, tau: float, _b) -> DataFrame:
+    """Dense-bitmask exact-Jaccard verify (small-vocabulary regime).
+
+    Dictionary-encode every distinct shingle hash to a position, pack
+    each doc's set into ``ceil(V/64)`` longs with a two-level bit_or
+    aggregation (all JVM-side), then score each candidate pair with
+    ``aggregate(zip_with(bm_a, bm_b, bit_count(x & y)))`` — constant
+    ~V/64 integer ops per pair instead of an O(|A|+|B|) hash-set
+    intersect.  Gated by the caller so V is bounded (dict broadcast and
+    the rank window stay trivially small).
+    """
+    from pyspark.sql import Window
+
+    dict_df = ex.select("h").distinct().withColumn(
+        "pos", F.row_number().over(Window.orderBy("h")) - 1
+    )
+    v = dict_df.count()
+    nwords = (v + 63) // 64
+    words = (
+        ex.join(F.broadcast(dict_df), "h")
+        .groupBy("doc_id", F.expr("pos div 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, pos % 64))").alias("wd"))
+    )
+    bitmaps = tracked_persist(
+        words.groupBy("doc_id")
+        .agg(F.map_from_arrays(F.collect_list("w"), F.collect_list("wd")).alias("m"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(sequence(0, {nwords - 1}), w -> coalesce(m[w], 0L))").alias("bm"),
+        )
+        .withColumn("n", F.expr("aggregate(bm, 0, (acc, x) -> acc + bit_count(x))"))
+    )
+    a = _b(bitmaps.select(F.col("doc_id").alias("doc_a"), F.col("bm").alias("bm_a"), F.col("n").alias("na")))
+    b = _b(bitmaps.select(F.col("doc_id").alias("doc_b"), F.col("bm").alias("bm_b"), F.col("n").alias("nb")))
+    c = F.expr("aggregate(zip_with(bm_a, bm_b, (x, y) -> bit_count(x & y)), 0, (acc, x) -> acc + x)")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.least("na", "nb") >= F.lit(tau) * F.greatest("na", "nb"))
         .withColumn("c", c)
         .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jaccard") >= tau)
