@@ -17,6 +17,7 @@ from tg_reporting_etl_spark.runner.executor import (
     PlayerSummaryFamily,
     RiskCtrlGameFamily,
     RiskCtrlPlayerFamily,
+    RiskCtrlRtpFamily,
     TransSummaryFamily,
     execute_board,
 )
@@ -108,6 +109,7 @@ def executed_all(spark, sf_dir, tmp_path_factory):
         (PG0, PL0, "new_register_summary", "1D", "1d"),
         (PG0, PL0, "risk_ctrl_player", "1D", "1d"),
         (PG0, PL0, "risk_ctrl_game", "1D", "1d"),
+        (PG0, PL0, "risk_ctrl_rtp", "1D", "1d"),
         (PG0, PL0, "player_ranking", "1D", "1d"),
     ]
     meta = spark.createDataFrame(
@@ -133,6 +135,7 @@ def executed_all(spark, sf_dir, tmp_path_factory):
         NewRegisterFamily(player, td.player(spark, sf_dir), out),
         RiskCtrlPlayerFamily(player, trans, out),
         RiskCtrlGameFamily(player, out),
+        RiskCtrlRtpFamily(player, out),
         LeaderboardFamily(td.player(spark, sf_dir), td.player_daily_ranking(spark, sf_dir), out),
     ]
     records = execute_board(spark, board, families, NOW)
@@ -147,6 +150,7 @@ def test_all_families_materialize(executed_all, spark):
         "new_register_summary",
         "risk_ctrl_player",
         "risk_ctrl_game",
+        "risk_ctrl_rtp",
         "player_ranking",
     }
     assert all(r["done"] == 1 for r in recs)
@@ -224,6 +228,74 @@ def test_rerun_all_families_is_noop(executed_all, spark):
     before = counts()
     execute_board(spark, executed_all["board"], executed_all["families"], NOW)
     assert before == counts()
+
+
+def test_rtp_state_carries_across_board_runs(spark, tmp_path):
+    """rtp dispatched off the board keeps alert state between runs.
+
+    Reference: the same risk_ctrl task list drives rtp each cron tick
+    and the report reads back its own snapshot (risk_ctrl_rtp_1d.py:
+    122-194): run 1 initializes (no throttle), run 2 alerts risky rows,
+    run 3 inside the 1-minute throttle window mutes them."""
+    import datetime as dt
+
+    out = str(tmp_path / "tables")
+    day, nxt = "1996-06-14 00:00:00", "1996-06-15 00:00:00"
+    # synthetic player 1h tier: one clearly risky player (profit >=
+    # profit_unconditional), one quiet player
+    p1h = spark.createDataFrame(
+        [
+            ("P1", "S1", "whale", "G1", "TW", 19960614, 100.0, 60_000.0),
+            ("P1", "S1", "minnow", "G1", "TW", 19960614, 100.0, 1.0),
+        ],
+        "platform string, site_code string, player_name string, game_code string, "
+        "country string, summary_date int, b_amount double, profit_amount double",
+    )
+    player = PlayerSummaryFamily(None, None, out)
+    p1h.write.parquet(player.table_path("1h"))
+
+    meta = spark.createDataFrame(
+        [(day, nxt, "ALL", "ALL", "ALL", "risk_ctrl_rtp", "risk_ctrl_rtp_1d", "1D", LEVELS["1D"])],
+        "gte_time string, lt_time string, platform string, site_code string, game_code string, "
+        "report_class string, assignee string, freq_type string, level int",
+    )
+    meta = meta.withColumn("gte_time", F.col("gte_time").cast("timestamp")).withColumn(
+        "lt_time", F.col("lt_time").cast("timestamp")
+    )
+    board = expand_timeslices(meta).withColumn("done", F.lit(0))
+
+    clocks = [
+        dt.datetime(1996, 6, 14, 10, 0, 0),
+        dt.datetime(1996, 6, 14, 11, 0, 0),
+        dt.datetime(1996, 6, 14, 11, 0, 30),  # 30s later: inside throttle
+    ]
+    fam = RiskCtrlRtpFamily(player, out, clock=lambda: clocks[0])
+
+    def snap():
+        return {
+            r.player_name: r
+            for r in fam.read_tier(spark, "1d").collect()
+        }
+
+    execute_board(spark, board, fam, NOW)
+    s1 = snap()
+    assert s1["whale"].is_risky == 1 and s1["whale"].alert_count == 0  # init run
+    assert s1["minnow"].is_risky == 0
+
+    fam.clock = lambda: clocks[1]
+    execute_board(spark, board, fam, NOW)
+    s2 = snap()
+    assert s2["whale"].send_alert == 1 and s2["whale"].alert_count == 1
+    assert s2["whale"].last_alert_time == clocks[1]
+    assert s2["whale"].create_time == s1["whale"].create_time  # state carried
+    assert s2["minnow"].alert_count == 0
+
+    fam.clock = lambda: clocks[2]
+    execute_board(spark, board, fam, NOW)
+    s3 = snap()
+    # throttled: still risky but muted, count/stamp unchanged
+    assert s3["whale"].is_risky == 1 and s3["whale"].send_alert == 0
+    assert s3["whale"].alert_count == 1 and s3["whale"].last_alert_time == clocks[1]
 
 
 def test_intraday_incremental_preserves_earlier_windows(spark, sf_dir, tmp_path):

@@ -21,8 +21,8 @@ runtime_second.  Here:
 
 Every report family the reference executes off the board is covered:
 trans_summary (4 tiers), player_summary (4 tiers),
-new_register_summary (1d), risk_ctrl player/game (1d), and the
-leaderboard (1d state runs).
+new_register_summary (1d), risk_ctrl player/game (1d), the stateful
+risk_ctrl_rtp alert snapshot (1d), and the leaderboard (1d state runs).
 """
 
 from __future__ import annotations
@@ -255,6 +255,45 @@ class RiskCtrlGameFamily(_RiskCtrlFamily):
             date_key,
             self._lookback_key(date_key),
         )
+
+
+class RiskCtrlRtpFamily(ReportFamily):
+    """Stateful rtp alert snapshot dispatched off the board.
+
+    The reference scans ONE ``risk_ctrl`` task list and rtp picks its
+    assignee rows from it alongside player/game
+    (task-executor/risk_ctrl/ScasRiskCtrlTask.py ->
+    risk_ctrl_rtp_1d.py:12-33); each task row triggers a
+    load-snapshot -> merge-batch -> persist run (runner/state.py), so
+    alert_count / last_alert_time carry across board runs exactly like
+    the reference's read-back DB state (risk_ctrl_rtp_1d.py:122-135).
+    ``clock`` injects a frozen now() for deterministic throttle tests;
+    production leaves it None (wall clock, like the reference's
+    ``datetime.now()`` alert stamps).
+    """
+
+    report_class = "risk_ctrl_rtp"
+    tiers = ("1d",)
+    depends_on = ("player_summary",)
+
+    def __init__(self, player_family: PlayerSummaryFamily, out_dir: str, clock=None):
+        super().__init__(out_dir)
+        self.player_family = player_family
+        self.clock = clock
+
+    def table_path(self, tier: str) -> str:
+        return os.path.join(self.out_dir, "risk_ctrl_rtp_1d")
+
+    def run_tier(self, spark, tier, gte, lt, platform: str = "ALL", site_code: str = "ALL") -> int:
+        from tg_reporting_etl_spark.runner.state import run_rtp_day
+
+        now = self.clock() if self.clock else datetime.now()
+        p1h = self.player_family.read_tier(spark, "1h")
+        total = 0
+        for dk in _day_keys(str(gte), str(lt)):
+            # rtp_batch prunes p1h to summary_date == dk itself
+            total += run_rtp_day(spark, p1h, dk, now, self.table_path(tier)).count()
+        return total
 
 
 class LeaderboardFamily(ReportFamily):
