@@ -92,7 +92,10 @@ def test_partitioned_sink_upserts_at_window_key_grain(spark, sf_dir, tmp_path):
     """ST6: a later micro-batch that changes ONE key of a window must not
     wipe the window's other keys from the sink (update mode re-emits
     only changed rows; the sink merges, never partition-overwrites)."""
-    from tg_reporting_etl_spark.streaming.pipeline import start_partitioned_sink
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        TRANS_5MIN_GRAIN,
+        start_partitioned_sink,
+    )
 
     pvl = td.player_value_log(spark, sf_dir).limit(0)
     schema = pvl.schema
@@ -120,7 +123,7 @@ def test_partitioned_sink_upserts_at_window_key_grain(spark, sf_dir, tmp_path):
         rows_df("p2", "2024-01-05 10:02:00", 7.0)
     ).write.mode("append").parquet(src)
     stream = spark.readStream.schema(schema).parquet(src)
-    q = start_partitioned_sink(streaming_trans_summary_5min(stream), out, ckpt)
+    q = start_partitioned_sink(streaming_trans_summary_5min(stream), out, ckpt, TRANS_5MIN_GRAIN)
     try:
         q.processAllAvailable()
         # batch 2: late event updates ONLY p1's row of that window
@@ -137,6 +140,81 @@ def test_partitioned_sink_upserts_at_window_key_grain(spark, sf_dir, tmp_path):
     }
     # p1 upserted to 15, p2's untouched row survived the second batch
     assert got == {"p1": 15.0, "p2": 7.0}
+
+
+def test_player_stream_partitioned_sink_keeps_per_game_rows(spark, sf_dir, tmp_path):
+    """The player aggregation's grain includes game_code: merging its
+    stream at the player grain must keep a player's rows for OTHER game
+    codes intact when a later batch touches only one game (the silent
+    delete the hardcoded trans grain would have caused), and pairing the
+    player agg with the trans grain must be rejected loudly."""
+    import datetime as dt
+
+    from tg_reporting_etl_spark.operators.player_summary import GROUP_KEYS as P_KEYS
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        PLAYER_5MIN_GRAIN,
+        TRANS_5MIN_GRAIN,
+        start_partitioned_sink,
+        streaming_player_summary_5min,
+    )
+
+    ppl = td.player_profit_log(spark, sf_dir).limit(0).withColumn(
+        "round_time", F.col("round_time").cast("timestamp")
+    )
+    schema = ppl.schema
+    sites = td.game_sites(spark, sf_dir)
+    src = str(tmp_path / "pg_src")
+    out = str(tmp_path / "pg_out")
+    ckpt = str(tmp_path / "pg_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def row(game, ts, bet):
+        vals = []
+        for f in schema.fields:
+            if f.name == "game_code":
+                vals.append(game)
+            elif f.name == "round_time":
+                vals.append(dt.datetime.fromisoformat(ts))
+            elif f.name == "bet":
+                vals.append(bet)
+            elif f.name == "is_robot":
+                vals.append(0)
+            elif f.name in ("platform", "site_code", "player_name", "country"):
+                vals.append({"platform": "P1", "site_code": "S1"}.get(f.name, "px"))
+            elif f.dataType.simpleString() in ("double", "float"):
+                vals.append(0.0)
+            elif f.dataType.simpleString() in ("int", "bigint"):
+                vals.append(0)
+            else:
+                vals.append("x")
+        return spark.createDataFrame([tuple(vals)], schema)
+
+    agg = streaming_player_summary_5min(
+        spark.readStream.schema(schema).parquet(src), sites
+    )
+    # a grain naming columns the aggregation doesn't produce fails loudly
+    with pytest.raises(ValueError, match="trade_kind"):
+        start_partitioned_sink(agg, out, ckpt, [*TRANS_5MIN_GRAIN, "trade_kind"])
+
+    # batch 1: same player, same window, two games
+    row("G1", "1996-06-14 10:01:00", 10.0).unionAll(
+        row("G2", "1996-06-14 10:02:00", 7.0)
+    ).write.mode("append").parquet(src)
+    q = start_partitioned_sink(agg, out, ckpt, PLAYER_5MIN_GRAIN)
+    try:
+        q.processAllAvailable()
+        # batch 2 touches only G1
+        row("G1", "1996-06-14 10:03:00", 5.0).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.game_code: r.b_amount
+        for r in spark.read.parquet(out).filter(F.col("player_name") == "px").collect()
+    }
+    assert got == {"G1": 15.0, "G2": 7.0}
+    assert "game_code" in P_KEYS  # the grain really is finer than trans
 
 
 def test_streaming_player_summary_matches_batch(spark, sf_dir, tmp_path):

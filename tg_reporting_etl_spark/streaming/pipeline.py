@@ -24,7 +24,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from tg_reporting_etl_spark.operators.player_summary import GROUP_KEYS as _PLAYER_KEYS
 from tg_reporting_etl_spark.operators.trans_summary import GROUP_KEYS, MEASURES, _base_aggs
+
+
+#: upsert grain of each streaming aggregation: its groupBy keys plus the
+#: window start.  The partitioned sink REQUIRES the matching grain —
+#: merging a finer-grained aggregation on a coarser key set would not
+#: fail, it would silently anti-join away same-key rows the batch didn't
+#: carry (e.g. a player's other game_codes).
+TRANS_5MIN_GRAIN = [*GROUP_KEYS, "start_time"]
+PLAYER_5MIN_GRAIN = [*_PLAYER_KEYS, "start_time"]
 
 
 def streaming_trans_summary_5min(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -97,19 +107,29 @@ def start_memory_sink(agg: DataFrame, name: str, mode: str = "update") -> Stream
     )
 
 
-def start_partitioned_sink(agg: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
+def start_partitioned_sink(
+    agg: DataFrame, path: str, checkpoint: str, keys: list[str]
+) -> StreamingQuery:
     """Production shape: exactly-once-ish idempotent window sink (ST6).
 
     Update mode re-emits only the (window, key) rows a micro-batch
     changed, so the sink must UPSERT at exactly that grain: foreachBatch
-    merges the batch into the table on (group keys, start_time), keeping
-    every previously-emitted row the batch didn't touch.  A plain
-    partition overwrite — even at (date, hour, min) granularity — would
-    wipe same-window rows for keys absent from the batch.  Re-delivered
-    batches merge to the same rows (idempotent).  Partitioned by
-    (summary_date, hours, mins): the merge reads and rewrites only the
-    touched window partitions, the reference's delete keys.
+    merges the batch into the table on ``keys`` (the aggregation's
+    groupBy keys + start_time — TRANS_5MIN_GRAIN / PLAYER_5MIN_GRAIN),
+    keeping every previously-emitted row the batch didn't touch.  The
+    grain is an explicit REQUIRED argument: a coarser key set would not
+    fail, it would silently anti-join away same-key rows absent from
+    the batch (e.g. a player's other game_codes when merging the player
+    stream at the trans grain).  A plain partition overwrite — even at
+    (date, hour, min) granularity — would likewise wipe same-window
+    rows for keys absent from the batch.  Re-delivered batches merge to
+    the same rows (idempotent).  Partitioned by (summary_date, hours,
+    mins): the merge reads and rewrites only the touched window
+    partitions, the reference's delete keys.
     """
+    missing = [k for k in keys if k not in agg.columns]
+    if missing:
+        raise ValueError(f"sink grain columns not in the aggregation output: {missing}")
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         from tg_reporting_etl_spark.sources.writers import merge_into
@@ -126,7 +146,7 @@ def start_partitioned_sink(agg: DataFrame, path: str, checkpoint: str) -> Stream
             batch.sparkSession,
             path,
             out,
-            keys=[*GROUP_KEYS, "start_time"],
+            keys=keys,
             partition_cols=["summary_date", "hours", "mins"],
         )
 
