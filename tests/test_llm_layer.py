@@ -174,3 +174,43 @@ def test_media_pandas_path_matches_expr_path(docs):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_ann_recall_floors_at_sf01(spark):
+    """Recall@k benchmark against the exact top-k ground truth at sf0.1
+    (2000 vectors, 10 in-index queries), asserted as regression floors.
+
+    Measured on the synthetic near-uniform corpus (see README):
+    IVF fixed quantizer nprobe=2 r@3 ~ 0.97 (queries 0-9 are their own
+    cell centers under the first-16-vectors quantizer, the favourable
+    regime); trained KMeans nprobe=2 r@3 ~ 0.53 and nprobe=4 ~ 0.77
+    (near-uniform data has little cluster structure to exploit — recall
+    scales with probed fraction); sign-LSH r@3 ~ 0.20 (16 sign bits
+    over near-uniform dims keep ~6% of the corpus as candidates).
+    """
+    import os
+
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 testdata not present")
+    emb = load_table(spark, SF01, "embeddings").cache()
+    pred = F.col("vec_id") < 10
+    exact = sim.brute_force_topk(emb, pred, k=5).cache()
+    assert exact.count() == 50
+
+    r_fixed = sim.recall_at_k(sim.ivf_topk(emb, pred, k=3, nprobe=2), exact, 3)
+    assert r_fixed >= 0.9
+
+    cents = sim.kmeans_centroids(emb, n_cells=16, seed=7)
+    r_km2 = sim.recall_at_k(sim.ivf_topk(emb, pred, k=3, nprobe=2, centroids=cents), exact, 3)
+    r_km4 = sim.recall_at_k(sim.ivf_topk(emb, pred, k=3, nprobe=4, centroids=cents), exact, 3)
+    assert r_km2 >= 0.4
+    assert r_km4 >= r_km2  # more probes never hurt recall
+    assert r_km4 >= 0.6
+
+    r_lsh = sim.recall_at_k(sim.ann_sign_lsh_topk(emb, pred, k=3), exact, 3)
+    assert r_lsh >= 0.15
+
+    for df in (emb, exact):
+        df.unpersist()

@@ -288,6 +288,30 @@ def ivf_topk(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Mean per-query recall@k of an ANN result against the exact top-k.
+
+    Both inputs are (query_id, neighbor_id, rank) frames (the shape
+    every top-k operator here returns).  A query the ANN missed
+    entirely counts as recall 0, not as absent — the mean is over the
+    EXACT result's query set.  This is the standard ANN quality metric
+    (what faiss reports as R@k); it is driver-side only in the final
+    tiny per-query aggregate.
+    """
+    t = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hit = t.join(a, ["query_id", "neighbor_id"], "left_semi").groupBy("query_id").agg(
+        F.count("*").alias("hits")
+    )
+    per_q = (
+        t.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .join(hit, "query_id", "left")
+        .select((F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("r"))
+    )
+    return float(per_q.agg(F.avg("r")).first()[0])
+
+
 def embedding_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= tau, a < b).
 
