@@ -230,3 +230,149 @@ def q_dependency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("done", F.lit(1))
     out = dependency_check(tasks, done)
     return out.select("gte_time", "lt_time", "assignee", "freq_type", "dep_count", "matched")
+
+
+# ---------------------------------------------------------------- init seeding
+
+# Init date mid-month so the 1M seed covers the PREVIOUS month and the
+# monthly backfill mints done 1D tasks over [month start, init day) —
+# init_main.py:8-95.  new_register has no 1M row, so it gets no backfill.
+_INIT_DATE = "2024-02-10 00:00:00"
+_INIT_REPORTS = [
+    ("trans_summary", "trans_summary_5min", "5min", 100),
+    ("trans_summary", "trans_summary_1h", "1H", 200),
+    ("trans_summary", "trans_summary_1d", "1D", 300),
+    ("trans_summary", "trans_summary_1m", "1M", 400),
+    ("player_summary", "player_summary_5min", "5min", 100),
+    ("player_summary", "player_summary_1h", "1H", 200),
+    ("player_summary", "player_summary_1d", "1D", 300),
+    ("player_summary", "player_summary_1m", "1M", 400),
+    ("new_register_summary", "new_register_summary_1d", "1D", 300),
+]
+
+
+def _init_oracle() -> str:
+    reports = ",\n    ".join(
+        f"('{rc}', '{a}', '{f}', {lv})" for rc, a, f, lv in _INIT_REPORTS
+    )
+    return f"""WITH reports AS (
+  SELECT * FROM (VALUES
+    {reports}
+  ) AS v(report_class, assignee, freq_type, level)),
+ds AS (
+  SELECT * FROM (VALUES
+    ('5min', TIMESTAMP '2024-02-10 00:00:00', TIMESTAMP '2024-02-10 00:05:00'),
+    ('1H',   TIMESTAMP '2024-02-10 00:00:00', TIMESTAMP '2024-02-10 01:00:00'),
+    ('1D',   TIMESTAMP '2024-02-10 00:00:00', TIMESTAMP '2024-02-11 00:00:00'),
+    ('1M',   TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00')
+  ) AS v(freq_type, gte_time, lt_time)),
+seed AS (
+  SELECT d.gte_time, d.lt_time, 'ALL' AS platform, 'ALL' AS site_code,
+         'ALL' AS game_code, r.report_class, r.assignee, r.freq_type, r.level,
+         0 AS done
+  FROM reports r LEFT JOIN ds d USING (freq_type)),
+backfill AS (
+  SELECT t AS gte_time, t + INTERVAL 1 DAY AS lt_time, platform, site_code,
+         game_code, report_class, assignee, freq_type, level, 1 AS done
+  FROM (
+    SELECT unnest(generate_series(m.lt_time, d.gte_time - INTERVAL 1 DAY, INTERVAL 1 DAY)) AS t,
+           d.platform, d.site_code, d.game_code, d.report_class, d.assignee,
+           d.freq_type, d.level
+    FROM seed d
+    JOIN (SELECT report_class, lt_time FROM seed WHERE freq_type = '1M') m
+      USING (report_class)
+    WHERE d.freq_type = '1D' AND m.lt_time != d.gte_time
+  ))
+SELECT * FROM seed
+UNION ALL
+SELECT * FROM backfill"""
+
+
+@register("init_board_seed", _init_oracle(), survey_ids="G4 J6 J8 F11 U1")
+def q_init_board_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 init seeding + J8 config enrichment + J6 monthly backfill
+    (initialize/init_main.py:8-95) as one deterministic board snapshot."""
+    from tg_reporting_etl_spark.runner.board import (
+        init_date_structure,
+        init_task_list,
+        monthly_dep_backfill,
+    )
+
+    reports = spark.createDataFrame(
+        _INIT_REPORTS, "report_class string, assignee string, freq_type string, level int"
+    )
+    tasks = init_task_list(
+        reports,
+        init_date_structure(spark, _INIT_DATE),
+        {"platform": "ALL", "site_code": "ALL", "game_code": "ALL"},
+    )
+    return tasks.unionByName(monthly_dep_backfill(tasks))
+
+
+# ---------------------------------------------------------------- board scan
+
+# Literal two-board fixture: done rows must drop (T2), the other report
+# class must drop (P7 dispatch), rerun rows union in with provenance
+# (U1), and the priority order (level, gte_time, rerun-last, assignee)
+# is captured as a row_number VALUE so the order-insensitive driver
+# compare still verifies the sort (O1).  has_pending carries the O2
+# LIMIT-1 probe's answer as a literal column.
+_BOARD_ROWS = [
+    # (board, platform, report_class, assignee, freq_type, level, gte, lt, done)
+    ("task", "P1", "trans_summary", "trans_summary_5min", "5min", 100, "2024-01-02 00:00:00", "2024-01-02 00:05:00", 0),
+    ("task", "P1", "trans_summary", "trans_summary_5min", "5min", 100, "2024-01-02 00:05:00", "2024-01-02 00:10:00", 1),
+    ("task", "P1", "trans_summary", "trans_summary_5min", "5min", 100, "2024-01-02 00:10:00", "2024-01-02 00:15:00", 0),
+    ("task", "P1", "trans_summary", "trans_summary_1h", "1H", 200, "2024-01-02 00:00:00", "2024-01-02 01:00:00", 0),
+    ("task", "P1", "trans_summary", "trans_summary_1d", "1D", 300, "2024-01-02 00:00:00", "2024-01-03 00:00:00", 0),
+    ("task", "P1", "player_summary", "player_summary_5min", "5min", 100, "2024-01-02 00:00:00", "2024-01-02 00:05:00", 0),
+    ("rerun", "P1", "trans_summary", "trans_summary_5min", "5min", 100, "2024-01-02 00:00:00", "2024-01-02 00:05:00", 0),
+    ("rerun", "P1", "trans_summary", "trans_summary_1h", "1H", 200, "2024-01-01 23:00:00", "2024-01-02 00:00:00", 0),
+    ("rerun", "P1", "trans_summary", "trans_summary_1h", "1H", 200, "2024-01-01 22:00:00", "2024-01-01 23:00:00", 1),
+    ("rerun", "P1", "player_summary", "player_summary_1d", "1D", 300, "2024-01-02 00:00:00", "2024-01-03 00:00:00", 0),
+]
+
+
+def _board_scan_oracle() -> str:
+    vals = ",\n    ".join(
+        f"('{b}', '{p}', '{rc}', '{a}', '{f}', {lv}, TIMESTAMP '{g}', TIMESTAMP '{l}', {dn})"
+        for b, p, rc, a, f, lv, g, l, dn in _BOARD_ROWS
+    )
+    return f"""WITH rows AS (
+  SELECT * FROM (VALUES
+    {vals}
+  ) AS v(board, platform, report_class, assignee, freq_type, level, gte_time, lt_time, done)),
+pending AS (
+  SELECT platform, report_class, assignee, freq_type, level, gte_time, lt_time,
+         done, CASE WHEN board = 'rerun' THEN 1 ELSE 0 END AS is_rerun
+  FROM rows
+  WHERE done = 0 AND report_class = 'trans_summary')
+SELECT *,
+       CAST(row_number() OVER (ORDER BY level, gte_time, is_rerun, assignee) AS INT) AS priority,
+       (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END FROM pending) AS has_pending
+FROM pending"""
+
+
+@register("board_scan_priority", _board_scan_oracle(), survey_ids="T2 O1 O2 U1 P7")
+def q_board_scan_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 two-board scan with O1 priority order captured as a value and
+    the O2 existence probe as a literal column (ExecUtils.py:11-31)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.runner.board import has_rows, scan_task_board
+
+    frame = spark.createDataFrame(
+        _BOARD_ROWS,
+        "board string, platform string, report_class string, assignee string, "
+        "freq_type string, level int, gte_time string, lt_time string, done int",
+    )
+    frame = frame.withColumn("gte_time", frame.gte_time.cast("timestamp")).withColumn(
+        "lt_time", frame.lt_time.cast("timestamp")
+    )
+    task_board = frame.filter(frame.board == "task").drop("board")
+    rerun_board = frame.filter(frame.board == "rerun").drop("board")
+    scanned = scan_task_board(task_board, rerun_board, "trans_summary")
+    w = W.orderBy("level", "gte_time", "is_rerun", "assignee")
+    return scanned.withColumn("priority", F.row_number().over(w).cast("int")).withColumn(
+        "has_pending", F.lit(1 if has_rows(scanned) else 0)
+    )
