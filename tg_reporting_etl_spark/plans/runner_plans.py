@@ -376,3 +376,186 @@ def q_board_scan_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scanned.withColumn("priority", F.row_number().over(w).cast("int")).withColumn(
         "has_pending", F.lit(1 if has_rows(scanned) else 0)
     )
+
+
+# ---------------------------------------------------------------- rerun journal
+
+# Deterministic journal lifecycle (ScanRerunManually.py:19-25 +
+# GetRelatedTimeSplit.py:87-96): submit R1+R2, consume @N1 (both
+# applied), resubmit R1 (re-activation) + new R3, consume @N2, resubmit
+# R2 and leave it pending.  Final journal: R1/R3 applied @N2, R2
+# pending.  The Spark side drives the REAL parquet journal
+# (submit/consume against a temp table); the oracle replays the state
+# machine generically — a request is applied by the first consume AFTER
+# its last submission, else pending.
+_RJ_REQS = {
+    "R1": ("P1", "S1", "ALL", "trans_summary", "2024-01-02 00:00:00", "2024-01-02 01:00:00", 1, 1, 0, 0),
+    "R2": ("P1", "S1", "ALL", "player_summary", "2024-01-03 00:00:00", "2024-01-04 00:00:00", 0, 0, 1, 0),
+    "R3": ("P2", "TG", "ALL", "trans_summary", "2024-01-05 00:00:00", "2024-01-05 02:00:00", 0, 1, 0, 0),
+}
+_RJ_EVENTS = [  # (seq, kind, payload)
+    (1, "submit", ("R1", "R2")),
+    (2, "consume", "2024-02-01 00:00:00"),
+    (3, "submit", ("R1", "R3")),
+    (4, "consume", "2024-02-02 00:00:00"),
+    (5, "submit", ("R2",)),
+]
+
+
+def _rerun_journal_oracle() -> str:
+    subs = ",\n    ".join(
+        f"({seq}, '{p}', '{s}', '{g}', '{rc}', TIMESTAMP '{gte}', TIMESTAMP '{lt}', {f5}, {f1h}, {f1d}, {f1m})"
+        for seq, kind, payload in _RJ_EVENTS
+        if kind == "submit"
+        for p, s, g, rc, gte, lt, f5, f1h, f1d, f1m in (_RJ_REQS[r] for r in payload)
+    )
+    cons = ",\n    ".join(
+        f"({seq}, TIMESTAMP '{payload}')"
+        for seq, kind, payload in _RJ_EVENTS
+        if kind == "consume"
+    )
+    return f"""WITH subs AS (
+  SELECT * FROM (VALUES
+    {subs}
+  ) AS v(seq, platform, site_code, game_code, report_class, gte_time, lt_time, "5min", "1h", "1d", "1m")),
+cons AS (
+  SELECT * FROM (VALUES
+    {cons}
+  ) AS v(seq, now)),
+last_sub AS (
+  SELECT platform, site_code, game_code, report_class, gte_time, lt_time,
+         "5min", "1h", "1d", "1m", max(seq) AS s
+  FROM subs GROUP BY ALL),
+applied_by AS (
+  SELECT ls.*, (SELECT min(c.seq) FROM cons c WHERE c.seq > ls.s) AS cseq
+  FROM last_sub ls)
+SELECT platform, site_code, game_code, report_class, gte_time, lt_time,
+       "5min", "1h", "1d", "1m",
+       CASE WHEN cseq IS NULL THEN 0 ELSE 1 END AS done,
+       (SELECT c.now FROM cons c WHERE c.seq = cseq) AS apply_time
+FROM applied_by"""
+
+
+@register("rerun_journal_lifecycle", _rerun_journal_oracle(), survey_ids="ST3 T1 U2 P9")
+def q_rerun_journal_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 journal lifecycle against the real parquet journal: pending
+    rows consumed exactly once, applied rows re-activated by resubmit,
+    pending duplicates no-ops (runner/rerun.py)."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.runner.rerun import consume_rerun_requests, submit_rerun_requests
+
+    schema = (
+        "platform string, site_code string, game_code string, report_class string, "
+        "gte_time string, lt_time string, `5min` int, `1h` int, `1d` int, `1m` int"
+    )
+
+    def reqs(names):
+        df = spark.createDataFrame([_RJ_REQS[n] for n in names], schema)
+        return df.withColumn("gte_time", df.gte_time.cast("timestamp")).withColumn(
+            "lt_time", df.lt_time.cast("timestamp")
+        )
+
+    tmp = tempfile.mkdtemp(prefix="rerun_journal_")
+    path = f"{tmp}/journal"
+    try:
+        for _, kind, payload in _RJ_EVENTS:
+            if kind == "submit":
+                submit_rerun_requests(spark, path, reqs(payload))
+            else:
+                consume_rerun_requests(spark, path, payload).count()
+        rows = spark.read.parquet(path).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out_schema = (
+        "platform string, site_code string, game_code string, report_class string, "
+        "gte_time timestamp, lt_time timestamp, `5min` int, `1h` int, `1d` int, `1m` int, "
+        "done int, apply_time timestamp"
+    )
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------- window sink
+
+# Delete-before-insert round-trip (S2/S3/ST6): append two windows plus a
+# second day, dynamic-overwrite window W1 dropping one of its players,
+# re-apply the same overwrite (idempotent), and return the final table.
+# The oracle computes base EXCEPT overwritten-partitions UNION new rows.
+_SINK_BASE = [
+    ("P1", "alice", 20240102, 0, 0, 10.0),
+    ("P1", "bob", 20240102, 0, 0, 20.0),
+    ("P1", "carol", 20240102, 0, 5, 30.0),
+    ("P1", "dave", 20240103, 0, 0, 40.0),
+]
+_SINK_OVERWRITE = [  # replaces partition (20240102, 0, 0): bob gone, alice revised
+    ("P1", "alice", 20240102, 0, 0, 11.0),
+]
+
+
+def _sink_oracle() -> str:
+    base = ",\n    ".join(
+        f"('{p}', '{n}', {d}, {h}, {m}, {a})" for p, n, d, h, m, a in _SINK_BASE
+    )
+    over = ",\n    ".join(
+        f"('{p}', '{n}', {d}, {h}, {m}, {a})" for p, n, d, h, m, a in _SINK_OVERWRITE
+    )
+    return f"""WITH base AS (
+  SELECT * FROM (VALUES
+    {base}
+  ) AS v(platform, player_name, summary_date, hours, mins, amount)),
+over AS (
+  SELECT * FROM (VALUES
+    {over}
+  ) AS v(platform, player_name, summary_date, hours, mins, amount))
+SELECT b.platform, b.player_name, CAST(b.summary_date AS INT) AS summary_date,
+       CAST(b.hours AS INT) AS hours, CAST(b.mins AS INT) AS mins,
+       ROUND(b.amount, 6) + 0.0 AS amount
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM over o
+                  WHERE o.summary_date = b.summary_date
+                    AND o.hours = b.hours AND o.mins = b.mins)
+UNION ALL
+SELECT platform, player_name, CAST(summary_date AS INT), CAST(hours AS INT),
+       CAST(mins AS INT), ROUND(amount, 6) + 0.0
+FROM over"""
+
+
+@register("window_sink_roundtrip", _sink_oracle(), survey_ids="S2 S3 ST6 P5")
+def q_window_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/ST6 delete-before-insert round-trip on a real partitioned
+    parquet table: only the overwritten window's partition is replaced,
+    untouched windows and days survive, re-applying is a no-op
+    (sources/writers.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.sources.writers import (
+        overwrite_window_partitions,
+        write_append,
+    )
+
+    schema = (
+        "platform string, player_name string, summary_date int, hours int, "
+        "mins int, amount double"
+    )
+    parts = ["summary_date", "hours", "mins"]
+    tmp = tempfile.mkdtemp(prefix="window_sink_")
+    path = f"{tmp}/table"
+    try:
+        write_append(spark.createDataFrame(_SINK_BASE, schema), path, parts)
+        over = spark.createDataFrame(_SINK_OVERWRITE, schema)
+        overwrite_window_partitions(over, path, parts)
+        overwrite_window_partitions(over, path, parts)  # idempotent re-run
+        rows = spark.read.parquet(path).select(
+            "platform", "player_name",
+            F.col("summary_date").cast("int").alias("summary_date"),
+            F.col("hours").cast("int").alias("hours"),
+            F.col("mins").cast("int").alias("mins"),
+            (F.round("amount", 6) + 0.0).alias("amount"),
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
