@@ -145,6 +145,29 @@ def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# Uncapped all-pairs oracle: every pair with exact full-set Jaccard >= tau.
+# This is the ground truth the LOSSLESS prefix-filter path must equal —
+# unlike the df-capped query above, whose oracle mirrors the cap.
+_NGRAM_EXACT_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}
+SELECT doc_a, doc_b, jaccard FROM jacc"""
+
+
+@register(
+    "doc_ngram_jaccard_exact",
+    _NGRAM_EXACT_ORACLE,
+    survey_ids="LLM: n-gram Jaccard near-dup (lossless prefix-filter scale path)",
+)
+def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via AllPairs/PPJoin prefix filtering
+    (functions/dedup.py:ngram_jaccard_dedup) — candidates are pruned
+    losslessly by rarity-ordered prefixes, so the result equals the
+    O(n²) all-pairs scan the oracle runs."""
+    pairs = dd.ngram_jaccard_dedup(
+        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _minhash_oracle() -> str:
     r = N_HASHES // BANDS
     mins = ",\n         ".join(

@@ -46,6 +46,10 @@ def get_spark(app_name: str = "tg_reporting_etl_spark", cpus: int | None = None)
         # testdata parquet stores TIMESTAMP(NANOS) which Spark rejects;
         # read as long and convert in sources.readers.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are tz-naive; infer them as TIMESTAMP (LTZ,
+        # pinned UTC above) rather than TIMESTAMP_NTZ — wall-clock values
+        # are identical under UTC and streaming watermarks require LTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

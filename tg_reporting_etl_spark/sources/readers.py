@@ -47,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime-settable; needed even when the caller's session (e.g. the
     # driver's) was not built by session.get_spark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Micros-flavored testdata (tz-naive) must surface as TIMESTAMP (LTZ,
+    # session tz UTC), not TIMESTAMP_NTZ: wall-clock identical, and the
+    # streaming watermark path requires LTZ event time.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
