@@ -41,17 +41,93 @@ def test_minhash_candidates_superset_of_high_jaccard(docs):
 
 def test_prefix_filter_is_lossless(docs):
     """Prefix-filtered ngram dedup == brute-force all-pairs Jaccard —
-    the AllPairs/PPJoin guarantee, end to end."""
+    the AllPairs/PPJoin guarantee, end to end (gate bypassed so the
+    prefix join itself is what's under test)."""
     sh = dd.char_shingles(docs)
     brute = {
         (r.doc_a, r.doc_b): round(r.jaccard, 6) for r in dd.jaccard_pairs(sh, 0.8).collect()
     }
+    sink = {}
     fast = {
         (r.doc_a, r.doc_b): round(r.jaccard, 6)
-        for r in dd.ngram_jaccard_dedup(docs, 0.8).collect()
+        for r in dd.ngram_jaccard_dedup(docs, 0.8, on_blowup="force", path_sink=sink).collect()
     }
+    assert sink["path"] == "prefix"
     assert brute, "expected at least one >=0.8 near-dup pair in testdata"
     assert fast == brute
+
+
+def test_ngram_gate_allpairs_path_is_exact(spark):
+    """On a low-entropy corpus (tiny vocabulary, near-identical docs)
+    the prefix join degenerates — est = sum C(df_p, 2) exceeds
+    n·(n-1)/2 — and the gate reroutes to brute-force candidates.
+    Result must STILL equal ground truth."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    suffixes = ["alpha", "bravo", "charlie", "delta"]
+    rows = [(i, base * 2 + suffixes[i % 4]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dd.char_shingles(corpus)
+    brute = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6) for r in dd.jaccard_pairs(sh, 0.8).collect()
+    }
+    sink = {}
+    out = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in dd.ngram_jaccard_dedup(
+            corpus, 0.8, candidate_budget_per_doc=0, budget_floor=10**6, path_sink=sink
+        ).collect()
+    }
+    assert sink["path"] == "allpairs", sink
+    assert brute, "constructed corpus must contain >=0.8 pairs"
+    assert out == brute
+
+
+def test_ngram_gate_lsh_fallback_reports_only_exact_pairs(docs):
+    """Gate forced into the LSH fallback (budget floor 0): every
+    reported pair must carry the exact full-set Jaccard (verify is
+    exact even when candidate recall < 1), and recall on the clearly-
+    duplicated test corpus must stay high."""
+    sh = dd.char_shingles(docs)
+    brute = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6) for r in dd.jaccard_pairs(sh, 0.8).collect()
+    }
+    sink = {}
+    out = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in dd.ngram_jaccard_dedup(
+            docs, 0.8, candidate_budget_per_doc=0, budget_floor=0, path_sink=sink
+        ).collect()
+    }
+    assert sink["path"] == "lsh", sink
+    assert set(out) <= set(brute)  # no false positives, exact values
+    assert all(out[p] == brute[p] for p in out)
+    assert len(out) >= 0.8 * len(brute)  # banding recall floor
+
+
+def test_ngram_gate_error_mode_names_capped_alternative(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ngram_jaccard_dedup_capped"):
+        dd.ngram_jaccard_dedup(
+            docs, 0.8, on_blowup="error", candidate_budget_per_doc=0, budget_floor=0
+        )
+
+
+def test_candidate_path_gate_boundaries():
+    """Pure-function gate: straddle each decision boundary."""
+    # within budget and below brute-force count -> prefix
+    assert dd._candidate_path(est=100, n_docs=1000, budget=1000) == "prefix"
+    # est explodes past budget, brute force affordable -> allpairs
+    assert dd._candidate_path(est=10**9, n_docs=1000, budget=10**6) == "allpairs"
+    # est explodes, brute force too big -> lsh
+    assert dd._candidate_path(est=10**12, n_docs=10**6, budget=10**6) == "lsh"
+    # est within budget but above npairs (degenerate tiny corpus) -> allpairs
+    assert dd._candidate_path(est=50, n_docs=10, budget=1000) == "allpairs"
+    # big corpus, est within scale-linear budget -> prefix even though
+    # npairs >> budget (the happy natural-text path)
+    assert dd._candidate_path(est=10**6, n_docs=10**6, budget=64 * 10**6) == "prefix"
+    # exact boundary: est == budget == npairs stays prefix
+    assert dd._candidate_path(est=45, n_docs=10, budget=45) == "prefix"
 
 
 def test_simhash_banding_is_lossless(docs, spark):

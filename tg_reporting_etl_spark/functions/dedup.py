@@ -296,19 +296,15 @@ def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> Data
     return _jaccard_on_hashed(hash_shingles(shingles), pairs, tau)
 
 
-def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
-    """LOSSLESS candidate pairs for Jaccard >= tau via prefix filtering
-    (Bayardo et al. AllPairs / Xiao et al. PPJoin).
+def _prefix_frame(hashed: DataFrame, tau: float) -> DataFrame:
+    """Per-doc rarity-ordered prefix elements: (doc_id, h).
 
     Under any global total order on shingles, J(A,B) >= tau forces
     |A∩B| >= ceil(tau·|A|), so the first ``|A| - ceil(tau·|A|) + 1``
     elements of A must contain a common element (likewise for B): pairs
     whose prefixes are disjoint cannot qualify.  Ordering the universe
     by ASCENDING document frequency puts the RAREST shingles in every
-    prefix, so the candidate join runs on low-df keys — sum(df²) over
-    prefix elements is orders of magnitude below the raw shingle join,
-    with zero lost pairs (unlike a df-cap, which silently drops pairs
-    whose overlap happens to sit in frequent shingles).
+    prefix, so the candidate join runs on low-df keys.
 
     The prefix length uses exact integer arithmetic (tau as a rational
     p/q: ceil(tau·n) = (p·n + q - 1) div q) — float ceil(0.8·n) is off
@@ -322,7 +318,7 @@ def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
 
     dfc = hashed.groupBy("h").agg(F.count("*").alias("_df"))
     by_rarity = hashed.join(dfc, "h").select("doc_id", F.struct("_df", "h").alias("_o"))
-    prefixes = (
+    return (
         by_rarity.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("_o")).alias("_s"), F.count("*").alias("_n"))
         .select(
@@ -338,7 +334,47 @@ def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
             ).alias("h"),
         )
     )
-    return candidate_pairs(prefixes, key="h")
+
+
+def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
+    """LOSSLESS candidate pairs for Jaccard >= tau via prefix filtering
+    (Bayardo et al. AllPairs / Xiao et al. PPJoin).
+
+    See :func:`_prefix_frame` for the pruning argument — sum(df²) over
+    prefix elements is orders of magnitude below the raw shingle join
+    on natural text, with zero lost pairs (unlike a df-cap, which
+    silently drops pairs whose overlap happens to sit in frequent
+    shingles).
+    """
+    return candidate_pairs(_prefix_frame(hashed, tau), key="h")
+
+
+#: self-pricing gate defaults for :func:`ngram_jaccard_dedup` — the
+#: candidate join may produce at most ``max(n_docs * PER_DOC, FLOOR)``
+#: rows before the operator reroutes.  64 candidates/doc is the classic
+#: web-dedup working assumption (scale-linear); the 1M floor keeps tiny
+#: corpora from tripping the gate when even brute force is trivial.
+_CAND_BUDGET_PER_DOC = 64
+_CAND_BUDGET_FLOOR = 1 << 20
+
+
+def _candidate_path(est: int, n_docs: int, budget: int) -> str:
+    """Pure gate decision: 'prefix' | 'allpairs' | 'lsh'.
+
+    ``est`` is the EXACT row count the prefix candidate join would
+    produce (sum over prefix keys of C(df_p, 2)); ``allpairs`` is the
+    n·(n-1)/2 brute-force candidate set (still exact verify, cheaper
+    than a degenerate prefix join); 'lsh' is the bounded-candidate
+    fallback for corpora too big to brute-force.
+    """
+    npairs = n_docs * (n_docs - 1) // 2
+    if est <= budget and est <= npairs:
+        return "prefix"
+    if npairs <= budget:
+        return "allpairs"
+    if est <= budget:
+        return "prefix"
+    return "lsh"
 
 
 def ngram_jaccard_dedup(
@@ -346,26 +382,93 @@ def ngram_jaccard_dedup(
     tau: float,
     k: int = 5,
     shingles: DataFrame | None = None,
+    on_blowup: str = "lsh",
+    candidate_budget_per_doc: int = _CAND_BUDGET_PER_DOC,
+    budget_floor: int = _CAND_BUDGET_FLOOR,
+    path_sink: dict | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup: every pair with J >= tau.
+    """n-gram Jaccard near-dup with a SELF-PRICING candidate gate.
 
-    Candidate generation is the lossless prefix filter
-    (:func:`prefix_filter_candidates`), so the result equals the O(n²)
-    all-pairs scan — no df-cap approximation.  This is the right shape
-    for natural-text corpora, where rarity ordering makes prefixes
-    near-unique; on a low-entropy corpus (tiny vocabulary, e.g. the
-    synthetic test documents) no shingle is rare and the candidate set
-    degrades toward n² — use :func:`ngram_jaccard_dedup_capped` there
-    and accept its documented approximation.  Pass a (persisted)
+    Candidate generation defaults to the lossless prefix filter
+    (:func:`prefix_filter_candidates`), which on natural-text corpora
+    equals the O(n²) all-pairs scan at a fraction of the cost.  On a
+    low-entropy corpus (tiny vocabulary — templated/boilerplate-heavy
+    web data, or the synthetic test documents) no shingle is rare and
+    the prefix join degrades toward n²; rather than silently running
+    that regime, the operator PRICES the join first: one aggregate over
+    the prefix df distribution yields the EXACT number of rows the
+    candidate join would produce (sum of C(df_p, 2)).  Against a
+    scale-linear budget (``max(n_docs · candidate_budget_per_doc,
+    budget_floor)``) it then picks, via :func:`_candidate_path`:
+
+    - ``prefix``   — within budget: the lossless scale path (result ==
+      brute force, guaranteed).
+    - ``allpairs`` — prefix join degenerate but n·(n-1)/2 itself fits
+      the budget: brute-force candidates + exact verify.  Still EXACT —
+      a degenerate prefix join on a small corpus is strictly worse than
+      honest brute force.
+    - ``lsh``      — corpus both low-entropy AND too big to brute-force:
+      behavior set by ``on_blowup``.  ``"lsh"`` (default) reroutes to
+      MinHash-LSH candidates + exact full-set Jaccard verify — every
+      REPORTED pair is exact, but recall dips below 1 for pairs near
+      tau (16 hashes / 4 bands: P(candidate) = 1-(1-J^4)^4, ≈0.87 at
+      J=0.8, →1 as J→1; measured 255/256 on the sf0.1 corpus).
+      ``"error"`` raises instead, naming
+      :func:`ngram_jaccard_dedup_capped` as the explicit opt-in.
+      ``"force"`` bypasses the gate entirely and always runs the
+      lossless prefix join (pre-gate behavior, any cost).
+
+    The pricing pass costs one linear prefix build (paid anyway on the
+    happy path — it is persisted and reused by the candidate join) plus
+    two aggregates over that persisted frame; the quadratic join itself
+    is never started in a blow-up regime.  Pass a (persisted)
     ``shingles`` frame to share the explode+distinct shuffle with other
-    dedup queries.
+    dedup queries; ``path_sink`` (a dict) receives the chosen path and
+    pricing stats for tests/observability.
     """
     sh = char_shingles(docs, k) if shingles is None else shingles
     # hash_shingles over the shared persisted shingle table is a pure
     # projection — each consumer below re-reads the cached rows, so no
     # extra persist tier is needed here
     hashed = hash_shingles(sh)
-    return _jaccard_on_hashed(hashed, prefix_filter_candidates(hashed, tau), tau)
+
+    prefixes = tracked_persist(_prefix_frame(hashed, tau))
+    est_row = (
+        prefixes.groupBy("h")
+        .agg(F.count("*").alias("dfp"))
+        .agg(F.sum(F.expr("dfp * (dfp - 1) div 2")).alias("est"))
+        .first()
+    )
+    est = int(est_row.est or 0)
+    ids = prefixes.select("doc_id").distinct()
+    n_docs = ids.count()
+    budget = max(n_docs * candidate_budget_per_doc, budget_floor)
+    path = _candidate_path(est, n_docs, budget)
+    if on_blowup == "force":
+        path = "prefix"  # lossless prefix join at any cost, gate bypassed
+    if path_sink is not None:
+        path_sink.update(path=path, est=est, n_docs=n_docs, budget=budget)
+
+    if path == "prefix":
+        pairs = candidate_pairs(prefixes, key="h")
+    elif path == "allpairs":
+        a, b = ids.alias("a"), ids.alias("b")
+        pairs = a.join(
+            F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id")
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    else:
+        if on_blowup == "error":
+            prefixes.unpersist()
+            raise ValueError(
+                f"ngram_jaccard_dedup: prefix-filter candidate join would produce "
+                f"~{est:,} rows for {n_docs:,} docs (budget {budget:,}) — the corpus "
+                f"is in the low-entropy quadratic regime and too large to brute-force. "
+                f"Use ngram_jaccard_dedup_capped (df-capped approximation) or pass "
+                f"on_blowup='lsh' for LSH candidates + exact verify."
+            )
+        prefixes.unpersist()  # pricing-only; free the blocks eagerly
+        pairs = minhash_candidates(sh)
+    return _jaccard_on_hashed(hashed, pairs, tau)
 
 
 def ngram_jaccard_dedup_capped(

@@ -100,14 +100,14 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
-# Candidate policy note: the engine also ships a LOSSLESS prefix-filter
-# variant (dedup.ngram_jaccard_dedup, AllPairs/PPJoin — the scale path
-# for natural text, proven equal to brute force in
-# tests/test_llm_layer.py::test_prefix_filter_is_lossless).  The
-# catalog query uses the df-capped policy because the synthetic corpus
-# has a ~30-word vocabulary: NO shingle is rare, prefixes stop pruning,
-# and the lossless candidate set degrades toward n².  The oracle
-# mirrors the cap exactly, so the check verifies the capped semantics.
+# Candidate policy note: the engine also ships a gated exact variant
+# (dedup.ngram_jaccard_dedup, AllPairs/PPJoin prefix filter — the scale
+# path for natural text, proven equal to brute force in
+# tests/test_llm_layer.py::test_prefix_filter_is_lossless) which
+# self-prices its candidate join and reroutes on low-entropy corpora.
+# This catalog query keeps the df-capped policy as the explicit
+# always-approximate throughput option; the oracle mirrors the cap
+# exactly, so the check verifies the capped semantics.
 _NGRAM_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()},
 disc AS (
   SELECT s.doc_id, s.shingle
@@ -146,8 +146,9 @@ def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Uncapped all-pairs oracle: every pair with exact full-set Jaccard >= tau.
-# This is the ground truth the LOSSLESS prefix-filter path must equal —
-# unlike the df-capped query above, whose oracle mirrors the cap.
+# This is the ground truth the gated exact path must equal on any corpus
+# where the gate stays in an exact regime (prefix or allpairs) — unlike
+# the df-capped query above, whose oracle mirrors the cap.
 _NGRAM_EXACT_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}
 SELECT doc_a, doc_b, jaccard FROM jacc"""
 
@@ -155,13 +156,17 @@ SELECT doc_a, doc_b, jaccard FROM jacc"""
 @register(
     "doc_ngram_jaccard_exact",
     _NGRAM_EXACT_ORACLE,
-    survey_ids="LLM: n-gram Jaccard near-dup (lossless prefix-filter scale path)",
+    survey_ids="LLM: n-gram Jaccard near-dup (gated exact scale path)",
 )
 def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs via AllPairs/PPJoin prefix filtering
-    (functions/dedup.py:ngram_jaccard_dedup) — candidates are pruned
-    losslessly by rarity-ordered prefixes, so the result equals the
-    O(n²) all-pairs scan the oracle runs."""
+    """Exact near-dup pairs via the SELF-PRICING gated operator
+    (functions/dedup.py:ngram_jaccard_dedup).  On natural text the
+    lossless AllPairs/PPJoin prefix filter runs; on this low-entropy
+    synthetic corpus the gate prices the degenerate prefix join and
+    reroutes — at oracle scale (sf0.01, n=500) to brute-force
+    candidates (still EXACT, equals the O(n²) oracle); at bench scale
+    (sf0.1, n=5000, where the ungated join cost 30 s) to MinHash-LSH
+    candidates + exact verify (measured 255/256 recall)."""
     pairs = dd.ngram_jaccard_dedup(
         _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
     )
