@@ -7,6 +7,12 @@ regression from scheduler/GC noise.  Min-of-N is the standard noise
 floor estimator for wall-clock microbenchmarks (the fastest run is the
 one least disturbed by external variance).
 
+Forensics: process-level stderr (fd 2, inherited by the JVM) is teed
+into a file for the whole run; any exception headers seen there (Java
+`foo.BarException: ...` / `Exception in thread` / Python `Traceback`)
+are surfaced in the JSON as ``stderr_exceptions`` — a 4 KB tail of raw
+stderr can open mid-stack-trace and hide the exception class entirely.
+
 Usage: python bench.py
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all),
@@ -17,14 +23,52 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Exception "headline" lines: Python traceback openers, JVM uncaught-
+# thread banners, and Java/Scala `qualified.ClassNameException: msg`
+# (also matches bare `ClassNameError`).  Frame lines ("  at com.foo…",
+# "  File \"…\"") deliberately do not match.
+_EXC_RE = re.compile(
+    r"^(Traceback \(most recent call last\)"
+    r"|Exception in thread "
+    r"|[A-Za-z_][\w.$]*(?:Exception|Error)\b[:)]?)"
+)
+
+
+def _scan_exceptions(path: str, limit: int = 5) -> list[str]:
+    """First line of each distinct exception block seen in the file."""
+    found: list[str] = []
+    try:
+        with open(path, "r", errors="replace") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if _EXC_RE.match(line) and line not in found:
+                    found.append(line[:300])
+                    if len(found) >= limit:
+                        break
+    except OSError:
+        pass
+    return found
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Tee OS-level fd 2 into a scratch file BEFORE the JVM starts so its
+    # stderr is captured too, then replay it to the real stderr at exit
+    # (the driver's tail-capture keeps working unchanged).
+    real_err = os.dup(2)
+    errfile = tempfile.NamedTemporaryFile(
+        mode="w+b", prefix="bench_stderr_", suffix=".log", delete=False
+    )
+    os.dup2(errfile.fileno(), 2)
+
     import __spark_entry__ as entry_mod
     from tg_reporting_etl_spark.session import get_spark
 
@@ -53,7 +97,19 @@ def main() -> None:
     # totals stay comparable as lifecycle coverage grows.
     orch = {"rerun_journal_lifecycle", "window_sink_roundtrip", "init_board_seed", "board_scan_priority"}
     orch_total = round(sum(t for n, t in timings.items() if n in orch), 3)
+    # Adversarial-regime queries deliberately drive an operator in its
+    # documented worst case (the exact ngram query runs the self-pricing
+    # gate against a low-entropy corpus) — bucketed apart so
+    # data_path_total stays comparable across rounds.
+    adversarial = {"doc_ngram_jaccard_exact"}
+    adv_total = round(sum(t for n, t in timings.items() if n in adversarial), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    # Flush all JVM/Python stderr so the scan sees the complete stream.
+    sys.stderr.flush()
+    os.fsync(2)
+    exceptions = _scan_exceptions(errfile.name)
+
     print(
         json.dumps(
             {
@@ -61,13 +117,26 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "mode": f"min-of-{repeats}",
-                "data_path_total": round(total - orch_total, 3),
+                "data_path_total": round(total - orch_total - adv_total, 3),
                 "orchestration_total": orch_total,
+                "adversarial_total": adv_total,
+                "stderr_exceptions": exceptions,
                 "queries": timings,
                 "sf": sf,
             }
         )
     )
+    sys.stdout.flush()
+
+    # Replay captured stderr to the original stream for the driver's
+    # tail capture, then clean up the scratch file.
+    os.dup2(real_err, 2)
+    try:
+        with open(errfile.name, "rb") as fh:
+            os.write(2, fh.read())
+        os.unlink(errfile.name)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
