@@ -91,3 +91,35 @@ def test_merge_into_unpartitioned_snapshot(spark, tmp_path):
     grown = spark.read.parquet(path).withColumn("v", F.col("v") + 1)
     merge_into(spark, path, grown, keys=["k"])
     assert _read(spark, path) == {("a", 1): 11, ("b", 1): 21}
+
+
+def test_merge_into_unpartitioned_leaves_no_temp_dir(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame([("a", 1, 10)], SCHEMA)
+    merge_into(spark, path, base, keys=["k"])
+    merge_into(spark, path, spark.createDataFrame([("b", 1, 20)], SCHEMA), keys=["k"])
+    assert not os.path.exists(path + "._merge_tmp")
+    assert _read(spark, path) == {("a", 1): 10, ("b", 1): 20}
+
+
+def test_merge_into_self_heals_crashed_swap(spark, tmp_path):
+    """A crash between the swap's delete and rename leaves the complete
+    merged table durable in the temp dir; the next merge must rename it
+    back into place BEFORE reading, so kept rows survive."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], SCHEMA)
+    merge_into(spark, path, base, keys=["k"])
+
+    # simulate the crash window: merged output durable in tmp, target gone
+    shutil.move(path, path + "._merge_tmp")
+    assert not os.path.exists(path)
+
+    batch = spark.createDataFrame([("a", 1, 99)], SCHEMA)
+    merge_into(spark, path, batch, keys=["k"])
+    # without the heal, bootstrap-overwrite would have dropped row b
+    assert _read(spark, path) == {("a", 1): 99, ("b", 1): 20}

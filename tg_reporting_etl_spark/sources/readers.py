@@ -49,8 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Micros-flavored testdata (tz-naive) must surface as TIMESTAMP (LTZ,
     # session tz UTC), not TIMESTAMP_NTZ: wall-clock identical, and the
-    # streaming watermark path requires LTZ event time.
+    # streaming watermark path requires LTZ event time.  The session tz
+    # pin is what makes "wall-clock identical" true for vanilla caller
+    # sessions too — on a non-UTC host, date/hour/minute derivations
+    # from LTZ values would otherwise shift relative to NTZ behavior.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -44,6 +44,29 @@ def overwrite_window_partitions(df: DataFrame, path: str, partition_cols: list[s
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the memory-and-disk blocks behind ``df.localCheckpoint()``.
+
+    ``Dataset.unpersist`` only covers CacheManager-registered persists,
+    not the RDD a local checkpoint pinned — without this, a long-lived
+    driver (streaming foreachBatch runs a merge every micro-batch)
+    relies on py4j GC + the async ContextCleaner to drop blocks, which
+    can let executor storage accumulate.  Best-effort: on any internal-
+    API mismatch the async cleaner remains the fallback.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _fs_path(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def merge_into(
     spark,
     target_path: str,
@@ -61,24 +84,44 @@ def merge_into(
     - target rows with no batch match are KEPT untouched;
     - batch rows with no target match are INSERTED.
 
-    Parquet backend: when ``partition_cols`` is given, only the
-    partitions the batch touches are read, merged (anti-join on keys +
-    union) and rewritten via dynamic partition overwrite — cost scales
-    with the touched partitions, never the table.  The merged plan
-    reads the live target files, so its lineage is truncated with an
-    eager ``localCheckpoint`` before the overwrite: the touched
-    partitions are materialized once to executor-local storage
-    (memory-and-disk blocks), then the target is overwritten from those
-    blocks.  One distributed write to the table filesystem per merge —
-    not the two a staging-directory round-trip would pay.  The
-    trade-off vs a reliable checkpoint is executor-loss sensitivity
-    mid-merge, acceptable because the write is idempotent (re-running
-    the merge yields the same table).  With a MERGE-capable format
-    (Delta/Iceberg) installed, the same signature maps 1:1 onto the
-    native MERGE; this container has none, so the parquet path is the
-    only backend.
+    Parquet backend, two write strategies:
+
+    PARTITIONED (``partition_cols`` given): only the partitions the
+    batch touches are read, merged (anti-join on keys + union) and
+    rewritten via dynamic partition overwrite — cost scales with the
+    touched partitions, never the table.  The merged plan reads the
+    live target files, so its lineage is truncated with an eager
+    ``localCheckpoint`` before the overwrite (the write must not read
+    what it is deleting); the checkpoint blocks are released
+    deterministically after the write.  Idempotency caveat: the
+    overwrite deletes touched partitions before rewriting them from
+    executor-local blocks, so a mid-write failure can leave a partition
+    partial — "re-running the merge heals it" holds only while the
+    SOURCE rows for the batch are still available; with a MERGE-capable
+    format (Delta/Iceberg) the swap would be a metadata commit instead.
+
+    UNPARTITIONED (rerun journal / alert state — small control tables):
+    the merged rows are written to a durable sibling temp dir, then
+    swapped in with two filesystem metadata ops (delete + rename).  The
+    target is never the write destination, so a mid-write failure
+    leaves it untouched; a crash inside the swap window leaves the
+    complete merged table durable in the temp dir, and the next merge
+    self-heals by renaming it into place before reading.  No
+    checkpoint, one distributed write, no executor-storage footprint.
     """
     from pyspark.sql import functions as F
+
+    tmp_path = target_path.rstrip("/") + "._merge_tmp"
+    if not partition_cols:
+        # self-heal a crash inside a previous swap window: target gone
+        # but the fully-merged temp dir survived
+        try:
+            fs, jtarget = _fs_path(spark, target_path)
+            _, jtmp = _fs_path(spark, tmp_path)
+            if not fs.exists(jtarget) and fs.exists(jtmp):
+                fs.rename(jtmp, jtarget)
+        except Exception:
+            pass
 
     try:
         target = spark.read.parquet(target_path)
@@ -98,18 +141,31 @@ def merge_into(
     kept = target.join(batch.select(*keys).distinct(), keys, "left_anti")
     merged = kept.select(*batch.columns).unionByName(batch)
 
+    if not partition_cols:
+        # temp-dir + rename swap: merged reads the live target, writes
+        # elsewhere — no lineage hazard, no checkpoint
+        merged.write.mode("overwrite").parquet(tmp_path)
+        fs, jtarget = _fs_path(spark, target_path)
+        _, jtmp = _fs_path(spark, tmp_path)
+        fs.delete(jtarget, True)
+        fs.rename(jtmp, jtarget)
+        return
+
     # Eagerly materialize the merged rows off the live files so the
     # overwrite below doesn't read what it is deleting.
     merged = merged.localCheckpoint(eager=True)
-    writer = merged.write.mode("overwrite")
-    if partition_cols:
-        # dynamic mode forced per-write: only the partitions present
-        # in `merged` (== the touched set) are replaced.  merge_into
-        # is a library entry point also called from streaming
-        # foreachBatch and rerun/state code, where the session may be
-        # vanilla — relying on the session conf would turn this write
-        # into a full-table wipe under Spark's default STATIC mode.
-        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
-            *partition_cols
-        )
-    writer.parquet(target_path)
+    # dynamic mode forced per-write: only the partitions present in
+    # `merged` (== the touched set) are replaced.  merge_into is a
+    # library entry point also called from streaming foreachBatch and
+    # rerun/state code, where the session may be vanilla — relying on
+    # the session conf would turn this write into a full-table wipe
+    # under Spark's default STATIC mode.
+    writer = (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+    )
+    try:
+        writer.parquet(target_path)
+    finally:
+        _release_local_checkpoint(merged)
