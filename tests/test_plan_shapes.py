@@ -79,3 +79,80 @@ def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
 
     df = brute_force_topk(load_table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5)
     assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastHashJoin" in _plan(df)
+
+
+# ------------------------------------------------------------------ sweep
+#
+# Full-catalog plan-shape regression sweep: every catalog query's static
+# physical plan is audited against the properties that make it scale.
+# Oracle rows prove results; these prove the PLAN didn't silently
+# degrade (a dim join falling back to sort-merge, a filter that stops
+# reaching the scan, an accidental cartesian).  Baselines were read off
+# tools/explain_audit.py at the default test SF and are FLOORS/CEILINGS,
+# not exact counts: bhj_min = broadcast joins that must survive,
+# smj_max = sort-merge joins allowed (self-joins of two large sides,
+# where SMJ is the correct 100 TB shape), pushdown_min = nonempty
+# PushedFilters the parquet scan must keep.  BroadcastNestedLoopJoin is
+# allowed only where a deliberately-broadcast brute-force/range join
+# exists (ANN baseline, IVF centroid assignment, dedup all-pairs gate).
+
+import re as _re
+
+import __spark_entry__ as _entry
+
+_CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
+    "player_ranking_1d_leaderboard": {"bhj_min": 6, "smj_max": 0, "pushdown_min": 2},
+    "doc_ngram_jaccard_dups": {"bhj_min": 12, "smj_max": 0, "pushdown_min": 1},
+    "doc_ngram_jaccard_exact": {"bhj_min": 13, "smj_max": 0, "pushdown_min": 1},
+    "doc_minhash_lsh_dups": {"bhj_min": 7, "smj_max": 2, "pushdown_min": 1},
+    "doc_simhash_dups": {"bhj_min": 2, "smj_max": 0},
+    "embedding_topk": {"smj_max": 0, "pushdown_min": 2},
+    "ann_sign_lsh_topk": {"bhj_min": 6, "smj_max": 0, "pushdown_min": 10},
+    "ann_ivf_topk": {"smj_max": 2, "pushdown_min": 4},
+    "player_summary_5min": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 1},
+    "player_summary_1h": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 1},
+    "player_summary_1d": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 1},
+    "player_summary_1m": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 1},
+    "new_register_summary_1d": {"bhj_min": 4, "smj_max": 0, "pushdown_min": 1},
+    "risk_ctrl_player_1d": {"bhj_min": 9, "smj_max": 0, "pushdown_min": 2},
+    "risk_ctrl_game_1d": {"bhj_min": 5, "smj_max": 0, "pushdown_min": 1},
+    "tiered_rollup_grouping_sets": {"smj_max": 0, "pushdown_min": 1},
+    "risk_ctrl_rtp_1d": {"bhj_min": 15, "smj_max": 2, "pushdown_min": 2},
+    "dependency_gate": {"smj_max": 2},
+    "init_board_seed": {"bhj_min": 6, "smj_max": 2},
+    "trans_summary_5min": {"smj_max": 0, "pushdown_min": 1},
+    "trans_summary_1h": {"smj_max": 0, "pushdown_min": 1},
+    "trans_summary_1d": {"smj_max": 0, "pushdown_min": 1},
+    "trans_summary_1m": {"smj_max": 0, "pushdown_min": 1},
+}
+
+#: queries whose plan legitimately contains a broadcast nested-loop join
+_BNLJ_ALLOWED = {"embedding_topk", "ann_ivf_topk", "doc_ngram_jaccard_exact"}
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", list(_entry.queries().keys()))
+def test_catalog_plan_shapes(spark, sf_dir, name):
+    df = _entry.queries()[name](spark, sf_dir)
+    plan = _plan(df)
+
+    # universal: no unconditional cartesian product, ever
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
+
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        return  # count baselines are calibrated at the default test SF
+
+    exp = _CATALOG_PLAN_EXPECT.get(name, {})
+    bhj = plan.count("BroadcastHashJoin")
+    smj = plan.count("SortMergeJoin")
+    pushed = [
+        p for p in _re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()
+    ]
+    assert bhj >= exp.get("bhj_min", 0), f"{name}: broadcast joins dropped to {bhj}"
+    assert smj <= exp.get("smj_max", 0), f"{name}: sort-merge joins grew to {smj}"
+    assert len(pushed) >= exp.get("pushdown_min", 0), (
+        f"{name}: pushed-filter scans dropped to {len(pushed)}"
+    )
