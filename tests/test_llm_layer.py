@@ -290,3 +290,49 @@ def test_ann_recall_floors_at_sf01(spark):
 
     for df in (emb, exact):
         df.unpersist()
+
+
+@pytest.mark.parametrize("corpus_kind", ["low_entropy", "high_entropy", "boundary"])
+def test_dense_and_array_verify_are_equivalent(spark, corpus_kind):
+    """The adaptive verify representation (dense bitmask vs array
+    intersect) must be a pure implementation detail: forcing either
+    path on corpora either side of (and near) the
+    ``v_est·1.2 <= min(64·tot/n, 2^16)`` gate yields identical pairs
+    with identical exact Jaccard values.  An adaptive-representation
+    bug would otherwise be silent — the gate picks ONE path per corpus,
+    so no single-corpus test covers both."""
+    import hashlib
+
+    def txt(i: int, flavor: str) -> str:
+        if flavor == "low_entropy":  # ~tiny shared vocabulary
+            words = ["aaa", "bbb", "ccc", "ddd"]
+            return " ".join(words[(i + j) % 4] for j in range(30)) + words[i % 2]
+        if flavor == "high_entropy":  # per-doc unique shingles
+            return hashlib.md5(f"hi|{i}".encode()).hexdigest() * 4
+        # boundary: half shared template, half unique tail
+        base = "shared template text " * 3
+        return base + hashlib.md5(f"b|{i}".encode()).hexdigest()
+
+    rows = [(i, txt(i, corpus_kind)) for i in range(24)]
+    # near-dup injections so the >= tau result set is non-trivial
+    rows += [(100 + i, rows[i][1] + "!") for i in range(4)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = dd.char_shingles(corpus)
+    hashed = dd.hash_shingles(sh).cache()
+    ids = corpus.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(
+        b, F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    def run(dense):
+        return {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd._jaccard_on_hashed(hashed, pairs, 0.5, dense=dense).collect()
+        }
+
+    dense_out, array_out, auto_out = run(True), run(False), run(None)
+    assert dense_out, f"{corpus_kind}: expected non-trivial >=tau pairs"
+    assert dense_out == array_out
+    assert auto_out == array_out  # the self-gate picks one of the two

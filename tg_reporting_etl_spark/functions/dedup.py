@@ -172,7 +172,9 @@ def shingle_hashes(docs: DataFrame, k: int = 5) -> DataFrame:
 _DENSE_MAX_V = 1 << 16
 
 
-def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
+def _jaccard_on_hashed(
+    hashed: DataFrame, pairs: DataFrame, tau: float, dense: bool | None = None
+) -> DataFrame:
     """Exact full-set Jaccard >= tau for the given candidate pairs only.
 
     Each doc's shingle-hash set is collected ONCE into an array of
@@ -218,8 +220,12 @@ def _jaccard_on_hashed(hashed: DataFrame, pairs: DataFrame, tau: float) -> DataF
     small = tot > 0 and tot * 8 + n_docs * 64 < 64 * 2**20
     _b = F.broadcast if small else (lambda df: df)
 
-    dense = tot > 0 and stats.v_est * 1.2 <= min(64 * tot / n_docs, _DENSE_MAX_V)
-    if dense:
+    # dense=None → self-gate; an explicit bool forces the representation
+    # (tests prove both compute the identical exact Jaccard either side
+    # of the boundary)
+    if dense is None:
+        dense = tot > 0 and stats.v_est * 1.2 <= min(64 * tot / n_docs, _DENSE_MAX_V)
+    if dense and tot > 0:
         return _verify_dense(sets, ex, pairs, tau, _b)
 
     # size-compat prune on a SLIM (doc_id, n) projection BEFORE any
