@@ -266,3 +266,81 @@ def test_streaming_player_summary_matches_batch(spark, sf_dir, tmp_path):
         .first()
     )
     assert tuple(got) == tuple(want)
+
+
+def test_player_stream_late_event_revises_one_upsert_row(spark, sf_dir, tmp_path):
+    """ST2/ST3 at the player grain: an event that is LATE in event time
+    (earlier than data already processed, inside the watermark) must
+    revise exactly ONE (game_code, window) row of the partitioned sink
+    — every other game's row and every other window's row survives
+    byte-identically, and no duplicate row for the revised key appears
+    (upsert, not append)."""
+    import datetime as dt
+
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        PLAYER_5MIN_GRAIN,
+        start_partitioned_sink,
+        streaming_player_summary_5min,
+    )
+
+    ppl = td.player_profit_log(spark, sf_dir).limit(0).withColumn(
+        "round_time", F.col("round_time").cast("timestamp")
+    )
+    schema = ppl.schema
+    sites = td.game_sites(spark, sf_dir)
+    src = str(tmp_path / "late_pg_src")
+    out = str(tmp_path / "late_pg_out")
+    ckpt = str(tmp_path / "late_pg_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def row(game, ts, bet):
+        vals = []
+        for f in schema.fields:
+            if f.name == "game_code":
+                vals.append(game)
+            elif f.name == "round_time":
+                vals.append(dt.datetime.fromisoformat(ts))
+            elif f.name == "bet":
+                vals.append(bet)
+            elif f.name == "is_robot":
+                vals.append(0)
+            elif f.name in ("platform", "site_code", "player_name", "country"):
+                vals.append({"platform": "P1", "site_code": "S1"}.get(f.name, "px"))
+            elif f.dataType.simpleString() in ("double", "float"):
+                vals.append(0.0)
+            elif f.dataType.simpleString() in ("int", "bigint"):
+                vals.append(0)
+            else:
+                vals.append("x")
+        return spark.createDataFrame([tuple(vals)], schema)
+
+    # batch 1: two games in window 10:00, plus G1 again in window 10:10
+    # (advances max event time so batch 2's event is genuinely late)
+    row("G1", "1996-06-14 10:01:00", 10.0).unionAll(
+        row("G2", "1996-06-14 10:02:00", 7.0)
+    ).unionAll(row("G1", "1996-06-14 10:12:00", 3.0)).write.mode("append").parquet(src)
+    agg = streaming_player_summary_5min(
+        spark.readStream.schema(schema).parquet(src), sites
+    )
+    q = start_partitioned_sink(agg, out, ckpt, PLAYER_5MIN_GRAIN)
+    try:
+        q.processAllAvailable()
+        before = {
+            (r.game_code, str(r.start_time)): r.b_amount
+            for r in spark.read.parquet(out).collect()
+        }
+        # batch 2: late event — event time 10:03 < max seen 10:12, inside
+        # the 10-minute watermark, targeting the already-emitted window
+        row("G1", "1996-06-14 10:03:00", 5.0).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = {
+        (r.game_code, str(r.start_time)): r.b_amount
+        for r in spark.read.parquet(out).collect()
+    }
+    w0, w1 = "1996-06-14 10:00:00", "1996-06-14 10:10:00"
+    assert before == {("G1", w0): 10.0, ("G2", w0): 7.0, ("G1", w1): 3.0}
+    # exactly one row revised; same cardinality (upsert, no dup rows)
+    assert after == {("G1", w0): 15.0, ("G2", w0): 7.0, ("G1", w1): 3.0}
