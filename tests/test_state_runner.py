@@ -70,3 +70,61 @@ def test_has_rows_probe(spark):
     df = spark.range(5)
     assert has_rows(df)
     assert not has_rows(df.filter(F.col("id") < 0))
+
+
+def test_rtp_multi_day_backfill_single_merge(spark, tmp_path, monkeypatch):
+    """A contiguous multi-day backfill runs as ONE merge_into call and
+    produces exactly the per-day sequential result — including mixed
+    state: a day with an existing snapshot takes the merge branch
+    (alert fires) while a never-seen day takes first-run init."""
+    from tg_reporting_etl_spark.runner import state as st
+    from tg_reporting_etl_spark.sources import writers
+
+    def hours(day, profit, n=12):
+        rows = [("UFA", "TG", "p1", "01", "THB", day, 1000.0, profit / n) for _ in range(n)]
+        return spark.createDataFrame(rows, KEYS_COLS)
+
+    days = [20230110, 20230111, 20230112]
+    src = hours(days[0], 60_000.0).unionAll(hours(days[1], 60_000.0)).unionAll(
+        hours(days[2], 10.0)
+    )
+
+    # seed day 0 only, so the backfill sees mixed state
+    st.run_rtp_day(spark, src, days[0], dt.datetime(2023, 1, 10, 12, 0), str(tmp_path / "s"))
+
+    calls = []
+    orig = writers.merge_into
+
+    def counting_merge(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(writers, "merge_into", counting_merge)
+    out = st.run_rtp_days(
+        spark, src, days, dt.datetime(2023, 1, 10, 12, 5), str(tmp_path / "s")
+    )
+    assert len(calls) == 1  # O(1) merges for the whole range
+
+    rows = {r.summary_date: r for r in out.collect()}
+    assert set(rows) == set(days)
+    # day 0 had state: merge branch ran throttle/cap, alert fired
+    assert (rows[days[0]].alert_count, rows[days[0]].send_alert) == (1, 1)
+    # day 1 never seen: first-run init (no alert despite risky)
+    assert (rows[days[1]].alert_count, rows[days[1]].send_alert) == (0, 1)
+    assert rows[days[1]].last_alert_time == dt.datetime(1970, 1, 1)
+    # day 2 calm: not risky, no alert machinery
+    assert (rows[days[2]].is_risky, rows[days[2]].send_alert) == (0, 0)
+
+    # equivalence: sequential per-day driver loop on a fresh dir
+    st.run_rtp_day(spark, src, days[0], dt.datetime(2023, 1, 10, 12, 0), str(tmp_path / "q"))
+    seq = {}
+    for dk in days:
+        r = st.run_rtp_day(
+            spark, src, dk, dt.datetime(2023, 1, 10, 12, 5), str(tmp_path / "q")
+        ).filter(F.col("summary_date") == dk).first()
+        seq[dk] = r
+    for dk in days:
+        a, b = rows[dk], seq[dk]
+        assert (a.alert_count, a.send_alert, a.is_risky, a.last_alert_time) == (
+            b.alert_count, b.send_alert, b.is_risky, b.last_alert_time
+        ), dk

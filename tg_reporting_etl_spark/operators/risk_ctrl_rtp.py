@@ -75,32 +75,83 @@ def rtp_batch(player_1h: DataFrame, date_key: int) -> DataFrame:
     return meta.withColumn("is_risky", flag).withColumn("send_alert", flag)
 
 
-def rtp_merge(old_state: DataFrame | None, new_batch: DataFrame, now: dt.datetime) -> DataFrame:
-    """One state transition (risk_ctrl_rtp_1d.py:122-194) with frozen clock."""
+def rtp_batch_days(player_1h: DataFrame, date_keys: list[int]) -> DataFrame:
+    """Multi-day :func:`rtp_batch`: ONE aggregation pass over the whole
+    contiguous backfill range instead of a per-day driver loop — same
+    per-(summary_date, keys) rows, grouped by summary_date too."""
+    cfg = RISK_CTRL_1D["rtp"]
+    meta = (
+        player_1h.filter(F.col("summary_date").isin([int(d) for d in date_keys]))
+        .groupBy("summary_date", *KEYS)
+        .agg(
+            F.count("b_amount").alias("b_count"),
+            F.sum("b_amount").alias("b_cur"),
+            F.sum("profit_amount").alias("p_cur"),
+        )
+        .withColumn("rtp_cur", safe_div(F.col("p_cur"), F.col("b_cur")))
+        .withColumn("summary_date", F.col("summary_date").cast("int"))
+    )
+    risky = (
+        (F.col("p_cur") >= cfg["profit_threshold"])
+        & (F.col("b_count") >= cfg["bet_count_threshold"])
+        & (F.col("rtp_cur") >= cfg["rtp_threshold"])
+    ) | (F.col("p_cur") >= cfg["profit_unconditional"])
+    flag = F.when(risky, 1).otherwise(0)
+    return meta.withColumn("is_risky", flag).withColumn("send_alert", flag)
+
+
+def _rtp_init(new_batch: DataFrame, now_lit, epoch) -> DataFrame:
+    """First-run init: alert state zeroed, throttle/cap SKIPPED (:129-135)."""
+    return (
+        new_batch.withColumn("alert_count", F.lit(0).cast("long"))
+        .withColumn("last_alert_time", epoch)
+        .withColumn("update_time", now_lit)
+        .withColumn("create_time", now_lit)
+        .select(*FINAL_COLUMNS)
+    )
+
+
+def rtp_merge_days(
+    old_state: DataFrame | None,
+    new_batch: DataFrame,
+    now: dt.datetime,
+    state_days: list[int] | None = None,
+) -> DataFrame:
+    """Multi-day state transition: day snapshots are independent (each
+    day's state depends only on that day's batch and its own prior
+    snapshot), so a contiguous backfill merges as ONE plan — days listed
+    in ``state_days`` (snapshot exists, even if empty) run the full
+    merge + throttle/cap; days absent from it run the first-run init
+    branch, which skips throttle/cap (reference quirk, :129-135).
+    ``state_days=None`` preserves :func:`rtp_merge` semantics: all batch
+    days are treated as stateful when ``old_state`` exists.
+    """
     now_lit = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
     epoch = F.lit(_EPOCH).cast("timestamp")
 
-    if old_state is None:
-        # first run: init state, no throttle/cap (:129-135)
-        return (
-            new_batch.withColumn("alert_count", F.lit(0).cast("long"))
-            .withColumn("last_alert_time", epoch)
-            .withColumn("update_time", now_lit)
-            .withColumn("create_time", now_lit)
-            .select(*FINAL_COLUMNS)
-        )
+    if old_state is None and not state_days:
+        return _rtp_init(new_batch, now_lit, epoch)
+
+    if state_days is not None:
+        days = [int(d) for d in state_days]
+        batch_init = new_batch.filter(~F.col("summary_date").isin(days))
+        batch_merge = new_batch.filter(F.col("summary_date").isin(days))
+    else:
+        batch_init, batch_merge = None, new_batch
 
     # old rows updated in place; measures overwritten from the new batch
-    # (NULL where the key vanished — pandas NaN-overwrite semantics)
+    # (NULL where the key vanished — pandas NaN-overwrite semantics).
+    # summary_date joins too: day snapshots never cross-contaminate.
+    jk = ["summary_date", *KEYS]
     updated = (
         old_state.select("summary_date", *KEYS, "alert_count", "last_alert_time", "create_time")
-        .join(new_batch.select(*KEYS, *_OVERWRITE), KEYS, "left")
+        .join(batch_merge.select("summary_date", *KEYS, *_OVERWRITE), jk, "left")
         .withColumn("alert_count", F.when(F.col("is_risky") == 0, F.lit(0)).otherwise(F.col("alert_count")).cast("long"))
         .withColumn("send_alert", F.when(F.col("is_risky") == 0, 0).otherwise(F.col("send_alert")))
         .withColumn("last_alert_time", F.when(F.col("is_risky") == 0, epoch).otherwise(F.col("last_alert_time")))
     )
     fresh = (
-        new_batch.join(old_state.select(*KEYS), KEYS, "left_anti")
+        batch_merge.join(old_state.select("summary_date", *KEYS), jk, "left_anti")
         .withColumn("alert_count", F.lit(0).cast("long"))
         .withColumn("last_alert_time", epoch)
         .withColumn("create_time", now_lit)
@@ -126,7 +177,17 @@ def rtp_merge(old_state: DataFrame | None, new_batch: DataFrame, now: dt.datetim
             F.when(F.col("send_alert") == 1, now_lit).otherwise(F.col("last_alert_time")),
         )
     )
-    return stepped.select(*FINAL_COLUMNS)
+    out = stepped.select(*FINAL_COLUMNS)
+    if batch_init is not None:
+        out = out.unionByName(_rtp_init(batch_init, now_lit, epoch))
+    return out
+
+
+def rtp_merge(old_state: DataFrame | None, new_batch: DataFrame, now: dt.datetime) -> DataFrame:
+    """One single-day state transition (risk_ctrl_rtp_1d.py:122-194)
+    with frozen clock — the ``state_days=None`` case of
+    :func:`rtp_merge_days`."""
+    return rtp_merge_days(old_state, new_batch, now, state_days=None)
 
 
 def run_rtp_scenario(

@@ -285,15 +285,15 @@ class RiskCtrlRtpFamily(ReportFamily):
         return os.path.join(self.out_dir, "risk_ctrl_rtp_1d")
 
     def run_tier(self, spark, tier, gte, lt, platform: str = "ALL", site_code: str = "ALL") -> int:
-        from tg_reporting_etl_spark.runner.state import run_rtp_day
+        from tg_reporting_etl_spark.runner.state import run_rtp_days
 
         now = self.clock() if self.clock else datetime.now()
         p1h = self.player_family.read_tier(spark, "1h")
-        total = 0
-        for dk in _day_keys(str(gte), str(lt)):
-            # rtp_batch prunes p1h to summary_date == dk itself
-            total += run_rtp_day(spark, p1h, dk, now, self.table_path(tier)).count()
-        return total
+        # day snapshots are independent, so the whole contiguous range
+        # merges as ONE aggregate + merge + partitioned write — a month
+        # backfill issues O(1) Spark jobs, not ~30 sequential merges
+        dks = _day_keys(str(gte), str(lt))
+        return run_rtp_days(spark, p1h, dks, now, self.table_path(tier)).count()
 
 
 class LeaderboardFamily(ReportFamily):
