@@ -329,3 +329,170 @@ def test_intraday_incremental_preserves_earlier_windows(spark, sf_dir, tmp_path)
         b = full.read_tier(spark, tier)
         assert a.count() == b.count()
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# ----------------------------------------------------- month boundary
+
+
+@pytest.fixture(scope="module")
+def executed_month(spark, sf_dir, tmp_path_factory):
+    """All seven families driven over windows that SPAN a month
+    boundary, with a mid-month 1M gte so the month normalization
+    (months whose month-END falls in [gte, lt-1day]; gte -> its month
+    start; reference task-producer/utils/TaskUtils.py:72-89) is what
+    produces the executed windows."""
+    out = str(tmp_path_factory.mktemp("month_tables"))
+    # player-side: June/July 1996 both carry profit-log data
+    PM_G, PM_L = "1996-06-01 00:00:00", "1996-08-01 00:00:00"
+    # trans-side: wallet data lives in 2024-01 only; December is empty
+    TM_G, TM_L = "2023-12-01 00:00:00", "2024-02-01 00:00:00"
+    # 1d-only families: a short range straddling the player boundary
+    RD_G, RD_L = "1996-06-28 00:00:00", "1996-07-03 00:00:00"
+
+    rows = [
+        (TM_G, TM_L, "trans_summary", f, s)
+        for f, s in (("5min", "5min"), ("1H", "1h"), ("1D", "1d"))
+    ] + [("2023-12-15 00:00:00", "2024-02-01 00:00:00", "trans_summary", "1M", "1m")]
+    rows += [
+        (PM_G, PM_L, "player_summary", f, s)
+        for f, s in (("5min", "5min"), ("1H", "1h"), ("1D", "1d"))
+    ] + [("1996-06-15 00:00:00", "1996-08-01 00:00:00", "player_summary", "1M", "1m")]
+    rows += [
+        (RD_G, RD_L, "new_register_summary", "1D", "1d"),
+        (RD_G, RD_L, "risk_ctrl_player", "1D", "1d"),
+        (RD_G, RD_L, "risk_ctrl_game", "1D", "1d"),
+        (RD_G, RD_L, "risk_ctrl_rtp", "1D", "1d"),
+        (RD_G, RD_L, "player_ranking", "1D", "1d"),
+    ]
+    meta = spark.createDataFrame(
+        [
+            (g, l, "ALL", "ALL", "ALL", rc_, f"{rc_}_{s}", f, LEVELS[f])
+            for g, l, rc_, f, s in rows
+        ],
+        "gte_time string, lt_time string, platform string, site_code string, game_code string, "
+        "report_class string, assignee string, freq_type string, level int",
+    )
+    meta = meta.withColumn("gte_time", F.col("gte_time").cast("timestamp")).withColumn(
+        "lt_time", F.col("lt_time").cast("timestamp")
+    )
+    board = expand_timeslices(meta).withColumn("done", F.lit(0))
+
+    trans = TransSummaryFamily(td.player_value_log(spark, sf_dir), out)
+    player = PlayerSummaryFamily(
+        td.player_profit_log(spark, sf_dir), td.game_sites(spark, sf_dir), out
+    )
+    families = [
+        trans,
+        player,
+        NewRegisterFamily(player, td.player(spark, sf_dir), out),
+        RiskCtrlPlayerFamily(player, trans, out),
+        RiskCtrlGameFamily(player, out),
+        RiskCtrlRtpFamily(player, out),
+        LeaderboardFamily(td.player(spark, sf_dir), td.player_daily_ranking(spark, sf_dir), out),
+    ]
+    records = execute_board(spark, board, families, NOW)
+    return {"families": families, "records": records, "board": board}
+
+
+def test_month_windows_split_at_boundary(executed_month, spark):
+    """Mid-month 1M bounds normalize to whole calendar-month windows."""
+    import datetime as dt
+
+    b = executed_month["board"]
+    months = {
+        rc_: sorted(
+            (r.gte_time, r.lt_time)
+            for r in b.filter(F.col("freq_type") == "1M").filter(
+                F.col("report_class") == rc_
+            ).collect()
+        )
+        for rc_ in ("trans_summary", "player_summary")
+    }
+    assert months["player_summary"] == [
+        (dt.datetime(1996, 6, 1), dt.datetime(1996, 7, 1)),
+        (dt.datetime(1996, 7, 1), dt.datetime(1996, 8, 1)),
+    ]
+    assert months["trans_summary"] == [
+        (dt.datetime(2023, 12, 1), dt.datetime(2024, 1, 1)),
+        (dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)),
+    ]
+    assert all(r["done"] == 1 for r in executed_month["records"])
+
+
+def _same(got, want, round_doubles: int | None = None):
+    if round_doubles is not None:
+        # double sums accumulate in different orders between the
+        # materialized cascade and the in-memory direct plan
+        def rnd(df):
+            for c, t in df.dtypes:
+                if t == "double":
+                    df = df.withColumn(c, F.round(F.col(c), round_doubles))
+            return df
+
+        got, want = rnd(got), rnd(want)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_month_tier_equals_direct_aggregation(executed_month, spark, sf_dir):
+    """The materialized 1m tier (rolled up through the cascade across
+    the month boundary) equals direct one-shot aggregation from raw for
+    BOTH months — the least-exercised date path in the engine."""
+    from tg_reporting_etl_spark.operators import player_summary as ps
+    from tg_reporting_etl_spark.operators import trans_summary as ts
+
+    fams = {f.report_class: f for f in executed_month["families"]}
+
+    p5 = ps.player_summary_5min(
+        td.player_profit_log(spark, sf_dir),
+        td.game_sites(spark, sf_dir),
+        "1996-06-01 00:00:00",
+        "1996-08-01 00:00:00",
+    )
+    want_p1m = ps.player_summary_1m(ps.player_summary_1d(ps.player_summary_1h(p5)))
+    got_p1m = fams["player_summary"].read_tier(spark, "1m")
+    _same(got_p1m, want_p1m, round_doubles=4)
+    # both months actually materialized
+    assert {
+        r.summary_month for r in got_p1m.select("summary_month").distinct().collect()
+    } == {199606, 199607}
+
+    t5 = ts.trans_summary_5min(
+        td.player_value_log(spark, sf_dir),
+        "2023-12-01 00:00:00",
+        "2024-02-01 00:00:00",
+    )
+    want_t1m = ts.trans_summary_1m(ts.trans_summary_1d(ts.trans_summary_1h(t5)))
+    got_t1m = fams["trans_summary"].read_tier(spark, "1m")
+    _same(got_t1m, want_t1m, round_doubles=4)
+    # December is empty in the wallet log; the 1m tier must agree
+    assert {
+        r.summary_month for r in got_t1m.select("summary_month").distinct().collect()
+    } == {202401}
+
+
+def test_month_boundary_risk_days_equal_direct(executed_month, spark, sf_dir):
+    """risk_ctrl 1d rows on each side of the boundary equal the direct
+    single-day operator (the 8-day lookback reaches back across it)."""
+    from tg_reporting_etl_spark.operators import player_summary as ps
+    from tg_reporting_etl_spark.operators import risk_ctrl as rc
+
+    fams = {f.report_class: f for f in executed_month["families"]}
+    p1h = fams["player_summary"].read_tier(spark, "1h")
+    p1d = fams["player_summary"].read_tier(spark, "1d")
+    t1h = fams["trans_summary"].read_tier(spark, "1h")
+    t1d = fams["trans_summary"].read_tier(spark, "1d")
+
+    for dk, lb in ((19960630, 19960622), (19960701, 19960623), (19960702, 19960624)):
+        _same(
+            fams["risk_ctrl_player"].read_tier(spark, "1d").filter(
+                F.col("summary_date") == dk
+            ),
+            rc.risk_ctrl_player_1d(p1h, p1d, t1h, t1d, dk, lb),
+        )
+        _same(
+            fams["risk_ctrl_game"].read_tier(spark, "1d").filter(
+                F.col("summary_date") == dk
+            ),
+            rc.risk_ctrl_game_1d(p1h, p1d, dk, lb),
+        )
