@@ -123,3 +123,58 @@ def test_merge_into_self_heals_crashed_swap(spark, tmp_path):
     merge_into(spark, path, batch, keys=["k"])
     # without the heal, bootstrap-overwrite would have dropped row b
     assert _read(spark, path) == {("a", 1): 99, ("b", 1): 20}
+
+
+def test_merge_backend_selection_defaults_to_parquet(spark):
+    """No Delta jar in this container: the probe must fail closed and
+    dispatch must land on the parquet backend."""
+    from tg_reporting_etl_spark.sources import writers as w
+
+    assert w._delta_available(spark) is False
+    assert w.selected_merge_backend_name(spark) == "parquet"
+    assert w._select_merge_backend(spark) is w._merge_parquet
+
+
+def test_merge_backend_registry_prefers_available_native(spark, tmp_path, monkeypatch):
+    """A registered backend whose probe passes takes over merge_into;
+    one whose probe fails is skipped.  (This is exactly how the Delta
+    entry activates in an environment that ships the jar.)"""
+    from tg_reporting_etl_spark.sources import writers as w
+
+    calls = []
+
+    def fake_merge(spark_, target, batch, keys, partition_cols=None):
+        calls.append((target, tuple(keys)))
+
+    monkeypatch.setattr(
+        w, "_MERGE_BACKENDS",
+        [("fake-native", lambda s: True, fake_merge), *w._MERGE_BACKENDS],
+    )
+    assert w.selected_merge_backend_name(spark) == "fake-native"
+    base = spark.createDataFrame([("a", 1, 10)], SCHEMA)
+    w.merge_into(spark, str(tmp_path / "t"), base, keys=["k"])
+    assert calls == [(str(tmp_path / "t"), ("k",))]
+
+    # probe failure -> fall through to parquet
+    monkeypatch.setattr(
+        w, "_MERGE_BACKENDS",
+        [("unavailable", lambda s: False, fake_merge),
+         ("parquet", lambda s: True, w._merge_parquet)],
+    )
+    assert w.selected_merge_backend_name(spark) == "parquet"
+    w.merge_into(spark, str(tmp_path / "t2"), base, keys=["k"])
+    assert _read(spark, str(tmp_path / "t2")) == {("a", 1): 10}  # really wrote
+
+
+def test_register_merge_backend_orders_above_parquet(spark):
+    from tg_reporting_etl_spark.sources import writers as w
+
+    before = list(w._MERGE_BACKENDS)
+    try:
+        w.register_merge_backend("iceberg", lambda s: False, lambda *a: None, front=False)
+        names = [n for n, _, _ in w._MERGE_BACKENDS]
+        assert names.index("iceberg") < names.index("parquet")
+        w.register_merge_backend("custom", lambda s: False, lambda *a: None, front=True)
+        assert w._MERGE_BACKENDS[0][0] == "custom"
+    finally:
+        w._MERGE_BACKENDS[:] = before

@@ -74,7 +74,7 @@ def merge_into(
     keys: list[str],
     partition_cols: list[str] | None = None,
 ) -> None:
-    """MERGE-shaped upsert onto a parquet table.
+    """MERGE-shaped upsert onto a table — backend-dispatched.
 
     Semantics (the reference's row-level UPDATE sites — ExecUtils.py:48-54,
     risk_ctrl_rtp_1d.py:122-170 — and Delta's ``MERGE INTO`` with
@@ -84,7 +84,26 @@ def merge_into(
     - target rows with no batch match are KEPT untouched;
     - batch rows with no target match are INSERTED.
 
-    Parquet backend, two write strategies:
+    The concrete write strategy comes from the MERGE BACKEND REGISTRY:
+    the highest-priority backend whose availability probe passes wins.
+    With Delta installed (jar + python package) the same signature maps
+    onto a native ``MERGE INTO`` — a transactional metadata commit with
+    none of the parquet path's swap/rewrite windows; this container has
+    no such jar, so the parquet backend below is what runs everywhere
+    today.  The dispatch itself is unit-tested so richer environments
+    activate automatically.
+    """
+    _select_merge_backend(spark)(spark, target_path, batch, keys, partition_cols)
+
+
+def _merge_parquet(
+    spark,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Parquet merge backend, two write strategies:
 
     PARTITIONED (``partition_cols`` given): only the partitions the
     batch touches are read, merged (anti-join on keys + union) and
@@ -169,3 +188,82 @@ def merge_into(
         writer.parquet(target_path)
     finally:
         _release_local_checkpoint(merged)
+
+
+# ------------------------------------------------- merge backend registry
+#
+# Ordered (priority desc) list of (name, available?, merge_fn).  The
+# first backend whose probe passes handles merge_into; the parquet
+# backend always passes, so dispatch never fails.  register_merge_backend
+# lets deployments plug in Iceberg/Hudi/... without touching this module.
+
+def _delta_available(spark) -> bool:
+    """True when both the Delta python package and the jar are loadable."""
+    try:
+        import delta  # noqa: F401  (pip package 'delta-spark')
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+def _merge_delta(
+    spark,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Native Delta ``MERGE INTO`` — a transactional commit, no
+    delete/rename swap window and no checkpoint: Delta's log swaps file
+    sets atomically.  ``<=>`` key equality so NULL key components match
+    like the parquet backend's anti-join does."""
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        writer = batch.write.format("delta").mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.save(target_path)
+        return
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(batch.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+_MERGE_BACKENDS: list[tuple[str, object, object]] = [
+    ("delta", _delta_available, _merge_delta),
+    ("parquet", lambda spark: True, _merge_parquet),
+]
+
+
+def register_merge_backend(name: str, available, merge_fn, *, front: bool = True) -> None:
+    """Plug in a MERGE backend (e.g. Iceberg).  ``available(spark) ->
+    bool`` probes the environment; ``merge_fn`` has merge_into's
+    signature.  ``front=True`` gives it priority over the built-ins."""
+    entry = (name, available, merge_fn)
+    if front:
+        _MERGE_BACKENDS.insert(0, entry)
+    else:
+        _MERGE_BACKENDS.insert(len(_MERGE_BACKENDS) - 1, entry)  # above parquet
+
+
+def selected_merge_backend_name(spark) -> str:
+    """Which backend merge_into would dispatch to on this session."""
+    for name, available, _ in _MERGE_BACKENDS:
+        if available(spark):
+            return name
+    return "parquet"
+
+
+def _select_merge_backend(spark):
+    for _, available, merge_fn in _MERGE_BACKENDS:
+        if available(spark):
+            return merge_fn
+    return _merge_parquet
