@@ -81,3 +81,79 @@ def test_risk_score_weights(result):
     assert r.risk_score == pytest.approx(
         r.b_sigma * w["b"] + r.p_sigma * w["wl"] + r.trans_sigma * w["trans"] + r.p_trans_multi * w["p_trans_multi"]
     )
+
+
+def test_multi_day_equals_per_day_union(spark):
+    """risk_ctrl_*_days (one windowed plan for a whole backfill range)
+    must reproduce the per-day operator exactly, including days with no
+    trailing history (floor regime) and keys that appear on only some
+    days."""
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.operators.risk_ctrl import (
+        risk_ctrl_game_1d,
+        risk_ctrl_game_days,
+        risk_ctrl_player_days,
+    )
+
+    keys = ["platform", "site_code", "player_name", "country"]
+    gkeys = ["platform", "site_code", "game_code", "country"]
+    days = [20230110, 20230111, 20230112]
+
+    p1h_rows = []
+    p1d_rows = []
+    for i, d in enumerate(days):
+        p1h_rows += [
+            ("UFA", "TG", "p1", "THB", d, 600_000.0 + i, 400_000.0 - i),
+            ("UFA", "TG", f"only{i}", "VND2", d, 50.0 * (i + 1), 5.0),
+        ]
+    # trailing history: p1 has rich history before day0; only1 none
+    p1d_rows += [
+        ("UFA", "TG", "p1", "THB", 20230102 + i, 1000.0 * (i + 1), 10.0 * i)
+        for i in range(10)
+    ]
+    p1h = _mk(spark, p1h_rows, [*keys, "summary_date", "b_amount", "profit_amount"])
+    p1d = _mk(spark, p1d_rows, [*keys, "summary_date", "b_amount", "profit_amount"])
+    t1h = _mk(
+        spark,
+        [("UFA", "TG", "p1", "THB", d, 500_000.0, 100.0) for d in days],
+        [*keys, "summary_date", "trans_out_amount", "trans_in_amount"],
+    )
+    t1d = _mk(
+        spark,
+        [("UFA", "TG", "p1", "THB", 20230102 + i, 10.0 * i, 5.0) for i in range(10)],
+        [*keys, "summary_date", "trans_out_amount", "trans_in_amount"],
+    )
+
+    def key_of(r, kcols):
+        return (r.summary_date, *[getattr(r, k) for k in kcols])
+
+    def vals(r, cols):
+        return tuple(round(getattr(r, c), 9) if getattr(r, c) is not None else None for c in cols)
+
+    from tg_reporting_etl_spark.operators.risk_ctrl import _lookback_key_of
+
+    vcols = ["b_cur", "p_cur", "rtp_cur", "b_sigma", "p_sigma", "trans_sigma", "risk_score"]
+    per_day = {}
+    for d in days:
+        out = risk_ctrl_player_1d(p1h, p1d, t1h, t1d, d, _lookback_key_of(d)).collect()
+        per_day.update({key_of(r, keys): vals(r, vcols) for r in out})
+    multi = {
+        key_of(r, keys): vals(r, vcols)
+        for r in risk_ctrl_player_days(p1h, p1d, t1h, t1d, days).collect()
+    }
+    assert multi == per_day and len(multi) == 6
+
+    # game grain (reuse player frames with game_code in place of player_name)
+    g1h = p1h.withColumnRenamed("player_name", "game_code")
+    g1d = p1d.withColumnRenamed("player_name", "game_code")
+    gcols = ["b_cur", "p_cur", "rtp_cur", "b_sigma", "p_sigma", "risk_score"]
+    per_day_g = {}
+    for d in days:
+        out = risk_ctrl_game_1d(g1h, g1d, d, _lookback_key_of(d)).collect()
+        per_day_g.update({key_of(r, gkeys): vals(r, gcols) for r in out})
+    multi_g = {
+        key_of(r, gkeys): vals(r, gcols)
+        for r in risk_ctrl_game_days(g1h, g1d, days).collect()
+    }
+    assert multi_g == per_day_g and len(multi_g) == 6

@@ -82,6 +82,61 @@ def _current_day(tier_1h: DataFrame, keys: list[str], date_key: int) -> DataFram
     )
 
 
+def _ud() -> Column:
+    """summary_date int key -> unix day ordinal (for range windows)."""
+    return F.unix_date(F.to_date(F.col("summary_date").cast("string"), "yyyyMMdd"))
+
+
+def _trailing_stats_for_anchors(
+    tier_1d: DataFrame,
+    keys: list[str],
+    anchors: DataFrame,
+    prefix_map: dict[str, str],
+    lo_key: int,
+    hi_key: int,
+    lookback_days: int = 8,
+) -> DataFrame:
+    """Multi-day :func:`_trailing_stats`: per-anchor trailing stats via
+    ONE range window instead of a re-aggregation per target day.
+
+    ``anchors`` holds the (summary_date, keys) rows that need stats.
+    Daily sums (pruned to [lo_key, hi_key]) union with null-measure
+    anchor rows; a ``rangeBetween(-lookback, -1)`` frame over the unix
+    day ordinal then reproduces each day's ``[D-lookback, D)``
+    re-aggregation exactly — sum/stddev_pop ignore the null anchor
+    measures, and an anchor with no trailing rows gets NULL stats, just
+    like the groupBy version's missing row before the caller's
+    ``na.fill(0.0)``.  One shuffle for the whole backfill where the
+    per-day loop paid one per day.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        tier_1d.filter((F.col("summary_date") >= lo_key) & (F.col("summary_date") <= hi_key))
+        .groupBy("summary_date", *keys)
+        .agg(*[F.sum(src).alias(f"_daily_{pfx}") for src, pfx in prefix_map.items()])
+        .withColumn("_anchor", F.lit(0))
+    )
+    a = anchors.select(
+        "summary_date",
+        *keys,
+        *[F.lit(None).cast("double").alias(f"_daily_{pfx}") for pfx in prefix_map.values()],
+        F.lit(1).alias("_anchor"),
+    )
+    u = daily.unionByName(a).withColumn("_ud", _ud())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ud")
+        .rangeBetween(-lookback_days, -1)
+    )
+    stats = u
+    for pfx in prefix_map.values():
+        stats = stats.withColumn(f"{pfx}_wma", F.sum(f"_daily_{pfx}").over(w) / 7)
+        stats = stats.withColumn(f"{pfx}_wmasd", F.stddev_pop(f"_daily_{pfx}").over(w))
+    out_cols = [c for pfx in prefix_map.values() for c in (f"{pfx}_wma", f"{pfx}_wmasd")]
+    return stats.filter(F.col("_anchor") == 1).select("summary_date", *keys, *out_cols)
+
+
 def risk_ctrl_player_1d(
     player_1h: DataFrame,
     player_1d: DataFrame,
@@ -95,7 +150,6 @@ def risk_ctrl_player_1d(
     ``lookback_gte_key`` is the int date key of D-8 (the caller owns
     calendar arithmetic so the operator stays a pure table transform).
     """
-    cfg = RISK_CTRL_1D["default_value_player"]
     cur = _current_day(player_1h, PLAYER_KEYS, date_key)
     cur_trans = (
         trans_1h.filter(F.col("summary_date") == date_key)
@@ -124,7 +178,13 @@ def risk_ctrl_player_1d(
         .join(t_wma, PLAYER_KEYS, "left")
         .na.fill(0.0)
     )
+    return _score_player(meta).withColumn("summary_date", F.lit(date_key).cast("int"))
 
+
+def _score_player(meta: DataFrame) -> DataFrame:
+    """Player-grain floors + sigma scoring (risk_ctrl_player_1d.py:157-234);
+    shared by the single-day and multi-day plans."""
+    cfg = RISK_CTRL_1D["default_value_player"]
     rate = _country_rate()
     b_wma_f = _floored("b_wma", cfg["def_b_wma"], cfg["def_b_wma"], rate)
     b_wmasd_f = _floored("b_wmasd", cfg["def_b_wmasd"], cfg["def_b_wmasd"], rate)
@@ -146,7 +206,7 @@ def risk_ctrl_player_1d(
         F.lit(0.0),
     )
     w = RISK_CTRL_1D["risk_score_multi"]
-    scored = (
+    return (
         meta.withColumn("b_sigma", b_sigma)
         .withColumn("p_sigma", p_sigma)
         .withColumn("trans_sigma", trans_sigma)
@@ -158,7 +218,89 @@ def risk_ctrl_player_1d(
         + F.col("trans_sigma") * w["trans"]
         + F.col("p_trans_multi") * w["p_trans_multi"],
     )
-    return scored.withColumn("summary_date", F.lit(date_key).cast("int"))
+
+
+def _lookback_key_of(date_key: int, lookback_days: int = 8) -> int:
+    import datetime as _dt
+
+    d = _dt.datetime.strptime(str(int(date_key)), "%Y%m%d") - _dt.timedelta(days=lookback_days)
+    return int(d.strftime("%Y%m%d"))
+
+
+def risk_ctrl_player_days(
+    player_1h: DataFrame,
+    player_1d: DataFrame,
+    trans_1h: DataFrame,
+    trans_1d: DataFrame,
+    date_keys: list[int],
+    lookback_days: int = 8,
+) -> DataFrame:
+    """Player-grain risk report for a WHOLE day range in one plan.
+
+    Identical per-day semantics to :func:`risk_ctrl_player_1d` (proven
+    by equivalence test), but the trailing statistics come from one
+    range window over the span instead of a re-aggregation per day —
+    a month backfill pays a constant number of shuffles, not 30×."""
+    days = sorted(int(d) for d in date_keys)
+    lo = _lookback_key_of(days[0], lookback_days)
+    cur = (
+        player_1h.filter(F.col("summary_date").isin(days))
+        .groupBy("summary_date", *PLAYER_KEYS)
+        .agg(F.sum("b_amount").alias("b_cur"), F.sum("profit_amount").alias("p_cur"))
+        .withColumn("rtp_cur", safe_div(F.col("p_cur"), F.col("b_cur")))
+    )
+    cur_trans = (
+        trans_1h.filter(F.col("summary_date").isin(days))
+        .groupBy("summary_date", *PLAYER_KEYS)
+        .agg(F.sum(F.col("trans_out_amount") - F.col("trans_in_amount")).alias("net_trans_cur"))
+    )
+    anchors = cur.select("summary_date", *PLAYER_KEYS)
+    p_wma = _trailing_stats_for_anchors(
+        player_1d, PLAYER_KEYS, anchors,
+        {"b_amount": "b", "profit_amount": "p"}, lo, days[-1], lookback_days,
+    )
+    trans_net = trans_1d.withColumn(
+        "net_trans_amount", F.col("trans_out_amount") - F.col("trans_in_amount")
+    )
+    t_wma = _trailing_stats_for_anchors(
+        trans_net, PLAYER_KEYS, anchors,
+        {"net_trans_amount": "net_trans"}, lo, days[-1], lookback_days,
+    )
+    jk = ["summary_date", *PLAYER_KEYS]
+    meta = (
+        cur.join(cur_trans, jk, "left")
+        .join(p_wma, jk, "left")
+        .join(t_wma, jk, "left")
+        .na.fill(0.0)
+    )
+    scored = _score_player(meta)
+    # single-day column order: summary_date last (schema-stable sinks)
+    return scored.select(*[c for c in scored.columns if c != "summary_date"], "summary_date")
+
+
+def risk_ctrl_game_days(
+    player_1h: DataFrame,
+    player_1d: DataFrame,
+    date_keys: list[int],
+    lookback_days: int = 8,
+) -> DataFrame:
+    """Game-grain :func:`risk_ctrl_player_days` twin (b/p only)."""
+    days = sorted(int(d) for d in date_keys)
+    lo = _lookback_key_of(days[0], lookback_days)
+    cur = (
+        player_1h.filter(F.col("summary_date").isin(days))
+        .groupBy("summary_date", *GAME_KEYS)
+        .agg(F.sum("b_amount").alias("b_cur"), F.sum("profit_amount").alias("p_cur"))
+        .withColumn("rtp_cur", safe_div(F.col("p_cur"), F.col("b_cur")))
+    )
+    anchors = cur.select("summary_date", *GAME_KEYS)
+    p_wma = _trailing_stats_for_anchors(
+        player_1d, GAME_KEYS, anchors,
+        {"b_amount": "b", "profit_amount": "p"}, lo, days[-1], lookback_days,
+    )
+    meta = cur.join(p_wma, ["summary_date", *GAME_KEYS], "left").na.fill(0.0)
+    scored = _score_game(meta)
+    return scored.select(*[c for c in scored.columns if c != "summary_date"], "summary_date")
 
 
 def risk_ctrl_game_1d(
@@ -169,13 +311,18 @@ def risk_ctrl_game_1d(
 ) -> DataFrame:
     """Game-grain risk report (risk_ctrl_game_1d.py:55-180): b/p only, no
     transfer component, game defaults."""
-    cfg = RISK_CTRL_1D["default_value_game"]
     cur = _current_day(player_1h, GAME_KEYS, date_key)
     p_wma = _trailing_stats(
         player_1d, GAME_KEYS, lookback_gte_key, date_key, {"b_amount": "b", "profit_amount": "p"}
     )
     meta = cur.join(p_wma, GAME_KEYS, "left").na.fill(0.0)
+    return _score_game(meta).withColumn("summary_date", F.lit(date_key).cast("int"))
 
+
+def _score_game(meta: DataFrame) -> DataFrame:
+    """Game-grain floors + sigma scoring (risk_ctrl_game_1d.py:55-180);
+    shared by the single-day and multi-day plans."""
+    cfg = RISK_CTRL_1D["default_value_game"]
     rate = _country_rate()
     b_wma_f = _floored("b_wma", cfg["def_b_wma"], cfg["def_b_wma"], rate)
     b_wmasd_f = _floored("b_wmasd", cfg["def_b_wmasd"], cfg["def_b_wmasd"], rate)
@@ -183,7 +330,7 @@ def risk_ctrl_game_1d(
     p_wmasd_f = _floored("p_wmasd", cfg["def_b_wmasd"], cfg["def_p_wmasd"], rate)
 
     w = RISK_CTRL_1D["risk_score_multi"]
-    scored = (
+    return (
         meta.withColumn("b_sigma", _upper_sigma(F.col("b_cur"), b_wma_f, b_wmasd_f))
         .withColumn(
             "p_sigma",
@@ -193,4 +340,3 @@ def risk_ctrl_game_1d(
         )
         .withColumn("risk_score", F.col("b_sigma") * w["b"] + F.col("p_sigma") * w["wl"])
     )
-    return scored.withColumn("summary_date", F.lit(date_key).cast("int"))

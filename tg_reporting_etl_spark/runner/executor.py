@@ -198,11 +198,13 @@ class NewRegisterFamily(ReportFamily):
 
 
 class _RiskCtrlFamily(ReportFamily):
-    """Per-day risk report over materialized player (and trans) tiers.
+    """Risk report over materialized player (and trans) tiers.
 
-    The operator is single-day (date_key + 8-day lookback); the family
-    unions one frame per covered day — day count is orchestration-small,
-    each day's frame reads only its pruned tier partitions.
+    The catalog operator is single-day (date_key + 8-day lookback); the
+    family computes a whole task range in ONE windowed plan
+    (``risk_ctrl_*_days`` — per-day-equivalent by test), so a month
+    backfill pays a constant number of shuffles instead of one
+    re-aggregation per day.  ``_day_frame`` remains the per-day spec.
     """
 
     tiers = ("1d",)
@@ -211,13 +213,15 @@ class _RiskCtrlFamily(ReportFamily):
     def _day_frame(self, spark: SparkSession, date_key: int) -> DataFrame:
         raise NotImplementedError
 
+    def _days_frame(self, spark: SparkSession, date_keys: list[int]) -> DataFrame:
+        raise NotImplementedError
+
     def _lookback_key(self, date_key: int) -> int:
         d = datetime.strptime(str(date_key), "%Y%m%d") - timedelta(days=self.lookback_days)
         return int(d.strftime("%Y%m%d"))
 
     def compute_tier(self, spark, tier, gte_s, lt_s, platform, site_code):
-        frames = [self._day_frame(spark, dk) for dk in _day_keys(gte_s, lt_s)]
-        return reduce(DataFrame.unionByName, frames)
+        return self._days_frame(spark, _day_keys(gte_s, lt_s))
 
 
 class RiskCtrlPlayerFamily(_RiskCtrlFamily):
@@ -239,6 +243,16 @@ class RiskCtrlPlayerFamily(_RiskCtrlFamily):
             self._lookback_key(date_key),
         )
 
+    def _days_frame(self, spark, date_keys):
+        return rc.risk_ctrl_player_days(
+            self.player_family.read_tier(spark, "1h"),
+            self.player_family.read_tier(spark, "1d"),
+            self.trans_family.read_tier(spark, "1h"),
+            self.trans_family.read_tier(spark, "1d"),
+            date_keys,
+            self.lookback_days,
+        )
+
 
 class RiskCtrlGameFamily(_RiskCtrlFamily):
     report_class = "risk_ctrl_game"
@@ -254,6 +268,14 @@ class RiskCtrlGameFamily(_RiskCtrlFamily):
             self.player_family.read_tier(spark, "1d"),
             date_key,
             self._lookback_key(date_key),
+        )
+
+    def _days_frame(self, spark, date_keys):
+        return rc.risk_ctrl_game_days(
+            self.player_family.read_tier(spark, "1h"),
+            self.player_family.read_tier(spark, "1d"),
+            date_keys,
+            self.lookback_days,
         )
 
 
