@@ -336,3 +336,38 @@ def test_dense_and_array_verify_are_equivalent(spark, corpus_kind):
     assert dense_out, f"{corpus_kind}: expected non-trivial >=tau pairs"
     assert dense_out == array_out
     assert auto_out == array_out  # the self-gate picks one of the two
+
+
+def test_prefix_filter_lossless_property(spark):
+    """Property: for randomized corpora (mixed entropy, duplicates,
+    short docs, shared templates) and several tau values, the forced
+    prefix path equals brute force EXACTLY.  Deterministic seeds, one
+    Spark job per case — a directed random sweep rather than
+    hypothesis's adaptive engine (each example costs a Spark job)."""
+    import random
+
+    for seed, tau in [(1, 0.5), (2, 0.7), (3, 0.8), (4, 0.9), (5, 0.6)]:
+        rng = random.Random(seed)
+        vocab = ["lorem", "ipsum", "dolor", "sit", "amet", "alpha", "beta",
+                 "gamma", "delta", "x1", "x2", "x3"]
+        rows = []
+        for i in range(30):
+            n = rng.randint(3, 25)
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+            rows.append((i, " ".join(words)))
+        # inject exact + near duplicates
+        for j in range(5):
+            base_id = rng.randrange(30)
+            mutated = rows[base_id][1] + (" extra" if j % 2 else "")
+            rows.append((100 + j, mutated))
+        corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+        sh = dd.char_shingles(corpus)
+        brute = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd.jaccard_pairs(sh, tau).collect()
+        }
+        fast = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd.ngram_jaccard_dedup(corpus, tau, on_blowup="force").collect()
+        }
+        assert fast == brute, (seed, tau)
