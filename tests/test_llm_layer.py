@@ -371,3 +371,46 @@ def test_prefix_filter_lossless_property(spark):
             for r in dd.ngram_jaccard_dedup(corpus, tau, on_blowup="force").collect()
         }
         assert fast == brute, (seed, tau)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, isolated pair — component = min doc_id; keeper
+    flag marks exactly one doc per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {(r.doc_id, r.component_id, r.is_keeper) for r in dd.dedup_keepers(pairs).collect()}
+    assert comp == {
+        (1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False),
+        (10, 10, True), (11, 10, False), (12, 10, False),
+        (20, 20, True), (21, 20, False),
+    }
+
+
+def test_connected_components_matches_python_union_find(spark):
+    """Randomized graphs: Spark label propagation == driver union-find."""
+    import random
+
+    for seed in (7, 11):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(35)]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r.doc_id: r.component_id for r in dd.connected_components(pairs).collect()}
+        assert got == want, seed

@@ -669,3 +669,90 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Dup-pair graph -> components: (doc_id, component_id = min doc_id).
+
+    The step every real dedup pipeline needs between pair generation and
+    keeper selection: near-dup pairs are transitive in practice (A~B,
+    B~C usually means one content family), so deduplication keeps one
+    doc per CONNECTED COMPONENT, not per pair.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the min of its own label, its neighbors' labels,
+    and its label's label (path halving).  Near-dup components are
+    dense/cliquish (variants of one underlying text), so convergence is
+    2-3 rounds; the pointer-jumping term bounds pathological chains by
+    O(log n) rounds rather than O(diameter).  Each round is two hash
+    joins + an aggregation on (node, label) pairs — no driver-side
+    graph, scales with the edge list.  Iteration stops at the first
+    fixpoint (one limit-1 existence probe per round on constant-size
+    change metadata).
+
+    Each round's labels are eagerly ``localCheckpoint``-ed: an
+    iterative plan that only persists keeps GROWING its logical plan
+    (every round references the previous labels ~3x, so the analyzer
+    walks an exponentially-expanding tree and the driver OOMs around
+    round ~15); checkpointing truncates lineage to a LogicalRDD per
+    round, and the previous round's blocks are released as soon as the
+    next round materializes.
+    """
+    from tg_reporting_etl_spark.sources.writers import _release_local_checkpoint
+
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = tracked_persist(sym)
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct().withColumn("comp", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("comp").alias("dst_comp")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        # pointer jumping: comp := min(comp, comp's comp)
+        parent = stepped.select(F.col("doc_id").alias("_p"), F.col("comp").alias("_pc"))
+        stepped = (
+            stepped.join(parent, stepped.comp == parent._p, "left")
+            .select("doc_id", F.least("comp", F.coalesce("_pc", F.col("comp"))).alias("comp"))
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = (
+            stepped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        _release_local_checkpoint(labels)
+        labels = stepped
+        if changed == 0:
+            break
+    sym.unpersist()
+    out = labels.select("doc_id", F.col("comp").alias("component_id"))
+    # hand back a plan rooted at the final checkpoint; caller-side
+    # collection releases nothing further (blocks die with the session
+    # or the next release_persists sweep)
+    return out
+
+
+def dedup_keepers(pairs: DataFrame) -> DataFrame:
+    """Component membership + keeper flag: one kept doc per component
+    (the min doc_id, matching :func:`exact_dedup`'s keeper rule)."""
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )

@@ -77,6 +77,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted df-capped near-dup pairs, shared by the pair query and
+    the components query (the graph is built over exactly these)."""
+    return cached_df(
+        spark,
+        f"ngram_capped_pairs|{sf_dir}",
+        lambda: dd.ngram_jaccard_dedup_capped(
+            _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+        ),
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted 5-gram shingle-hash table (doc_id, h, mh — all longs)
     shared by the ngram and minhash dedup queries (each references it
@@ -139,9 +151,7 @@ WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}"""
     survey_ids="LLM: n-gram Jaccard near-dup (df-capped candidates)",
 )
 def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.ngram_jaccard_dedup_capped(
-        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
-    )
+    pairs = _capped_pairs(spark, sf_dir)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -171,6 +181,65 @@ def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
     )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# Components over the df-capped near-dup pair graph: the step between
+# pair generation and keeper selection — near-dup pairs are transitive
+# in practice, so dedup keeps one doc per CONNECTED component.  Oracle:
+# reachability closure via recursive CTE, component = min reachable id.
+_COMPONENTS_ORACLE = f"""WITH RECURSIVE {_SHINGLES.strip()}, {_SIZES.strip()},
+disc AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1
+        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM disc a JOIN disc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM cands c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM dpairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+)
+SELECT a AS doc_id,
+       LEAST(a, MIN(b)) AS component_id,
+       a = LEAST(a, MIN(b)) AS is_keeper
+FROM reach GROUP BY a"""
+
+
+@register(
+    "doc_dup_components",
+    _COMPONENTS_ORACLE,
+    survey_ids="LLM: near-dup pair graph -> connected components / keeper selection",
+)
+def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation + pointer jumping over the capped near-dup
+    pair graph (functions/dedup.py:connected_components) — one kept doc
+    per component, matching the oracle's recursive-CTE reachability
+    closure."""
+    pairs = _capped_pairs(spark, sf_dir)
+    return dd.dedup_keepers(pairs.select("doc_a", "doc_b"))
 
 
 def _minhash_oracle() -> str:
