@@ -1,0 +1,72 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A 100 TB corpus pipeline mixes sources by weight ("60% web, 30% code,
+10% books") and draws fixed-size per-stratum subsets.  Both operators
+here are DETERMINISTIC — membership derives from an md5 hash uniform
+keyed by row identity, so results are identical across partitionings,
+retries, engines (the DuckDB oracle replays the same expression), and
+runs; re-sampling with a different ``salt`` draws an independent
+sample.  Contrast with ``df.sample()``/``sampleBy()``, whose output
+depends on partitioning and seed plumbing.
+
+Scale notes: fraction sampling is a pure narrow filter (no shuffle, no
+state — prunes at scan speed).  Quota sampling shuffles once on the
+stratum key and ranks within each stratum; stratum count is
+config-bounded, and rank='first' truncation makes the result the
+hash-minimal ``n`` rows per stratum — stable under growth of the
+corpus except at the quota boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1): first 8 md5 hex chars of
+    ``key|salt`` as a 32-bit int, midpoint-offset (cross-engine)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row iff its hash uniform < its stratum's fraction.
+
+    The Bernoulli mixing step of a data pipeline: expected per-stratum
+    keep-rate equals the configured weight, membership is a pure
+    function of (key, salt) — no shuffle, no driver state.
+    """
+    frac = F.lit(float(default_fraction))
+    for value, p in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.filter(hash_uniform(F.col(key_col), salt) < frac)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: the hash-minimal
+    ``n`` keys, ranked by the same deterministic uniform (md5-order
+    row_number — the engine's O4 sampling idiom)."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            hash_uniform(F.col(key_col), salt).asc(), F.col(key_col).asc()
+        )
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= n_per_stratum).drop("_rn")

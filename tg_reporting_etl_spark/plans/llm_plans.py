@@ -242,6 +242,61 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_keepers(pairs.select("doc_a", "doc_b"))
 
 
+# Deterministic source-mixing: Bernoulli stratified sample (weights per
+# source) and fixed-quota per-stratum sample, both md5-hash membership
+# so the oracle replays the identical draw.
+SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.6, "src2": 0.4, "src3": 0.2}
+QUOTA_N = 10
+
+_U01 = "(" + _H32.format(s="CAST(doc_id AS VARCHAR) || '|' || '{salt}'") + " + 0.5) / 4294967296.0"
+
+_FRAC_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_FRACTIONS.items())
+    + " ELSE 0.0 END"
+)
+
+_STRat_ORACLE = f"""SELECT doc_id, source, lang
+FROM documents
+WHERE {_U01.format(salt='strat')} < {_FRAC_CASE}"""
+
+
+@register(
+    "doc_stratified_sample",
+    _STRat_ORACLE,
+    survey_ids="LLM: deterministic source-weighted Bernoulli sample (data mixing)",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/sampling.py:stratified_sample — membership is a pure
+    function of (doc_id, salt): no shuffle, identical across engines."""
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    out = sp.stratified_sample(_docs(spark, sf_dir), "source", SAMPLE_FRACTIONS)
+    return out.select("doc_id", "source", "lang")
+
+
+_QUOTA_ORACLE = f"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_U01.format(salt='quota')} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {QUOTA_N}"""
+
+
+@register(
+    "doc_source_quota_sample",
+    _QUOTA_ORACLE,
+    survey_ids="LLM: exact-n per-stratum deterministic sample (md5-order quota)",
+)
+def q_doc_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/sampling.py:quota_sample — the hash-minimal QUOTA_N
+    docs per source (one shuffle on the bounded stratum key)."""
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    out = sp.quota_sample(_docs(spark, sf_dir), "source", QUOTA_N)
+    return out.select("doc_id", "source")
+
+
 def _minhash_oracle() -> str:
     r = N_HASHES // BANDS
     mins = ",\n         ".join(
