@@ -256,14 +256,14 @@ _FRAC_CASE = (
     + " ELSE 0.0 END"
 )
 
-_STRat_ORACLE = f"""SELECT doc_id, source, lang
+_STRAT_ORACLE = f"""SELECT doc_id, source, lang
 FROM documents
 WHERE {_U01.format(salt='strat')} < {_FRAC_CASE}"""
 
 
 @register(
     "doc_stratified_sample",
-    _STRat_ORACLE,
+    _STRAT_ORACLE,
     survey_ids="LLM: deterministic source-weighted Bernoulli sample (data mixing)",
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

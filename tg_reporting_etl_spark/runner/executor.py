@@ -319,7 +319,14 @@ class RiskCtrlRtpFamily(ReportFamily):
 
 
 class LeaderboardFamily(ReportFamily):
-    """Daily leaderboard state runs (player_ranking_1d)."""
+    """Daily leaderboard state runs (player_ranking_1d).
+
+    Deliberately PER-DAY (one seeded simulation frame per date, unioned):
+    every draw is keyed by the day string, and the candidate set is
+    config-bounded (robots x configured sites), so a multi-day union is
+    a constant-size plan per day over constant-size data — unlike the
+    risk/rtp families, there is no data-proportional re-aggregation to
+    vectorize."""
 
     report_class = "player_ranking"
     tiers = ("1d",)
