@@ -344,3 +344,43 @@ def test_player_stream_late_event_revises_one_upsert_row(spark, sf_dir, tmp_path
     assert before == {("G1", w0): 10.0, ("G2", w0): 7.0, ("G1", w1): 3.0}
     # exactly one row revised; same cardinality (upsert, no dup rows)
     assert after == {("G1", w0): 15.0, ("G2", w0): 7.0, ("G1", w1): 3.0}
+
+
+def test_streaming_exact_dedup_drops_cross_batch_copies(spark, tmp_path):
+    """A duplicate text arriving in a LATER micro-batch (within the
+    watermark) is dropped; distinct texts all pass; the survivor is the
+    first-seen copy."""
+    import datetime as dt
+
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_exact_dedup
+
+    schema = "doc_id long, text string, ingest_time timestamp"
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src, exist_ok=True)
+
+    def batch(rows):
+        spark.createDataFrame(
+            [(i, t, dt.datetime.fromisoformat(ts)) for i, t, ts in rows], schema
+        ).write.mode("append").parquet(src)
+
+    batch([(1, "alpha text", "2024-01-05 10:00:00"),
+           (2, "beta text", "2024-01-05 10:00:10"),
+           (3, "alpha text", "2024-01-05 10:00:20")])  # same-batch dup
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_memory_sink(streaming_exact_dedup(stream), "dedup_stream", mode="append")
+    try:
+        q.processAllAvailable()
+        batch([(4, "alpha text", "2024-01-05 10:05:00"),   # cross-batch dup
+               (5, "gamma text", "2024-01-05 10:05:10")])  # new content
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id, text FROM dedup_stream").collect()
+    finally:
+        q.stop()
+
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    assert sorted(by_text) == ["alpha text", "beta text", "gamma text"]
+    assert by_text["beta text"] == [2] and by_text["gamma text"] == [5]
+    assert by_text["alpha text"] in ([1], [3])  # one survivor, first batch
+    assert len(rows) == 3

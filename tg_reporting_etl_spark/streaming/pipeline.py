@@ -156,3 +156,26 @@ def start_partitioned_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    event_time_col: str = "ingest_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``functions.dedup.exact_dedup`` — the
+    incremental-ingestion shape: emit each document the FIRST time its
+    content digest is seen; later copies (same batch or any later batch
+    within the watermark horizon) are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the 16-byte content
+    digest, not the text, and the watermark bounds state so a perpetual
+    ingest stream does not accumulate digests forever — the batch
+    operator's full-corpus groupBy semantics, traded for a bounded
+    dedup horizon (duplicates farther apart than the watermark pass
+    through, the standard streaming-dedup contract).
+    """
+    digested = stream.withColumn("digest", F.md5("text")).withWatermark(
+        event_time_col, watermark
+    )
+    return digested.dropDuplicatesWithinWatermark(["digest"])
