@@ -96,3 +96,23 @@ def test_risky_thresholds(spark):
     many_hours = rtp_batch(_hours(spark, 20_000.0, n_hours=12), D)
     r = _one(rtp_merge(None, many_hours, _t(0)))
     assert r.is_risky == 1  # rtp = 20000/12000 >= 1, count 12 >= 10
+
+
+def test_long_scenario_chain_stays_analyzable(spark):
+    """A 25-run update-mode chain must not blow the analyzer up
+    (persist alone doubles the logical plan per run; the periodic lazy
+    localCheckpoint bounds it) and must keep the cap/throttle
+    invariants: alert_count never exceeds the limit and the final
+    snapshot still has exactly one row per key."""
+    from tg_reporting_etl_spark.config import RISK_CTRL_1D
+    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import run_rtp_scenario
+
+    batch = _hours(spark, 60_000.0)
+    runs = 25
+    clocks = [_t(0) + dt.timedelta(minutes=40 * i) for i in range(runs)]
+    final = run_rtp_scenario([batch] * runs, D, clocks)
+    rows = final.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.alert_count == RISK_CTRL_1D["rtp"]["alert_limit"]
+    assert r.send_alert == 0  # capped -> muted

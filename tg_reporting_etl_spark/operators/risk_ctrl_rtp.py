@@ -199,9 +199,14 @@ def run_rtp_scenario(
     Each merge references its batch twice (left join + anti join) and
     the prior state twice, so an unpersisted N-run chain recomputes
     early states 2^k times; persisting each batch and intermediate
-    state keeps the plan linear.  Repeated source frames (the same
-    DataFrame object passed for several runs — e.g. update-mode reruns
-    over an unchanged source) aggregate once.
+    state keeps EXECUTION linear.  The LOGICAL plan still doubles per
+    run (persist does not truncate lineage — the analyzer walks the
+    full tree), so every 8th state is additionally ``localCheckpoint``-ed
+    lazily: lineage stays bounded at ~2^8 nodes regardless of chain
+    length, while the whole scenario remains one deferred computation.
+    Repeated source frames (the same DataFrame object passed for several
+    runs — e.g. update-mode reruns over an unchanged source) aggregate
+    once.
     """
     state: DataFrame | None = None
     batch_cache: dict[int, DataFrame] = {}
@@ -211,7 +216,9 @@ def run_rtp_scenario(
         if key not in batch_cache:
             batch_cache[key] = tracked_persist(rtp_batch(batch_src, date_key))
         state = rtp_merge(state, batch_cache[key], now)
-        if i < n - 1:  # the final state is consumed once — don't cache it
+        if (i + 1) % 8 == 0:
+            state = state.localCheckpoint(eager=False)
+        elif i < n - 1:  # the final state is consumed once — don't cache it
             state = tracked_persist(state)
     assert state is not None
     return state
