@@ -82,16 +82,7 @@ def save_state(state: DataFrame, state_dir: str, date_key: int) -> None:
     checkpoint covers.  (rtp_merge already emits the full merged
     snapshot, so replace-all is the degenerate merge; the keyed API is
     what a MERGE-capable table format maps onto directly.)"""
-    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import KEYS
-    from tg_reporting_etl_spark.sources.writers import merge_into
-
-    merge_into(
-        state.sparkSession,
-        state_dir,
-        state,
-        keys=["summary_date", *KEYS],
-        partition_cols=["summary_date"],
-    )
+    save_state_days(state, state_dir)
 
 
 def run_rtp_days(
