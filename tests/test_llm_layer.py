@@ -414,3 +414,38 @@ def test_connected_components_matches_python_union_find(spark):
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
         got = {r.doc_id: r.component_id for r in dd.connected_components(pairs).collect()}
         assert got == want, seed
+
+
+def test_positional_filter_prunes_without_loss(spark):
+    """PPJoin positional filter: candidates are a STRICT subset of the
+    plain prefix-join candidates on a mixed corpus, survivors still
+    contain every true >= tau pair, and the end result equals brute
+    force (lossless by theorem, measured here)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(vocab[rng.randrange(50)] for _ in range(rng.randint(8, 30))))
+        for i in range(60)
+    ]
+    rows += [(100 + j, rows[j][1] + " tail") for j in range(8)]  # near-dups
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    tau = 0.7
+
+    hashed = dd.hash_shingles(dd.char_shingles(corpus)).cache()
+    prefixes = dd._prefix_frame(hashed, tau).cache()
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in dd.candidate_pairs(prefixes.select("doc_id", "h"), key="h").collect()
+    }
+    positional = {
+        (r.doc_a, r.doc_b) for r in dd._positional_candidates(prefixes, tau).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(dd.char_shingles(corpus), tau).collect()
+    }
+    assert brute, "constructed corpus must contain >= tau pairs"
+    assert positional <= plain
+    assert len(positional) < len(plain)  # the filter measurably prunes
+    assert brute <= positional  # and loses nothing

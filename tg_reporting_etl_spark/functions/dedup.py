@@ -303,14 +303,16 @@ def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> Data
 
 
 def _prefix_frame(hashed: DataFrame, tau: float) -> DataFrame:
-    """Per-doc rarity-ordered prefix elements: (doc_id, h).
+    """Per-doc rarity-ordered prefix elements: (doc_id, h, pos, n).
 
     Under any global total order on shingles, J(A,B) >= tau forces
     |A∩B| >= ceil(tau·|A|), so the first ``|A| - ceil(tau·|A|) + 1``
     elements of A must contain a common element (likewise for B): pairs
     whose prefixes are disjoint cannot qualify.  Ordering the universe
     by ASCENDING document frequency puts the RAREST shingles in every
-    prefix, so the candidate join runs on low-df keys.
+    prefix, so the candidate join runs on low-df keys.  ``pos`` is the
+    element's 0-based position in the doc's full rarity-sorted set and
+    ``n`` the set size — the inputs of the positional filter.
 
     The prefix length uses exact integer arithmetic (tau as a rational
     p/q: ceil(tau·n) = (p·n + q - 1) div q) — float ceil(0.8·n) is off
@@ -329,7 +331,7 @@ def _prefix_frame(hashed: DataFrame, tau: float) -> DataFrame:
         .agg(F.sort_array(F.collect_list("_o")).alias("_s"), F.count("*").alias("_n"))
         .select(
             "doc_id",
-            F.explode(
+            F.posexplode(
                 F.slice(
                     F.transform("_s", lambda x: x["h"]),
                     F.lit(1),
@@ -337,22 +339,64 @@ def _prefix_frame(hashed: DataFrame, tau: float) -> DataFrame:
                     # by one exactly when tau·n crosses an integer
                     F.col("_n") - F.expr(f"(_n * {p} + {q - 1}) div {q}") + 1,
                 )
-            ).alias("h"),
+            ).alias("pos", "h"),
+            F.col("_n").alias("n"),
         )
     )
 
 
+def _positional_candidates(prefixes: DataFrame, tau: float) -> DataFrame:
+    """Prefix-join candidates pruned by PPJoin's POSITIONAL filter.
+
+    J(A,B) >= tau forces overlap o >= ceil(p·(|A|+|B|)/(p+q)) (tau as
+    p/q).  A match on prefix element at 0-based positions (i, j) bounds
+    the overlap: every common element sits at position >= i in A and
+    >= j in B under the shared global order, so
+    o <= 1 + min(|A|-i-1, |B|-j-1).  Keeping a pair only when the MAX
+    of that bound over its prefix matches reaches the overlap threshold
+    is lossless (the bound for the first common element always covers
+    the true overlap) while pruning same-rare-shingle pairs whose match
+    sits too deep to qualify — candidates that the plain prefix join
+    would send to the (more expensive) exact verify.  Same shuffle as
+    the ``.distinct()`` it replaces: one groupBy on the pair key.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(tau))
+    p, q = frac.numerator, frac.denominator
+
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    joined = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        (
+            1 + F.least(F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1)
+        ).alias("ub"),
+    )
+    agg = joined.groupBy("doc_a", "doc_b").agg(
+        F.max("ub").alias("ub"), F.first("na").alias("na"), F.first("nb").alias("nb")
+    )
+    alpha = F.expr(f"({p} * (na + nb) + {p + q} - 1) div {p + q}")
+    return agg.filter(F.col("ub") >= alpha).select("doc_a", "doc_b")
+
+
 def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
     """LOSSLESS candidate pairs for Jaccard >= tau via prefix filtering
-    (Bayardo et al. AllPairs / Xiao et al. PPJoin).
+    (Bayardo et al. AllPairs / Xiao et al. PPJoin, incl. the positional
+    filter).
 
     See :func:`_prefix_frame` for the pruning argument — sum(df²) over
     prefix elements is orders of magnitude below the raw shingle join
     on natural text, with zero lost pairs (unlike a df-cap, which
     silently drops pairs whose overlap happens to sit in frequent
-    shingles).
+    shingles) — and :func:`_positional_candidates` for the positional
+    prune on top.
     """
-    return candidate_pairs(_prefix_frame(hashed, tau), key="h")
+    return _positional_candidates(_prefix_frame(hashed, tau), tau)
 
 
 #: self-pricing gate defaults for :func:`ngram_jaccard_dedup` — the
@@ -456,7 +500,7 @@ def ngram_jaccard_dedup(
         path_sink.update(path=path, est=est, n_docs=n_docs, budget=budget)
 
     if path == "prefix":
-        pairs = candidate_pairs(prefixes, key="h")
+        pairs = _positional_candidates(prefixes, tau)
     elif path == "allpairs":
         a, b = ids.alias("a"), ids.alias("b")
         pairs = a.join(
