@@ -40,21 +40,35 @@ _EXC_RE = re.compile(
     r"|[A-Za-z_][\w.$]*(?:Exception|Error)\b[:)]?)"
 )
 
+# Known first-run bootstrap probes, BY DESIGN: merge_into read-probes a
+# not-yet-created target (rerun journal / merge temp dirs) and the merge
+# backend registry probes for a Delta jar the container doesn't ship.
+# These land in ``expected_probes`` so ``stderr_exceptions`` stays a
+# true anomaly channel — empty on a clean run.
+_PROBE_RE = re.compile(
+    r"FileNotFoundException.*(?:_merge_tmp|journal|does not exist)"
+    r"|ClassNotFoundException.*(?:delta|DeltaTable)",
+    re.IGNORECASE,
+)
 
-def _scan_exceptions(path: str, limit: int = 5) -> list[str]:
-    """First line of each distinct exception block seen in the file."""
-    found: list[str] = []
+
+def _scan_exceptions(path: str, limit: int = 8) -> tuple[list[str], list[str]]:
+    """(anomalies, expected_probes): first line of each distinct exception
+    block seen in the file, split by the bootstrap-probe allowlist."""
+    anomalies: list[str] = []
+    probes: list[str] = []
     try:
         with open(path, "r", errors="replace") as fh:
             for line in fh:
                 line = line.rstrip("\n")
-                if _EXC_RE.match(line) and line not in found:
-                    found.append(line[:300])
-                    if len(found) >= limit:
-                        break
+                if not _EXC_RE.match(line):
+                    continue
+                bucket = probes if _PROBE_RE.search(line) else anomalies
+                if line not in bucket and len(bucket) < limit:
+                    bucket.append(line[:300])
     except OSError:
         pass
-    return found
+    return anomalies, probes
 
 
 def main() -> None:
@@ -105,10 +119,27 @@ def main() -> None:
     adv_total = round(sum(t for n, t in timings.items() if n in adversarial), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
+    from tg_reporting_etl_spark.plans.util import cache_build_times
+
+    cache_builds = cache_build_times(spark)
+
     # Flush all JVM/Python stderr so the scan sees the complete stream.
     sys.stderr.flush()
     os.fsync(2)
-    exceptions = _scan_exceptions(errfile.name)
+    exceptions, probes = _scan_exceptions(errfile.name)
+
+    # Replay captured stderr to the original stream FIRST, so the JSON
+    # metrics line below is the LAST thing on the combined stream — the
+    # driver tail-captures stdout+stderr together, and round 6 proved
+    # that replaying stderr after the JSON pushes the metrics line out
+    # of the tail window ("parsed": null).
+    os.dup2(real_err, 2)
+    try:
+        with open(errfile.name, "rb") as fh:
+            os.write(2, fh.read())
+        os.unlink(errfile.name)
+    except OSError:
+        pass
 
     print(
         json.dumps(
@@ -120,23 +151,15 @@ def main() -> None:
                 "data_path_total": round(total - orch_total - adv_total, 3),
                 "orchestration_total": orch_total,
                 "adversarial_total": adv_total,
+                "shared_cache_build_s": cache_builds,
                 "stderr_exceptions": exceptions,
+                "expected_probes": probes,
                 "queries": timings,
                 "sf": sf,
             }
         )
     )
     sys.stdout.flush()
-
-    # Replay captured stderr to the original stream for the driver's
-    # tail capture, then clean up the scratch file.
-    os.dup2(real_err, 2)
-    try:
-        with open(errfile.name, "rb") as fh:
-            os.write(2, fh.read())
-        os.unlink(errfile.name)
-    except OSError:
-        pass
 
 
 if __name__ == "__main__":
