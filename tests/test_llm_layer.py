@@ -95,7 +95,7 @@ def test_ngram_gate_lsh_fallback_reports_only_exact_pairs(docs):
     out = {
         (r.doc_a, r.doc_b): round(r.jaccard, 6)
         for r in dd.ngram_jaccard_dedup(
-            docs, 0.8, candidate_budget_per_doc=0, budget_floor=0, path_sink=sink
+            docs, 0.8, on_blowup="lsh", candidate_budget_per_doc=0, budget_floor=0, path_sink=sink
         ).collect()
     }
     assert sink["path"] == "lsh", sink
@@ -105,12 +105,65 @@ def test_ngram_gate_lsh_fallback_reports_only_exact_pairs(docs):
 
 
 def test_ngram_gate_error_mode_names_capped_alternative(docs):
+    """'error' is the DEFAULT on_blowup: an operator documented as exact
+    must not silently reroute to a bounded-recall candidate set — the
+    lossy path is an explicit opt-in (on_blowup='lsh')."""
     import pytest as _pytest
 
+    with _pytest.raises(ValueError, match="ngram_jaccard_dedup_capped"):
+        dd.ngram_jaccard_dedup(docs, 0.8, candidate_budget_per_doc=0, budget_floor=0)
     with _pytest.raises(ValueError, match="ngram_jaccard_dedup_capped"):
         dd.ngram_jaccard_dedup(
             docs, 0.8, on_blowup="error", candidate_budget_per_doc=0, budget_floor=0
         )
+
+
+def _near_tau_corpus(spark):
+    """Deterministic (seeded) corpus of twin pairs whose Jaccard spans
+    [~0.80, ~0.95] — the regime where MinHash banding recall is most
+    sensitive to band-count / salt changes."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["%04x" % rng.randrange(16**4) for _ in range(4000)]
+    rows = []
+    for i in range(120):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+        rows.append((2 * i, " ".join(words)))
+        tw = list(words)
+        for _ in range(1 + (i % 6)):  # 1..6 mutated words -> J ~0.95..0.78
+            tw[rng.randrange(len(tw))] = vocab[rng.randrange(len(vocab))]
+        rows.append((2 * i + 1, " ".join(tw)))
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+
+@pytest.mark.parametrize("corpus_kind", ["testdata", "near_tau"])
+def test_ngram_gate_lsh_recall_floor(spark, docs, corpus_kind):
+    """Regression guard for the documented lsh-reroute recall contract
+    (plans/llm_plans.py q_doc_ngram_jaccard_exact: 'measured 255/256'):
+    against on_blowup='force' ground truth, the lsh path must keep
+    recall >= 0.95.  Both corpora are deterministic (md5 hash family,
+    seeded generator), so a drop can only come from a code change —
+    e.g. fewer bands or a different salt family silently degrading the
+    1-(1-J^4)^4 candidate probability this floor pins."""
+    corpus = docs.select("doc_id", "text") if corpus_kind == "testdata" else _near_tau_corpus(spark)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_dedup(corpus, 0.8, on_blowup="force").collect()
+    }
+    sink = {}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_dedup(
+            corpus, 0.8, on_blowup="lsh", candidate_budget_per_doc=0, budget_floor=0,
+            path_sink=sink,
+        ).collect()
+    }
+    assert sink["path"] == "lsh", sink
+    assert truth, "corpus must contain >=0.8 near-dup pairs"
+    recall = len(got & truth) / len(truth)
+    # measured: 25/25 (testdata sf0.01), 82/85 (near-tau) — deterministic
+    assert recall >= 0.95, f"lsh candidate recall degraded: {recall:.4f} ({len(got & truth)}/{len(truth)})"
 
 
 def test_candidate_path_gate_boundaries():

@@ -422,8 +422,9 @@ def _candidate_path(est: int, n_docs: int, budget: int) -> str:
         return "prefix"
     if npairs <= budget:
         return "allpairs"
-    if est <= budget:
-        return "prefix"
+    # here est > budget (est <= budget implies one of the branches above:
+    # est <= npairs fires 'prefix', else npairs < est <= budget fires
+    # 'allpairs'), so only the bounded-candidate fallback remains
     return "lsh"
 
 
@@ -432,7 +433,7 @@ def ngram_jaccard_dedup(
     tau: float,
     k: int = 5,
     shingles: DataFrame | None = None,
-    on_blowup: str = "lsh",
+    on_blowup: str = "error",
     candidate_budget_per_doc: int = _CAND_BUDGET_PER_DOC,
     budget_floor: int = _CAND_BUDGET_FLOOR,
     path_sink: dict | None = None,
@@ -458,13 +459,15 @@ def ngram_jaccard_dedup(
       a degenerate prefix join on a small corpus is strictly worse than
       honest brute force.
     - ``lsh``      — corpus both low-entropy AND too big to brute-force:
-      behavior set by ``on_blowup``.  ``"lsh"`` (default) reroutes to
-      MinHash-LSH candidates + exact full-set Jaccard verify — every
-      REPORTED pair is exact, but recall dips below 1 for pairs near
-      tau (16 hashes / 4 bands: P(candidate) = 1-(1-J^4)^4, ≈0.87 at
-      J=0.8, →1 as J→1; measured 255/256 on the sf0.1 corpus).
-      ``"error"`` raises instead, naming
-      :func:`ngram_jaccard_dedup_capped` as the explicit opt-in.
+      behavior set by ``on_blowup``.  ``"error"`` (the DEFAULT) raises,
+      naming the explicit opt-ins — an operator documented as exact
+      must not silently change its recall contract with scale.
+      ``"lsh"`` (explicit opt-in) reroutes to MinHash-LSH candidates +
+      exact full-set Jaccard verify — every REPORTED pair is exact, but
+      recall dips below 1 for pairs near tau (16 hashes / 4 bands:
+      P(candidate) = 1-(1-J^4)^4, ≈0.87 at J=0.8, →1 as J→1; measured
+      255/256 on the sf0.1 corpus, regression-guarded by an asserted
+      recall floor in tests/test_llm_layer.py).
       ``"force"`` bypasses the gate entirely and always runs the
       lossless prefix join (pre-gate behavior, any cost).
 

@@ -176,9 +176,15 @@ def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reroutes — at oracle scale (sf0.01, n=500) to brute-force
     candidates (still EXACT, equals the O(n²) oracle); at bench scale
     (sf0.1, n=5000, where the ungated join cost 30 s) to MinHash-LSH
-    candidates + exact verify (measured 255/256 recall)."""
+    candidates + exact verify (measured 255/256 recall,
+    regression-guarded in tests/test_llm_layer.py).
+
+    ``on_blowup="lsh"`` is the EXPLICIT opt-in to that lossy reroute —
+    the operator's own default is "error" so exactness claims stay
+    scale-independent; this catalog entry documents and accepts the
+    bounded-recall contract for the corpora too big to brute-force."""
     pairs = dd.ngram_jaccard_dedup(
-        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir), on_blowup="lsh"
     )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
