@@ -66,6 +66,52 @@ def test_init_seeding_and_monthly_backfill(spark):
     assert backfill.filter(F.col("done") != 1).count() == 0
 
 
+def test_rtp_empty_day_snapshot_still_counts_as_state(spark, tmp_path):
+    """A day first processed with ZERO batch rows must still register as
+    stateful (empty marker partition), so its next batch takes the merge
+    branch — throttle/cap runs and the alert fires with a counted,
+    restamped state (1, 1) — instead of first-run init (0, 1, epoch)."""
+    from tg_reporting_etl_spark.runner import state as st
+
+    sd = str(tmp_path / "rtp_state")
+    empty = _hours(spark, 60_000.0).filter(F.lit(False))
+    st.run_rtp_days(spark, empty, [D], dt.datetime(2023, 1, 10, 11, 0), sd)
+    assert st._existing_state_days(spark, sd, [D]) == [D]
+
+    out = st.run_rtp_day(spark, _hours(spark, 60_000.0), D, dt.datetime(2023, 1, 10, 12, 0), sd)
+    r = out.first()
+    assert (r.alert_count, r.send_alert) == (1, 1)
+    assert r.last_alert_time == dt.datetime(2023, 1, 10, 12, 0)
+
+
+def test_existing_state_days_propagates_fs_errors(spark, tmp_path, monkeypatch):
+    """A transient filesystem fault must FAIL the run, not reclassify
+    every day as first-run (which would zero real alert state)."""
+    import pytest
+
+    from tg_reporting_etl_spark.runner import state as st
+    from tg_reporting_etl_spark.sources import writers
+
+    def boom(*a, **kw):
+        raise RuntimeError("transient fs outage")
+
+    monkeypatch.setattr(writers, "_fs_path", boom)
+    with pytest.raises(RuntimeError, match="transient fs outage"):
+        st._existing_state_days(spark, str(tmp_path / "s"), [D])
+
+
+def test_rtp_merge_days_rejects_missing_old_state(spark):
+    """state_days non-empty + old_state=None is a caller bug — merging
+    against nothing would re-init a day asserted to have history."""
+    import pytest
+
+    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import rtp_batch_days, rtp_merge_days
+
+    batch = rtp_batch_days(_hours(spark, 60_000.0), [D])
+    with pytest.raises(ValueError, match="state_days is non-empty but old_state is None"):
+        rtp_merge_days(None, batch, dt.datetime(2023, 1, 10, 12, 0), state_days=[D])
+
+
 def test_has_rows_probe(spark):
     df = spark.range(5)
     assert has_rows(df)

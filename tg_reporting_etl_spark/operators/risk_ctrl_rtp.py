@@ -29,6 +29,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tg_reporting_etl_spark.config import RISK_CTRL_1D
 from tg_reporting_etl_spark.functions.core import safe_div
@@ -46,6 +47,28 @@ FINAL_COLUMNS = [
     "update_time",
     "create_time",
 ]
+
+#: Declared schema of the persisted state table.  Reads pass it
+#: explicitly: an empty-but-touched day is a bare marker partition dir
+#: with no parquet files, so schema inference would fail on a state dir
+#: holding only markers — and at scale an explicit schema skips footer
+#: sampling entirely.
+FINAL_SCHEMA = T.StructType(
+    [
+        T.StructField("summary_date", T.IntegerType()),
+        *[T.StructField(k, T.StringType()) for k in KEYS],
+        T.StructField("b_count", T.LongType()),
+        T.StructField("b_cur", T.DoubleType()),
+        T.StructField("p_cur", T.DoubleType()),
+        T.StructField("rtp_cur", T.DoubleType()),
+        T.StructField("is_risky", T.IntegerType()),
+        T.StructField("send_alert", T.IntegerType()),
+        T.StructField("alert_count", T.LongType()),
+        T.StructField("last_alert_time", T.TimestampType()),
+        T.StructField("update_time", T.TimestampType()),
+        T.StructField("create_time", T.TimestampType()),
+    ]
+)
 
 
 def rtp_batch(player_1h: DataFrame, date_key: int) -> DataFrame:
@@ -129,7 +152,15 @@ def rtp_merge_days(
     now_lit = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
     epoch = F.lit(_EPOCH).cast("timestamp")
 
-    if old_state is None and not state_days:
+    if old_state is None:
+        if state_days:
+            # a day listed as stateful MUST come with its snapshot —
+            # merging against nothing would re-init alert state for a
+            # day the caller just asserted has history
+            raise ValueError(
+                "rtp_merge_days: state_days is non-empty but old_state is None — "
+                "load the listed snapshots (run_rtp_days does) or pass state_days=[]"
+            )
         return _rtp_init(new_batch, now_lit, epoch)
 
     if state_days is not None:

@@ -21,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tg_reporting_etl_spark.operators.risk_ctrl_rtp import (
     rtp_batch,
@@ -34,36 +35,48 @@ def _existing_state_days(spark: SparkSession, state_dir: str, date_keys: list[in
     """Which of ``date_keys`` already have a snapshot partition dir.
 
     Directory existence (not row presence) is the reference's
-    "state exists" predicate — an empty snapshot still counts as state,
-    so its day takes the merge branch, not first-run init.  Pure
+    "state exists" predicate — an empty snapshot still counts as state
+    (:func:`save_state_days` writes a marker dir for touched-but-empty
+    days), so its day takes the merge branch, not first-run init.  Pure
     filesystem metadata calls, O(len(date_keys)).
+
+    Filesystem errors PROPAGATE: returning [] on a transient FS fault
+    would reclassify every day as first-run, and the subsequent merge
+    would overwrite real snapshots with zeroed alert state — failing
+    the run is strictly safer than silently resetting alert throttles.
+    Only a genuinely absent root directory means "no state yet".
     """
     from tg_reporting_etl_spark.sources.writers import _fs_path
 
-    try:
-        fs, jroot = _fs_path(spark, state_dir)
-        if not fs.exists(jroot):
-            return []
-        return [
-            dk
-            for dk in date_keys
-            if fs.exists(jroot.suffix(f"/summary_date={dk}"))
-        ]
-    except Exception:
+    fs, jroot = _fs_path(spark, state_dir)
+    if not fs.exists(jroot):
         return []
+    return [
+        dk
+        for dk in date_keys
+        if fs.exists(jroot.suffix(f"/summary_date={dk}"))
+    ]
 
 
 def load_state(spark: SparkSession, state_dir: str, date_key: int) -> DataFrame | None:
-    """One day's snapshot, or None when the day has never been written."""
+    """One day's snapshot, or None when the day has never been written.
+
+    A touched-but-empty day (bare marker partition dir) returns an
+    EMPTY frame, not None — directory existence is the state predicate.
+    The explicit schema makes the empty read well-defined (no files to
+    infer from) and skips footer sampling.
+    """
+    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import FINAL_SCHEMA
+    from tg_reporting_etl_spark.sources.writers import _fs_path
+
     path = os.path.join(state_dir, f"summary_date={date_key}")
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force resolution
-    except Exception:
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
         return None
-    if "summary_date" not in df.columns:
-        # partitioned layout keeps the key in the dir name, not the files
-        df = df.withColumn("summary_date", F.lit(int(date_key)).cast("int"))
+    # partitioned layout keeps the key in the dir name, not the files
+    data_schema = T.StructType([f for f in FINAL_SCHEMA.fields if f.name != "summary_date"])
+    df = spark.read.schema(data_schema).parquet(path)
+    df = df.withColumn("summary_date", F.lit(int(date_key)).cast("int"))
     return df.select(*_final_columns())
 
 
@@ -99,34 +112,56 @@ def run_rtp_days(
     level (per-day snapshot overwrite == the reference's
     delete-before-insert on summary_date).
     """
+    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import FINAL_SCHEMA
+
     date_keys = [int(d) for d in date_keys]
     state_days = _existing_state_days(spark, state_dir, date_keys)
     batch = rtp_batch_days(player_1h, date_keys)
     old = None
     if state_days:
         # one scan of the partitioned table, pruned to the stateful days
-        old = spark.read.parquet(state_dir).filter(
+        # (explicit schema: marker-only dirs have no files to infer from)
+        old = spark.read.schema(FINAL_SCHEMA).parquet(state_dir).filter(
             F.col("summary_date").isin(state_days)
         ).select(*_final_columns())
     new_state = rtp_merge_days(old, batch, now, state_days=state_days)
-    save_state_days(new_state, state_dir)
-    return spark.read.parquet(state_dir).filter(
+    save_state_days(new_state, state_dir, touched_days=date_keys)
+    return spark.read.schema(FINAL_SCHEMA).parquet(state_dir).filter(
         F.col("summary_date").isin(date_keys)
     ).select(*_final_columns())
 
 
-def save_state_days(state: DataFrame, state_dir: str) -> None:
-    """Persist a multi-day state frame (full snapshot per touched day)."""
-    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import KEYS
-    from tg_reporting_etl_spark.sources.writers import merge_into
+def save_state_days(
+    state: DataFrame, state_dir: str, touched_days: list[int] | None = None
+) -> None:
+    """Persist a multi-day state frame (full snapshot per touched day).
 
+    ``touched_days``: every day this run PROCESSED, including days whose
+    merged state came out empty.  Dynamic partition overwrite writes no
+    ``summary_date=N`` dir for an empty day, which would make the day
+    look never-run and route its next batch through first-run init
+    (throttle/cap skipped).  An empty marker partition dir is created
+    for each touched day with no rows, so the reference's "directory
+    existence == state exists" predicate holds even for empty snapshots
+    (Spark's partition discovery ignores empty leaf dirs on read).
+    """
+    from tg_reporting_etl_spark.operators.risk_ctrl_rtp import KEYS
+    from tg_reporting_etl_spark.sources.writers import _fs_path, merge_into
+
+    spark = state.sparkSession
     merge_into(
-        state.sparkSession,
+        spark,
         state_dir,
         state,
         keys=["summary_date", *KEYS],
         partition_cols=["summary_date"],
     )
+    if touched_days:
+        fs, jroot = _fs_path(spark, state_dir)
+        for dk in touched_days:
+            jday = jroot.suffix(f"/summary_date={int(dk)}")
+            if not fs.exists(jday):
+                fs.mkdirs(jday)
 
 
 def run_rtp_day(

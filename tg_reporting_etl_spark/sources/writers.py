@@ -148,7 +148,13 @@ def _merge_parquet(
     except Exception:
         writer = batch.write.mode("overwrite")
         if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
+            # dynamic even on bootstrap: a target dir holding only empty
+            # marker partitions (touched-but-empty days, runner/state.py)
+            # has no files to infer a schema from and lands here — a
+            # STATIC overwrite would wipe those markers
+            writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+                *partition_cols
+            )
         writer.parquet(target_path)
         return
 
