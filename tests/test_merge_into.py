@@ -166,6 +166,145 @@ def test_merge_backend_registry_prefers_available_native(spark, tmp_path, monkey
     assert _read(spark, str(tmp_path / "t2")) == {("a", 1): 10}  # really wrote
 
 
+def _install_fake_delta(monkeypatch, *, is_table: bool, calls: dict):
+    """Inject a stub ``delta.tables.DeltaTable`` into sys.modules so
+    _merge_delta's body executes without the jar, recording the merge
+    condition / clause chain / bootstrap write it would issue."""
+    import sys
+    import types
+
+    class FakeMerge:
+        def __init__(self, path, source, cond):
+            calls["merge"] = {"path": path, "source": source, "cond": cond, "clauses": []}
+
+        def whenMatchedUpdateAll(self):
+            calls["merge"]["clauses"].append("whenMatchedUpdateAll")
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["merge"]["clauses"].append("whenNotMatchedInsertAll")
+            return self
+
+        def execute(self):
+            calls["merge"]["executed"] = True
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            calls["probed"] = path
+            return is_table
+
+        @staticmethod
+        def forPath(spark, path):
+            class _Aliased:
+                def merge(self, source, cond):
+                    return FakeMerge(path, source, cond)
+
+            class _Target:
+                def alias(self, a):
+                    calls["target_alias"] = a
+                    return _Aliased()
+
+            return _Target()
+
+    mod = types.ModuleType("delta")
+    tables = types.ModuleType("delta.tables")
+    tables.DeltaTable = FakeDeltaTable
+    mod.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+
+
+class _FakeBatch:
+    """Records the write-chain / alias calls _merge_delta makes; no JVM."""
+
+    def __init__(self, calls: dict):
+        self._calls = calls
+
+    @property
+    def write(self):
+        calls = self._calls
+
+        class _W:
+            def format(self, f):
+                calls["write"] = {"format": f}
+                return self
+
+            def mode(self, m):
+                calls["write"]["mode"] = m
+                return self
+
+            def partitionBy(self, *cols):
+                calls["write"]["partitionBy"] = cols
+                return self
+
+            def save(self, path):
+                calls["write"]["saved"] = path
+
+        return _W()
+
+    def alias(self, a):
+        self._calls["batch_alias"] = a
+        return ("aliased-batch", a)
+
+
+def test_merge_delta_bootstrap_overwrites_on_first_write(monkeypatch):
+    """Target not yet a Delta table -> plain overwrite write (with the
+    partition spec), no MERGE attempted."""
+    from tg_reporting_etl_spark.sources import writers as w
+
+    calls: dict = {}
+    _install_fake_delta(monkeypatch, is_table=False, calls=calls)
+    w._merge_delta(None, "/tmp/delta_t", _FakeBatch(calls), keys=["k"], partition_cols=["part"])
+    assert calls["probed"] == "/tmp/delta_t"
+    assert calls["write"] == {
+        "format": "delta",
+        "mode": "overwrite",
+        "partitionBy": ("part",),
+        "saved": "/tmp/delta_t",
+    }
+    assert "merge" not in calls
+
+
+def test_merge_delta_builds_null_safe_merge(monkeypatch):
+    """Existing Delta target -> MERGE INTO with a null-safe (<=>) key
+    condition (matching the parquet backend's anti-join NULL semantics),
+    update-all + insert-all clauses, and an execute() commit."""
+    from tg_reporting_etl_spark.sources import writers as w
+
+    calls: dict = {}
+    _install_fake_delta(monkeypatch, is_table=True, calls=calls)
+    w._merge_delta(
+        None, "/tmp/delta_t", _FakeBatch(calls), keys=["summary_date", "player_name"]
+    )
+    m = calls["merge"]
+    assert m["cond"] == "t.summary_date <=> s.summary_date AND t.player_name <=> s.player_name"
+    assert calls["target_alias"] == "t" and calls["batch_alias"] == "s"
+    assert m["source"] == ("aliased-batch", "s")
+    assert m["clauses"] == ["whenMatchedUpdateAll", "whenNotMatchedInsertAll"]
+    assert m["executed"] is True
+    assert "write" not in calls  # no bootstrap write on the merge path
+
+
+def test_delta_probe_activates_backend_when_importable(monkeypatch):
+    """With the python package importable and the jar class resolvable,
+    the registry dispatches merge_into to the Delta backend."""
+    import types
+
+    from tg_reporting_etl_spark.sources import writers as w
+
+    _install_fake_delta(monkeypatch, is_table=True, calls={})
+    jvm = types.SimpleNamespace(
+        java=types.SimpleNamespace(
+            lang=types.SimpleNamespace(Class=types.SimpleNamespace(forName=lambda n: object))
+        )
+    )
+    fake_spark = types.SimpleNamespace(_jvm=jvm)
+    assert w._delta_available(fake_spark) is True
+    assert w.selected_merge_backend_name(fake_spark) == "delta"
+    assert w._select_merge_backend(fake_spark) is w._merge_delta
+
+
 def test_register_merge_backend_orders_above_parquet(spark):
     from tg_reporting_etl_spark.sources import writers as w
 

@@ -1,0 +1,79 @@
+"""Source readers: JDBC option plumbing (no DB in this container).
+
+The JDBC entry point mirrors the reference's MariaDB reads
+(task-executor/trans_summary/trans_summary_5min.py:92-93) but
+parallelized by partition ranges.  With no database available, the test
+intercepts the DataFrameReader chain at the Python layer and asserts
+the exact option keys Spark's JDBC source expects — a typo in
+``partitionColumn``/``numPartitions``/``lowerBound``/``upperBound``
+would silently serialize the whole scan through one connection in
+production.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.readwriter import DataFrameReader
+
+from tg_reporting_etl_spark.sources import readers
+
+
+@pytest.fixture()
+def captured_reader(monkeypatch):
+    captured: dict = {}
+
+    def fake_format(self, source):
+        captured["format"] = source
+        return self
+
+    def fake_option(self, key, value):
+        captured.setdefault("options", {})[key] = value
+        return self
+
+    def fake_load(self, *a, **kw):
+        captured["loaded"] = True
+        return "sentinel-df"
+
+    monkeypatch.setattr(DataFrameReader, "format", fake_format)
+    monkeypatch.setattr(DataFrameReader, "option", fake_option)
+    monkeypatch.setattr(DataFrameReader, "load", fake_load)
+    return captured
+
+
+def test_read_jdbc_partitioned_option_plumbing(spark, captured_reader):
+    out = readers.read_jdbc(
+        spark,
+        "jdbc:mysql://db:3306/report",
+        "trans_summary_5min",
+        partition_column="id",
+        num_partitions=8,
+        lower_bound=5,
+        upper_bound=500,
+        fetchsize="10000",
+        user="etl",
+    )
+    assert out == "sentinel-df" and captured_reader["loaded"]
+    assert captured_reader["format"] == "jdbc"
+    assert captured_reader["options"] == {
+        "url": "jdbc:mysql://db:3306/report",
+        "dbtable": "trans_summary_5min",
+        "partitionColumn": "id",
+        "numPartitions": "8",  # stringified: JDBC options are string-typed
+        "lowerBound": "5",
+        "upperBound": "500",
+        "fetchsize": "10000",  # passthrough options reach the reader
+        "user": "etl",
+    }
+
+
+def test_read_jdbc_defaults_and_serial_path(spark, captured_reader):
+    # bounds omitted -> documented defaults
+    readers.read_jdbc(spark, "jdbc:mysql://db/x", "t", partition_column="k")
+    assert captured_reader["options"]["lowerBound"] == "0"
+    assert captured_reader["options"]["upperBound"] == "1000000"
+    assert captured_reader["options"]["numPartitions"] == "32"
+
+    # no partition column -> no range options at all (serial scan)
+    captured_reader.clear()
+    readers.read_jdbc(spark, "jdbc:mysql://db/x", "t")
+    assert captured_reader["options"] == {"url": "jdbc:mysql://db/x", "dbtable": "t"}
