@@ -384,3 +384,56 @@ def test_streaming_exact_dedup_drops_cross_batch_copies(spark, tmp_path):
     assert by_text["beta text"] == [2] and by_text["gamma text"] == [5]
     assert by_text["alpha text"] in ([1], [3])  # one survivor, first batch
     assert len(rows) == 3
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """Incremental MinHash-LSH: a near-duplicate (not byte-identical)
+    arriving in a LATER micro-batch is detected against documents
+    indexed by earlier batches, and intra-batch near-dups are caught in
+    the same pass.  Unrelated docs never pair."""
+    import os
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_near_dup_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under amber lights near the old harbor wall "
+    ) * 3
+    mutated = base.replace("amber", "violet")
+    other = (
+        "completely different content about spark shuffle partitions and "
+        "columnar parquet encodings with dictionary pages and bloom filters "
+    ) * 3
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([(1, base), (10, other)], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_near_dup_sink(stream, str(tmp_path / "nd_index"), str(tmp_path / "nd_ckpt"))
+    try:
+        q.processAllAvailable()
+        pairs_path = str(tmp_path / "nd_index" / "pairs")
+        assert spark.read.parquet(pairs_path).count() == 0  # nothing similar yet
+
+        # batch 2: two near-dups of doc 1 — cross-batch AND intra-batch
+        spark.createDataFrame(
+            [(2, mutated), (3, base.replace("slow", "quick")), (11, other[::-1])], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+
+        got = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+    finally:
+        q.stop()
+
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}, got
+    assert all(v >= 0.5 for v in got.values())
+    # signature index carries every ingested doc; band index 4 rows each
+    idx = spark.read.parquet(str(tmp_path / "nd_index" / "signatures"))
+    assert {r.doc_id for r in idx.collect()} == {1, 2, 3, 10, 11}
+    bands = spark.read.parquet(str(tmp_path / "nd_index" / "bands"))
+    assert bands.count() == 5 * 4

@@ -550,35 +550,35 @@ def ngram_jaccard_dedup_capped(
     return _jaccard_on_hashed(hashed, candidate_pairs(disc, key="h"), tau)
 
 
-def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """MinHash + LSH candidate pairs (shingle -> minhash -> band -> join).
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(doc_id, m0..m{n-1}) MinHash signature table.
 
-    Signature h_s(doc) = min over shingles of md5int('mh|s|shingle');
-    docs pair up when any band (r = n_hashes/bands consecutive
-    signatures) matches exactly.  This is the scale path: the join key is
-    (band_id, band_key), never a shingle.
+    Signature h_i(doc) = min over shingles of md5int('mh|shingle') XOR
+    C_i (salt constants themselves md5-derived) — one md5 per shingle,
+    all n signatures out of ONE aggregation pass: no exploded shuffle,
+    no n× md5 cost.  This is the unit the streaming near-dup index
+    persists per document (16 longs, bounded state).
     """
-    r = n_hashes // bands
-    # one md5 per shingle; the hash family is h_i = h XOR C_i (salt
-    # constants themselves md5-derived).  All signatures come out of ONE
-    # aggregation pass — no exploded shuffle, no 16x md5 cost.
     if "mh" in shingles.columns:
         base = shingles.select("doc_id", F.col("mh").alias("_h"))
     else:
         base = shingles.select(
             "doc_id", h32(F.concat_ws("|", F.lit("mh"), F.col("shingle"))).alias("_h")
         )
-    # persisted: the band self-join references the signature table on
-    # both sides — without this the signature aggregation (the one pass
-    # over the full shingle volume) runs twice
-    sig = tracked_persist(
-        base.groupBy("doc_id").agg(
-            *[
-                F.min(F.expr(f"_h ^ {salt_constant(i)}")).alias(f"m{i}")
-                for i in range(n_hashes)
-            ]
-        )
+    return base.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"_h ^ {salt_constant(i)}")).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
     )
+
+
+def minhash_band_rows(sig: DataFrame, n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_key) LSH band rows from a signature table —
+    r = n_hashes/bands consecutive signatures concatenated per band.
+    The (band, band_key) pair is the scale-path join key: docs collide
+    when any band matches exactly."""
+    r = n_hashes // bands
     band_frames = [
         sig.select(
             "doc_id",
@@ -587,7 +587,22 @@ def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) 
         )
         for j in range(bands)
     ]
-    banded = reduce(DataFrame.unionByName, band_frames)
+    return reduce(DataFrame.unionByName, band_frames)
+
+
+def minhash_candidates(shingles: DataFrame, n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """MinHash + LSH candidate pairs (shingle -> minhash -> band -> join).
+
+    Signature family as in :func:`minhash_signatures`; docs pair up when
+    any band (r = n_hashes/bands consecutive signatures) matches exactly
+    (:func:`minhash_band_rows`).  This is the scale path: the join key is
+    (band_id, band_key), never a shingle.
+    """
+    # persisted: the band self-join references the signature table on
+    # both sides — without this the signature aggregation (the one pass
+    # over the full shingle volume) runs twice
+    sig = tracked_persist(minhash_signatures(shingles, n_hashes))
+    banded = minhash_band_rows(sig, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
