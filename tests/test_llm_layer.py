@@ -502,3 +502,53 @@ def test_positional_filter_prunes_without_loss(spark):
     assert positional <= plain
     assert len(positional) < len(plain)  # the filter measurably prunes
     assert brute <= positional  # and loses nothing
+
+
+def test_repetition_stats_on_constructed_docs(spark):
+    from tg_reporting_etl_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated 4x
+            (2, "a b c d"),            # all distinct
+            (3, "x x y z"),            # top token 2/4, distinct 3/4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx.repetition_stats(docs).collect()}
+    assert (got[1].n_tokens, got[1].distinct_tokens) == (4, 1)
+    assert got[1].dup_token_fraction == 0.75 and got[1].top_token_fraction == 1.0
+    assert got[2].dup_token_fraction == 0.0 and got[2].top_token_fraction == 0.25
+    assert got[3].dup_token_fraction == 0.25 and got[3].top_token_fraction == 0.5
+
+
+def test_cross_source_contamination_channels_and_orientation(spark):
+    """Exact twins report once on the exact channel oriented
+    train->eval; near pairs cross the boundary regardless of which side
+    of the (doc_a < doc_b) pair normalization the eval doc landed on;
+    same-side pairs and digest-equal near pairs are excluded."""
+    docs = spark.createDataFrame(
+        [
+            (1, "identical text", "eval_set"),
+            (2, "identical text", "train_a"),   # exact leak, eval id < train id
+            (3, "near text one", "train_b"),
+            (4, "near text two", "eval_set"),   # near leak, eval id > train id
+            (5, "other eval doc", "eval_set"),
+            (6, "other train doc", "train_a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 1.0),   # digest-equal: must NOT be re-reported as near
+            (3, 4, 0.6),   # cross-boundary near dup
+            (5, 4, 0.5),   # eval-eval: excluded
+            (3, 6, 0.5),   # train-train: excluded
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        (r.train_doc_id, r.eval_doc_id): (r.kind, r.jaccard)
+        for r in dd.cross_source_contamination(docs, pairs, ["eval_set"]).collect()
+    }
+    assert got == {(2, 1): ("exact", 1.0), (3, 4): ("near", 0.6)}

@@ -809,6 +809,65 @@ def connected_components(
     return out
 
 
+def cross_source_contamination(
+    docs: DataFrame, pairs: DataFrame, eval_sources: list[str]
+) -> DataFrame:
+    """Train/eval decontamination: documents in a TRAIN source that
+    duplicate a document in an EVAL (benchmark holdout) source.
+
+    The standard pre-training hygiene step: benchmark text leaking into
+    the training set inflates eval scores, so every train doc whose
+    twin sits across the eval boundary is flagged for removal.  Two
+    detection channels:
+
+    - ``exact``: identical bytes (md5 digest equi-join; the eval side
+      is the small one — broadcast);
+    - ``near``:  a pair from the supplied near-dup pair table
+      (``doc_a < doc_b, jaccard``; any candidate policy) that crosses
+      the boundary, digest-distinct (exact twins are reported once, on
+      the exact channel).
+
+    Output: (train_doc_id, eval_doc_id, kind, jaccard).  Scale shape:
+    the digest join shuffles 16-byte keys only; orientation and the
+    boundary test are row-local after two metadata joins keyed on
+    doc_id.
+    """
+    meta = docs.select("doc_id", "source", F.md5("text").alias("digest"))
+    is_eval = F.col("source").isin(list(eval_sources))
+    ev = meta.filter(is_eval)
+    tr = meta.filter(~is_eval)
+    exact = (
+        tr.alias("t")
+        .join(F.broadcast(ev.alias("e")), F.col("t.digest") == F.col("e.digest"))
+        .select(
+            F.col("t.doc_id").alias("train_doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    pa = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("digest").alias("dg_a")
+    )
+    pb = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("digest").alias("dg_b")
+    )
+    a_eval = F.col("src_a").isin(list(eval_sources))
+    b_eval = F.col("src_b").isin(list(eval_sources))
+    near = (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter((a_eval != b_eval) & (F.col("dg_a") != F.col("dg_b")))
+        .select(
+            F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_doc_id"),
+            F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias("eval_doc_id"),
+            F.lit("near").alias("kind"),
+            F.col("jaccard"),
+        )
+    )
+    return exact.unionByName(near)
+
+
 def dedup_keepers(pairs: DataFrame) -> DataFrame:
     """Component membership + keeper flag: one kept doc per component
     (the min doc_id, matching :func:`exact_dedup`'s keeper rule)."""

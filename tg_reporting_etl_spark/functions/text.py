@@ -86,6 +86,35 @@ def with_lang_id(docs: DataFrame) -> DataFrame:
     return scored.withColumn("lang_pred", pred).drop(*[f"_s_{lang}" for lang in langs])
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals per document:
+    duplicate-token fraction (1 - distinct/total) and top-token fraction
+    (most frequent token's share).  Templated or looping text scores
+    high on both and is filtered out of training corpora.
+
+    Unlike the other text operators this needs a frequency aggregation
+    (mode-of-array is not a column expression), so it runs as explode →
+    two-level groupBy — both aggs map-side partial, shuffle keyed on
+    (doc_id, token) then doc_id, no Python."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("distinct_tokens"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            (1.0 - F.col("distinct_tokens") / F.col("n_tokens")).alias("dup_token_fraction"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_fraction"),
+        )
+    )
+
+
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive rolling polynomial hash over whitespace tokens:
     acc = (acc*31 + h(tok)) mod (2^31-1), h already reduced mod the same

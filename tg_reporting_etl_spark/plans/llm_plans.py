@@ -499,6 +499,71 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=3)
 
 
+# ------------------------------------------------------- decontamination
+
+#: Benchmark-holdout sources for the decontamination query: a fixed 25%
+#: of the 20 synthetic sources plays the role of the eval set.
+EVAL_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_EVAL_IN = ", ".join(f"'{s}'" for s in EVAL_SOURCES)
+
+_DECON_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()},
+disc AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1
+        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM disc a JOIN disc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM cands c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT i.doc_a, i.doc_b, ROUND(i.c * 1.0 / (x.n + y.n - i.c), 6) AS jaccard
+  FROM inter i JOIN sizes x ON x.doc_id = i.doc_a JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}
+),
+meta AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+exact AS (
+  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+         'exact' AS kind, ROUND(1.0, 6) + 0.0 AS jaccard
+  FROM meta t JOIN meta e ON t.digest = e.digest
+  WHERE e.source IN ({_EVAL_IN}) AND t.source NOT IN ({_EVAL_IN})
+),
+near AS (
+  SELECT CASE WHEN ma.source IN ({_EVAL_IN}) THEN j.doc_b ELSE j.doc_a END AS train_doc_id,
+         CASE WHEN ma.source IN ({_EVAL_IN}) THEN j.doc_a ELSE j.doc_b END AS eval_doc_id,
+         'near' AS kind, ROUND(j.jaccard, 6) + 0.0 AS jaccard
+  FROM jacc j
+  JOIN meta ma ON ma.doc_id = j.doc_a
+  JOIN meta mb ON mb.doc_id = j.doc_b
+  WHERE (ma.source IN ({_EVAL_IN})) <> (mb.source IN ({_EVAL_IN})) AND ma.digest <> mb.digest
+)
+SELECT * FROM exact UNION ALL SELECT * FROM near"""
+
+
+@register(
+    "doc_decontaminate",
+    _DECON_ORACLE,
+    survey_ids="LLM: train/eval decontamination (exact + near cross-source dup flags)",
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leak flags: train docs whose exact or near duplicate
+    sits in an eval-holdout source (functions/dedup.py:
+    cross_source_contamination; near channel = the shared df-capped
+    pair table, so no extra candidate generation cost)."""
+    out = dd.cross_source_contamination(
+        _docs(spark, sf_dir), _capped_pairs(spark, sf_dir), list(EVAL_SOURCES)
+    )
+    return round_doubles(out)
+
+
 # ------------------------------------------------------------- text analysis
 
 def _occ(needle: str) -> str:
@@ -519,6 +584,29 @@ def _lang_oracle() -> str:
   SELECT doc_id, lang, {scores}
   FROM documents
 )"""
+
+
+_REPETITION_ORACLE = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       ROUND(1.0 - count(*) * 1.0 / sum(c), 6) + 0.0 AS dup_token_fraction,
+       ROUND(max(c) * 1.0 / sum(c), 6) + 0.0 AS top_token_fraction
+FROM freq GROUP BY doc_id"""
+
+
+@register(
+    "doc_repetition",
+    _REPETITION_ORACLE,
+    survey_ids="LLM: repetition quality filter (dup-token / top-token fractions)",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition stats (functions/text.py:
+    repetition_stats) — the filter signal for templated/looping text."""
+    return round_doubles(tx.repetition_stats(_docs(spark, sf_dir)))
 
 
 @register("doc_lang_id", _lang_oracle(), survey_ids="LLM: n-gram-heuristic language id")
