@@ -552,3 +552,25 @@ def test_cross_source_contamination_channels_and_orientation(spark):
         for r in dd.cross_source_contamination(docs, pairs, ["eval_set"]).collect()
     }
     assert got == {(2, 1): ("exact", 1.0), (3, 4): ("near", 0.6)}
+
+
+def test_best_representatives_argmax_and_ties(spark):
+    """Per-component rep = highest quality, ties -> min doc_id; docs
+    outside any pair never appear; n_members counts the component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["doc_a", "doc_b"]
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.5),     # chain: rep=2 (max quality)
+            (10, 0.7), (11, 0.7),             # tie: rep=min id 10
+            (20, 0.0), (21, 0.0),             # all-zero tie: rep=20
+            (99, 1.0),                        # isolated — excluded
+        ],
+        ["doc_id", "quality"],
+    )
+    got = {
+        (r.component_id, r.rep_doc_id, r.best_quality, r.n_members)
+        for r in dd.best_representatives(scored, pairs).collect()
+    }
+    assert got == {(1, 2, 0.9, 3), (10, 10, 0.7, 2), (20, 20, 0.0, 2)}

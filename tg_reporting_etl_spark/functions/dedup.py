@@ -877,3 +877,45 @@ def dedup_keepers(pairs: DataFrame) -> DataFrame:
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
     )
+
+
+def best_representatives(scored: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Quality-aware keeper selection: one representative per near-dup
+    component — the HIGHEST-quality member, not the smallest id.
+
+    Min-id keeping (:func:`dedup_keepers`) discards indiscriminately;
+    real corpus curation keeps the best variant of each content family
+    (longest / least-truncated / highest quality score) and drops the
+    rest.  ``scored`` supplies ``(doc_id, quality)``; ties break to the
+    smallest doc_id so the choice is deterministic — callers feeding a
+    twin engine must pre-round ``quality`` identically or arg-max ties
+    may diverge.
+
+    Output: ``(component_id, rep_doc_id, best_quality, n_members)``.
+
+    Scale shape: components run over the edge list only (docs outside
+    any dup pair never enter the iteration); the quality join is keyed
+    on doc_id; arg-max is ``max(struct(quality, -doc_id))`` — a single
+    partially-aggregable hash agg, no per-component window sort, so a
+    pathologically huge component costs a merge of constant-size
+    structs, not a skewed sort partition.
+    """
+    comp = connected_components(pairs)
+    member = comp.join(scored.select("doc_id", "quality"), "doc_id")
+    return (
+        member.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("best"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "component_id",
+            (-F.col("best.nd")).cast("long").alias("rep_doc_id"),
+            F.col("best.q").alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -193,7 +193,8 @@ def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair generation and keeper selection — near-dup pairs are transitive
 # in practice, so dedup keeps one doc per CONNECTED component.  Oracle:
 # reachability closure via recursive CTE, component = min reachable id.
-_COMPONENTS_ORACLE = f"""WITH RECURSIVE {_SHINGLES.strip()}, {_SIZES.strip()},
+# The CTE chain is shared with the best-representative oracle below.
+_COMPONENTS_CTES = f"""WITH RECURSIVE {_SHINGLES.strip()}, {_SIZES.strip()},
 disc AS (
   SELECT s.doc_id, s.shingle
   FROM shingles s
@@ -227,11 +228,15 @@ reach(a, b) AS (
   SELECT src, dst FROM sym
   UNION
   SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
-)
-SELECT a AS doc_id,
-       LEAST(a, MIN(b)) AS component_id,
-       a = LEAST(a, MIN(b)) AS is_keeper
-FROM reach GROUP BY a"""
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+  FROM reach GROUP BY a
+)"""
+
+_COMPONENTS_ORACLE = f"""{_COMPONENTS_CTES}
+SELECT doc_id, component_id, doc_id = component_id AS is_keeper
+FROM comp"""
 
 
 @register(
@@ -638,6 +643,40 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(
         d.select("doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len", "stopword_ratio", "quality")
     )
+
+
+def _best_rep_oracle() -> str:
+    """Components CTE chain + the quality score as a subquery (reused
+    verbatim from the doc_quality oracle so the two cannot drift), then
+    a per-component arg-max with (quality DESC, doc_id ASC) tie-break —
+    the same deterministic rule the Spark struct-max encodes."""
+    return f"""{_COMPONENTS_CTES},
+qual AS (SELECT doc_id, quality FROM ({_quality_oracle()}))
+SELECT component_id, rep_doc_id, best_quality, n_members FROM (
+  SELECT c.component_id, c.doc_id AS rep_doc_id, q.quality + 0.0 AS best_quality,
+         CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN qual q USING (doc_id)
+) WHERE rn = 1"""
+
+
+@register(
+    "doc_dedup_best_rep",
+    _best_rep_oracle(),
+    survey_ids="LLM: quality-aware dup-cluster representative selection",
+)
+def q_doc_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/dedup.py:best_representatives over the capped pair
+    graph — the curation step after clustering: keep the HIGHEST-quality
+    member of each near-dup family, not the smallest id.  Quality is
+    pre-rounded to 6 places in BOTH engines so arg-max ties resolve
+    identically (ties then break to min doc_id)."""
+    scored = tx.with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    pairs = _capped_pairs(spark, sf_dir)
+    return dd.best_representatives(scored, pairs.select("doc_a", "doc_b"))
 
 
 @register(
