@@ -437,3 +437,73 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     assert {r.doc_id for r in idx.collect()} == {1, 2, 3, 10, 11}
     bands = spark.read.parquet(str(tmp_path / "nd_index" / "bands"))
     assert bands.count() == 5 * 4
+
+
+def _collect_sessions(df):
+    return sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_event_types, r.total_value)
+        for r in df.collect()
+    )
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window reproduces the batch lag+cumsum sessionizer:
+    same (user, start, end, counts) set over the whole events table."""
+    from tg_reporting_etl_spark.operators.sessions import sessionize
+    from tg_reporting_etl_spark.sources.readers import load_table
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_sessionize
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = start_memory_sink(streaming_sessionize(stream, 30), "sess_stream", mode="complete")
+    try:
+        q.processAllAvailable()
+        got = _collect_sessions(spark.table("sess_stream"))
+    finally:
+        q.stop()
+    want = _collect_sessions(
+        sessionize(events, 30).select(
+            "user_id", "session_start", "session_end", "n_events", "total_value", "n_event_types"
+        )
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5]
+        assert g[5] == pytest.approx(w[5], abs=1e-4)  # float sum order may differ per runtime
+
+
+def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
+    """A session straddling two micro-batches emits as ONE merged row —
+    the state-store behavior the batch operator gets from seeing all
+    rows at once."""
+    import datetime as dt
+
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_sessionize
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, m), uid, et, v) for (m, uid, et, v) in rows],
+            "ts timestamp, user_id long, event_type string, value double",
+        )
+
+    src = str(tmp_path / "merge_src")
+    rows_df([(0, 1, "a", 1.0), (10, 1, "b", 2.0), (0, 2, "a", 5.0)]).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, user_id long, event_type string, value double").parquet(src)
+    q = start_memory_sink(streaming_sessionize(stream, 30), "sess_merge", mode="complete")
+    try:
+        q.processAllAvailable()
+        assert spark.table("sess_merge").count() == 2
+        # second batch: user 1 event 25 min after their last -> same session
+        rows_df([(25, 1, "a", 4.0)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = _collect_sessions(spark.table("sess_merge"))
+    finally:
+        q.stop()
+    assert got == [
+        (1, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 25), 3, 2, 7.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 0), 1, 1, 5.0),
+    ]

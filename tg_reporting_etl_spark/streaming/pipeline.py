@@ -314,3 +314,43 @@ def start_near_dup_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.sessionize`` via native
+    ``session_window`` — Spark's gap-based session state machine.
+
+    The batch operator assigns per-user session ids with lag + running
+    cumsum; Structured Streaming expresses the same gap semantics
+    declaratively: ``session_window(ts, gap)`` opens a window at each
+    event and MERGES overlapping windows across micro-batches in the
+    state store, so a session straddling any number of batches emits as
+    one row once the watermark closes it.  Aggregates mirror the batch
+    columns; two contract deltas, both forced by the runtime:
+
+    - no running ``session_id`` counter (needs a total order over a
+      user's closed sessions) — ``session_start`` is the natural key;
+    - ``countDistinct`` is unsupported in streaming aggs, so
+      ``n_event_types`` is ``size(collect_set(...))`` — identical value,
+      state bounded by the event-type alphabet.
+
+    ``session_end`` is ``max(ts)`` (batch parity), not the
+    ``session_window.end`` bound (which is max(ts) + gap).
+    """
+    win = F.session_window("ts", f"{gap_minutes} minutes")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), win.alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.size(F.collect_set("event_type")).cast("long").alias("n_event_types"),
+        )
+    )
+    return agg.select(
+        "user_id", "session_start", "session_end", "n_events", "total_value", "n_event_types"
+    )
