@@ -879,7 +879,12 @@ def dedup_keepers(pairs: DataFrame) -> DataFrame:
     )
 
 
-def best_representatives(scored: DataFrame, pairs: DataFrame) -> DataFrame:
+def best_representatives(
+    scored: DataFrame,
+    pairs: DataFrame | None = None,
+    *,
+    components: DataFrame | None = None,
+) -> DataFrame:
     """Quality-aware keeper selection: one representative per near-dup
     component — the HIGHEST-quality member, not the smallest id.
 
@@ -899,9 +904,16 @@ def best_representatives(scored: DataFrame, pairs: DataFrame) -> DataFrame:
     partially-aggregable hash agg, no per-component window sort, so a
     pathologically huge component costs a merge of constant-size
     structs, not a skewed sort partition.
+
+    Pass a precomputed ``components`` frame (doc_id, component_id) to
+    reuse one labeling across several downstream selections instead of
+    re-running the iteration per caller.
     """
-    comp = connected_components(pairs)
-    member = comp.join(scored.select("doc_id", "quality"), "doc_id")
+    if components is None:
+        if pairs is None:
+            raise ValueError("best_representatives needs `pairs` or `components`")
+        components = connected_components(pairs)
+    member = components.join(scored.select("doc_id", "quality"), "doc_id")
     return (
         member.groupBy("component_id")
         .agg(

@@ -89,6 +89,17 @@ def _capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, component_id) labeling of the capped pair
+    graph — the iterative label-propagation run is paid once per
+    session and shared by the membership and representative queries."""
+    return cached_df(
+        spark,
+        f"dup_components|{sf_dir}",
+        lambda: dd.connected_components(_capped_pairs(spark, sf_dir).select("doc_a", "doc_b")),
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted 5-gram shingle-hash table (doc_id, h, mh — all longs)
     shared by the ngram and minhash dedup queries (each references it
@@ -248,9 +259,14 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation + pointer jumping over the capped near-dup
     pair graph (functions/dedup.py:connected_components) — one kept doc
     per component, matching the oracle's recursive-CTE reachability
-    closure."""
-    pairs = _capped_pairs(spark, sf_dir)
-    return dd.dedup_keepers(pairs.select("doc_a", "doc_b"))
+    closure.  The labeling itself is the session-shared ``_components``
+    frame (also consumed by doc_dedup_best_rep)."""
+    comp = _components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )
 
 
 # Deterministic source-mixing: Bernoulli stratified sample (weights per
@@ -675,8 +691,7 @@ def q_doc_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tx.with_quality(_docs(spark, sf_dir)).select(
         "doc_id", F.round("quality", 6).alias("quality")
     )
-    pairs = _capped_pairs(spark, sf_dir)
-    return dd.best_representatives(scored, pairs.select("doc_a", "doc_b"))
+    return dd.best_representatives(scored, components=_components(spark, sf_dir))
 
 
 @register(
