@@ -574,3 +574,31 @@ def test_best_representatives_argmax_and_ties(spark):
         for r in dd.best_representatives(scored, pairs).collect()
     }
     assert got == {(1, 2, 0.9, 3), (10, 10, 0.7, 2), (20, 20, 0.0, 2)}
+
+
+def test_boilerplate_ngrams_and_fraction(spark):
+    """Constructed corpus: 'the same footer' sits in 3 docs (df=3);
+    fraction counts instances, not types; short docs drop out."""
+    from tg_reporting_etl_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma the same footer"),
+            (2, "delta eps the same footer"),
+            (3, "the same footer the same footer"),
+            (4, "unique words only here now"),
+            (5, "too short"),  # < 3 words: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    bp = {(r.gram, r.df) for r in tx.boilerplate_ngrams(docs, n=3, min_df=3).collect()}
+    assert bp == {("the same footer", 3)}
+
+    frac = {r.doc_id: (r.n_grams, r.n_boiler, r.boiler_frac)
+            for r in tx.boilerplate_fraction(docs, n=3, min_df=3).collect()}
+    assert 5 not in frac
+    assert frac[1] == (4, 1, 0.25)
+    assert frac[2] == (3, 1, 0.333333)  # 5 words -> 3 trigram instances
+    # doc 3 has 4 gram instances, 2 of them the footer
+    assert frac[3] == (4, 2, 0.5)
+    assert frac[4] == (3, 0, 0.0)

@@ -129,3 +129,56 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % MOD31,
     )
     return docs.withColumn("fingerprint", fp)
+
+
+def word_ngram_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) instance rows: every length-``n`` word window of
+    ``text``.  Docs shorter than ``n`` words yield no rows (and so drop
+    out of downstream per-doc aggregates — mirrored by the oracle's
+    join).  The explode is the shingle pattern over words: map-side
+    only, no shuffle until a consumer aggregates."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return docs.filter(F.size(toks) >= n).select("doc_id", F.explode(grams).alias("gram"))
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
+    """Corpus-level boilerplate detection (C4/CCNet shape): word
+    ``n``-grams appearing in >= ``min_df`` DISTINCT documents — the
+    template/navigation text a web-scale corpus repeats across pages.
+
+    Output (gram, df), bounded by the gram-type space regardless of
+    corpus row count.  At 100 TB the groupBy key would be
+    ``xxhash64(gram)`` with ``min(gram)`` carried for display (the
+    shingle-hash pattern); here the string key keeps the operator
+    byte-comparable to the SQL oracle."""
+    return (
+        word_ngram_rows(docs, n)
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def boilerplate_fraction(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
+    """Per-doc fraction of n-gram instances that are corpus boilerplate
+    (df >= ``min_df``) — the Gopher-style cross-document duplication
+    signal (within-doc repetition is :func:`repetition_stats`).
+
+    Two shuffles: gram -> df, then doc_id -> counts; the gram-df join
+    reuses the first shuffle's partitioning.  Docs with < n words have
+    no gram instances and are absent, as in the oracle."""
+    rows = word_ngram_rows(docs, n)
+    df_tbl = rows.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        rows.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).cast("long").alias("n_boiler"),
+        )
+        .withColumn("boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 6))
+    )

@@ -619,6 +619,49 @@ SELECT doc_id,
 FROM freq GROUP BY doc_id"""
 
 
+# Cross-document boilerplate: word trigrams shared by >= BP_MIN_DF
+# distinct docs (C4/CCNet template-text detection), plus the per-doc
+# fraction of gram instances that are boilerplate (Gopher signal —
+# within-doc repetition is doc_repetition above).
+BP_N, BP_MIN_DF = 3, 5
+
+_BP_CTES = f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{BP_N - 1}], ' ') AS gram
+  FROM toks CROSS JOIN generate_series(1, 2000) s(i)
+  WHERE i <= len(t) - {BP_N - 1}
+),
+gdf AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM grams GROUP BY 1)"""
+
+
+@register(
+    "doc_boilerplate_ngrams",
+    f"{_BP_CTES}\nSELECT gram, df FROM gdf WHERE df >= {BP_MIN_DF}",
+    survey_ids="LLM: cross-doc boilerplate n-gram detection (C4/CCNet)",
+)
+def q_doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/text.py:boilerplate_ngrams — corpus trigrams shared by
+    >= BP_MIN_DF distinct docs; output bounded by the gram-type space."""
+    return tx.boilerplate_ngrams(_docs(spark, sf_dir), BP_N, BP_MIN_DF)
+
+
+@register(
+    "doc_boilerplate_fraction",
+    f"""{_BP_CTES}
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (d.df >= {BP_MIN_DF}) AS BIGINT) AS n_boiler,
+       ROUND(count(*) FILTER (d.df >= {BP_MIN_DF}) * 1.0 / count(*), 6) + 0.0 AS boiler_frac
+FROM grams g JOIN gdf d USING (gram)
+GROUP BY g.doc_id""",
+    survey_ids="LLM: per-doc cross-doc-duplication fraction (Gopher filter)",
+)
+def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/text.py:boilerplate_fraction — fraction of each doc's
+    gram instances whose corpus df >= BP_MIN_DF."""
+    return tx.boilerplate_fraction(_docs(spark, sf_dir), BP_N, BP_MIN_DF)
+
+
 @register(
     "doc_repetition",
     _REPETITION_ORACLE,
