@@ -602,3 +602,53 @@ def test_boilerplate_ngrams_and_fraction(spark):
     # doc 3 has 4 gram instances, 2 of them the footer
     assert frac[3] == (4, 2, 0.5)
     assert frac[4] == (3, 0, 0.0)
+
+
+def test_boilerplate_matches_python_reference_property(spark):
+    """Property: randomized corpora — Spark boilerplate df and per-doc
+    fractions equal a driver-side pure-Python count.  Directed random
+    sweep (deterministic seeds), one Spark job per case."""
+    import random
+    from collections import Counter
+
+    from tg_reporting_etl_spark.functions import text as tx
+
+    for seed, n, min_df in [(11, 2, 2), (12, 3, 2), (13, 3, 3), (14, 4, 2)]:
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d", "e"]
+        rows = []
+        for i in range(25):
+            k = rng.randint(1, 12)  # include docs shorter than n
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        # pure-python reference
+        per_doc = {}
+        df_count: Counter = Counter()
+        for i, text in rows:
+            toks = text.split(" ")
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if grams:
+                per_doc[i] = grams
+        for i, grams in per_doc.items():
+            for g in set(grams):
+                df_count[g] += 1
+        want_bp = {(g, c) for g, c in df_count.items() if c >= min_df}
+        got_bp = {(r.gram, r.df) for r in tx.boilerplate_ngrams(docs, n, min_df).collect()}
+        assert got_bp == want_bp, (seed, n, min_df)
+
+        want_frac = {
+            i: (
+                len(grams),
+                sum(1 for g in grams if df_count[g] >= min_df),
+            )
+            for i, grams in per_doc.items()
+        }
+        got = {
+            r.doc_id: (r.n_grams, r.n_boiler, r.boiler_frac)
+            for r in tx.boilerplate_fraction(docs, n, min_df).collect()
+        }
+        assert set(got) == set(want_frac), (seed, n, min_df)
+        for i, (ng, nb) in want_frac.items():
+            assert got[i][:2] == (ng, nb), (seed, i)
+            assert got[i][2] == round(nb / ng, 6), (seed, i)

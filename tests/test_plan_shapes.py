@@ -117,6 +117,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     "risk_ctrl_player_1d": {"bhj_min": 9, "smj_max": 0, "pushdown_min": 2},
     "risk_ctrl_game_1d": {"bhj_min": 5, "smj_max": 0, "pushdown_min": 1},
     "tiered_rollup_grouping_sets": {"smj_max": 0, "pushdown_min": 1},
+    "doc_boilerplate_ngrams": {"smj_max": 0},
+    "doc_boilerplate_fraction": {"bhj_min": 1, "smj_max": 0},
+    "doc_dedup_best_rep": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 1},
     "risk_ctrl_rtp_1d": {"bhj_min": 15, "smj_max": 2, "pushdown_min": 2},
     "dependency_gate": {"smj_max": 2},
     "init_board_seed": {"bhj_min": 6, "smj_max": 2},

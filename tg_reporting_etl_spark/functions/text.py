@@ -168,9 +168,14 @@ def boilerplate_fraction(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFr
     (df >= ``min_df``) — the Gopher-style cross-document duplication
     signal (within-doc repetition is :func:`repetition_stats`).
 
-    Two shuffles: gram -> df, then doc_id -> counts; the gram-df join
-    reuses the first shuffle's partitioning.  Docs with < n words have
-    no gram instances and are absent, as in the oracle."""
+    Plan shape (verified via explain): the df table — bounded by the
+    gram-TYPE space, not corpus rows — builds with one gram shuffle and
+    broadcasts to the instance side, so the big exploded frame never
+    shuffles on gram; only the final doc_id agg shuffles it.  If a real
+    corpus's type space outgrows the broadcast threshold, Catalyst
+    degrades to a sort-merge join on gram — correct, one extra shuffle.
+    Docs with < n words have no gram instances and are absent, as in
+    the oracle."""
     rows = word_ngram_rows(docs, n)
     df_tbl = rows.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
     return (
