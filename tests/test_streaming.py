@@ -507,3 +507,48 @@ def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
         (1, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 25), 3, 2, 7.0),
         (2, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 0), 1, 1, 5.0),
     ]
+
+
+def test_streaming_embedding_dup_across_batches(spark, tmp_path):
+    """Incremental sign-LSH + exact-cosine verify: a near-duplicate
+    vector arriving in a later micro-batch pairs with its earlier twin;
+    orthogonal vectors never pair; reported cos_sim is the exact value."""
+    import os
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_embedding_dup_sink
+
+    base = [float(i % 7 + 1) for i in range(16)]
+    near = [v + (0.01 if i == 3 else 0.0) for i, v in enumerate(base)]   # cos ~1
+    anti = [-v for v in base]                                            # cos = -1
+    schema = "vec_id long, embedding array<float>"
+
+    src = str(tmp_path / "ed_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame([(1, base), (10, anti)], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_embedding_dup_sink(
+        stream, str(tmp_path / "ed_index"), str(tmp_path / "ed_ckpt"), tau=0.95
+    )
+    try:
+        q.processAllAvailable()
+        pairs_path = str(tmp_path / "ed_index" / "pairs")
+        assert spark.read.parquet(pairs_path).count() == 0
+
+        # batch 2: near-dup of vec 1 (cross-batch) + fresh intra-batch twin pair
+        twin = [1.0] * 16
+        spark.createDataFrame(
+            [(2, near), (20, twin), (21, list(twin))], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.vec_a, r.vec_b): r.cos_sim for r in spark.read.parquet(pairs_path).collect()
+        }
+    finally:
+        q.stop()
+
+    assert set(got) == {(1, 2), (20, 21)}, got
+    assert got[(20, 21)] == 1.0
+    assert got[(1, 2)] >= 0.999
+    vecs = spark.read.parquet(str(tmp_path / "ed_index" / "vectors"))
+    assert {r.vec_id for r in vecs.collect()} == {1, 2, 10, 20, 21}

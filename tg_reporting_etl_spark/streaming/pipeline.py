@@ -354,3 +354,114 @@ def streaming_sessionize(
     return agg.select(
         "user_id", "session_start", "session_end", "n_events", "total_value", "n_event_types"
     )
+
+
+def start_embedding_dup_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    tau: float = 0.9,
+    bands: int = 4,
+    dims_per_band: int = 4,
+) -> StreamingQuery:
+    """Incremental embedding-cosine near-dup detection over a vector
+    stream — the embedding twin of :func:`start_near_dup_sink`.
+
+    Same index/probe/merge skeleton, one semantic upgrade: because the
+    index keeps FULL vectors (a bounded ``dim x 8`` bytes per doc, vs
+    the unbounded shingle sets the MinHash index cannot afford), every
+    candidate is verified with the EXACT cosine — the only approximation
+    is candidate recall, set by sign-LSH banding (a pair is probed only
+    if some band's sign pattern matches, the batch analogue is
+    ``similarity.sign_lsh_bands``/``ann_sign_lsh_topk``).
+
+    Index layout under ``index_dir``: ``vectors`` (vec_id, embedding),
+    ``bands`` (vec_id, band, band_key), ``pairs`` (vec_a, vec_b,
+    cos_sim).  Per-batch cost is O(batch x band-collisions): history is
+    touched via the (band, band_key) equi-join (batch side broadcast)
+    and the candidate-keyed vector lookup, never rescanned.  All three
+    merges are keyed, so re-delivered batches are idempotent.
+    """
+    import os
+
+    from tg_reporting_etl_spark.functions.similarity import cosine, sign_lsh_bands
+    from tg_reporting_etl_spark.sources.writers import (
+        _fs_path,
+        _release_local_checkpoint,
+        merge_into,
+    )
+
+    vec_path = os.path.join(index_dir, "vectors")
+    band_path = os.path.join(index_dir, "bands")
+    pairs_path = os.path.join(index_dir, "pairs")
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        vec_b = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+        try:
+            _dup_batch(spark, vec_b)
+        finally:
+            _release_local_checkpoint(vec_b)
+
+    def _dup_batch(spark, vec_b: DataFrame) -> None:
+        if not vec_b.take(1):
+            return
+        bands_b = sign_lsh_bands(vec_b, bands, dims_per_band)
+
+        fs, jband = _fs_path(spark, band_path)
+        cand_frames = [
+            bands_b.alias("a").join(
+                bands_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+        ]
+        hist_vecs = None
+        if fs.exists(jband):
+            hist = spark.read.parquet(band_path)
+            hist_vecs = spark.read.parquet(vec_path)
+            # history never collides with itself — those pairs were
+            # reported when their younger vector arrived
+            cand_frames.append(
+                F.broadcast(bands_b).alias("a").join(
+                    hist.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")),
+                )
+            )
+        cands = reduce(
+            DataFrame.unionByName,
+            [
+                f.select(
+                    F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+                    F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+                )
+                for f in cand_frames
+            ],
+        ).distinct()
+
+        vecs_all = (
+            vec_b if hist_vecs is None else vec_b.unionByName(hist_vecs).dropDuplicates(["vec_id"])
+        )
+        va = vecs_all.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"))
+        vb = vecs_all.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"))
+        pairs = (
+            cands.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .withColumn("cos_sim", F.round(cosine(F.col("_ea"), F.col("_eb")), 6))
+            .filter(F.col("cos_sim") >= tau)
+            .select("vec_a", "vec_b", "cos_sim")
+        )
+
+        merge_into(spark, pairs_path, pairs, keys=["vec_a", "vec_b"])
+        merge_into(spark, vec_path, vec_b, keys=["vec_id"])
+        merge_into(spark, band_path, bands_b, keys=["vec_id", "band"])
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
