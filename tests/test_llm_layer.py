@@ -652,3 +652,24 @@ def test_boilerplate_matches_python_reference_property(spark):
         for i, (ng, nb) in want_frac.items():
             assert got[i][:2] == (ng, nb), (seed, i)
             assert got[i][2] == round(nb / ng, 6), (seed, i)
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, emb, tmp_path):
+    """Materialized IVF index: probe results equal the in-memory ivf_topk
+    for the same quantizer, and the cell scan is DYNAMICALLY
+    PARTITION-PRUNED (reads probed cell dirs, not the corpus)."""
+    idx = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(emb, idx, n_cells=16)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select("vec_id", "embedding")
+    got = sim.ivf_index_topk(spark, idx, queries, k=3, nprobe=2)
+
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in sim.ivf_topk(emb, F.col("vec_id") % 100 == 7, k=3, n_cells=16, nprobe=2).collect()
+    }
+    got_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim) for r in got.collect()}
+    assert got_rows == want
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "cell scan is not partition-pruned"

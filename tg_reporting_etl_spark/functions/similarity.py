@@ -335,3 +335,79 @@ def embedding_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF index: ``centroids`` parquet + assignments
+    partitioned BY CELL (``cells/cell_id=N/``).
+
+    This is the serving shape :func:`ivf_topk`'s docstring promises: at
+    100 TB the assignment table is built once (the only full-corpus
+    pass) and every later query batch reads just its probed cells via
+    partition pruning — the index directory IS the ANN index, no
+    serving process required.
+    """
+    import os
+
+    cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    ivf_assign(embeddings, n_cells, cents).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(index_dir, "cells"))
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a materialized IVF index (:func:`build_ivf_index`).
+
+    ``queries`` is (vec_id, embedding) — vectors that need not be in
+    the index.  The probe set (query x nprobe cells, tiny) broadcasts
+    into the join against the cell-partitioned assignment table, so
+    Catalyst applies DYNAMIC PARTITION PRUNING: the parquet scan reads
+    only the probed ``cell_id=N`` directories, not the corpus
+    (plan-asserted in tests/test_llm_layer.py).  Rerank is the exact
+    cosine with the (cos_sim, neighbor_id) deterministic tie-break.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = spark.read.parquet(os.path.join(index_dir, "cells"))
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "q_emb", "cell_id", _dist2(F.col("q_emb"), F.col("c_emb")).alias("d2"))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .distinct()
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
