@@ -673,3 +673,27 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, emb, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "cell scan is not partition-pruned"
+
+
+def test_curate_corpus_filters_and_keeper_semantics(spark):
+    """Quality floor, repetition ceiling, and non-keeper removal each
+    independently drop the right doc; keepers survive."""
+    from tg_reporting_etl_spark.functions import curation as cu
+
+    good = "the quick brown fox jumps over the lazy dog " * 12  # long, stopwordy
+    docs = spark.createDataFrame(
+        [
+            (1, good + "one", "s1"),
+            (2, good + "two", "s1"),          # near-dup of 1 (non-keeper)
+            (3, "tiny text", "s1"),           # fails quality floor
+            (4, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep "
+                * 8 + good, "s2"),            # fails dup-fraction ceiling
+            (5, good + "five five", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    components = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "component_id"])
+    kept = cu.curate_corpus(docs, components, min_quality=0.3, max_dup_fraction=0.93)
+    assert {r.doc_id for r in kept.collect()} == {1, 5}
+    budget = {(r.source): (r.n_docs, r.n_tokens) for r in cu.corpus_budget(kept).collect()}
+    assert budget["s1"][0] == 1 and budget["s2"][0] == 1

@@ -737,6 +737,50 @@ def q_doc_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.best_representatives(scored, components=_components(spark, sf_dir))
 
 
+# End-to-end curation: quality floor + repetition ceiling + near-dup
+# removal, per-source token budget.  Thresholds are SF-stable on the
+# synthetic corpus (quality median ~0.28+stopband, dup-fraction median
+# ~0.54 at every SF).
+CURATE_MIN_QUALITY, CURATE_MAX_DUP = 0.3, 0.6
+
+
+def _curation_oracle() -> str:
+    return f"""{_COMPONENTS_CTES},
+qual AS (SELECT doc_id, n_tokens, quality FROM ({_quality_oracle()})),
+rep AS (SELECT doc_id, dup_token_fraction FROM ({_REPETITION_ORACLE})),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id != component_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+WHERE q.quality >= {CURATE_MIN_QUALITY} AND r.dup_token_fraction <= {CURATE_MAX_DUP}
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY d.source"""
+
+
+@register(
+    "corpus_curation",
+    _curation_oracle(),
+    survey_ids="LLM: end-to-end curation (quality + repetition + dedup) -> source budget",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/curation.py — the composition of three oracle-checked
+    stages (doc_quality, doc_repetition, doc_dup_components) into the
+    pipeline every pre-training corpus runs, emitting the per-source
+    doc/token budget of the surviving corpus."""
+    from tg_reporting_etl_spark.functions import curation as cu
+
+    kept = cu.curate_corpus(
+        _docs(spark, sf_dir),
+        _components(spark, sf_dir),
+        CURATE_MIN_QUALITY,
+        CURATE_MAX_DUP,
+    )
+    return cu.corpus_budget(kept)
+
+
 @register(
     "doc_fingerprint",
     f"""SELECT doc_id,
