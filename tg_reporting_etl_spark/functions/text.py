@@ -145,7 +145,16 @@ def word_ngram_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.filter(F.size(toks) >= n).select("doc_id", F.explode(grams).alias("gram"))
 
 
-def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
+def gram_doc_frequency(gram_rows: DataFrame) -> DataFrame:
+    """(gram, df): distinct-document frequency of each gram — the table
+    both boilerplate consumers derive from (share it via a session
+    cache when running several)."""
+    return gram_rows.groupBy("gram").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 3, min_df: int = 5, gram_df: DataFrame | None = None
+) -> DataFrame:
     """Corpus-level boilerplate detection (C4/CCNet shape): word
     ``n``-grams appearing in >= ``min_df`` DISTINCT documents — the
     template/navigation text a web-scale corpus repeats across pages.
@@ -154,16 +163,16 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFram
     corpus row count.  At 100 TB the groupBy key would be
     ``xxhash64(gram)`` with ``min(gram)`` carried for display (the
     shingle-hash pattern); here the string key keeps the operator
-    byte-comparable to the SQL oracle."""
-    return (
-        word_ngram_rows(docs, n)
-        .groupBy("gram")
-        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
-        .filter(F.col("df") >= min_df)
-    )
+    byte-comparable to the SQL oracle.  Pass a precomputed ``gram_df``
+    (:func:`gram_doc_frequency`) to share the agg across consumers."""
+    if gram_df is None:
+        gram_df = gram_doc_frequency(word_ngram_rows(docs, n))
+    return gram_df.filter(F.col("df") >= min_df)
 
 
-def boilerplate_fraction(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
+def boilerplate_fraction(
+    docs: DataFrame, n: int = 3, min_df: int = 5, gram_df: DataFrame | None = None
+) -> DataFrame:
     """Per-doc fraction of n-gram instances that are corpus boilerplate
     (df >= ``min_df``) — the Gopher-style cross-document duplication
     signal (within-doc repetition is :func:`repetition_stats`).
@@ -175,9 +184,9 @@ def boilerplate_fraction(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFr
     corpus's type space outgrows the broadcast threshold, Catalyst
     degrades to a sort-merge join on gram — correct, one extra shuffle.
     Docs with < n words have no gram instances and are absent, as in
-    the oracle."""
+    the oracle.  Pass a precomputed ``gram_df`` to skip the df agg."""
     rows = word_ngram_rows(docs, n)
-    df_tbl = rows.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    df_tbl = gram_doc_frequency(rows) if gram_df is None else gram_df
     return (
         rows.join(df_tbl, "gram")
         .groupBy("doc_id")

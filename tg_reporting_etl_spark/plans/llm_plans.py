@@ -634,6 +634,17 @@ grams AS (
 gdf AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM grams GROUP BY 1)"""
 
 
+def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (gram, df) trigram document-frequency table — one gram
+    agg per session, shared by both boilerplate queries (bounded by the
+    gram-type space, so cheap to keep)."""
+    return cached_df(
+        spark,
+        f"bp_gram_df|{sf_dir}",
+        lambda: tx.gram_doc_frequency(tx.word_ngram_rows(_docs(spark, sf_dir), BP_N)),
+    )
+
+
 @register(
     "doc_boilerplate_ngrams",
     f"{_BP_CTES}\nSELECT gram, df FROM gdf WHERE df >= {BP_MIN_DF}",
@@ -642,7 +653,9 @@ gdf AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM grams GRO
 def q_doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """functions/text.py:boilerplate_ngrams — corpus trigrams shared by
     >= BP_MIN_DF distinct docs; output bounded by the gram-type space."""
-    return tx.boilerplate_ngrams(_docs(spark, sf_dir), BP_N, BP_MIN_DF)
+    return tx.boilerplate_ngrams(
+        _docs(spark, sf_dir), BP_N, BP_MIN_DF, gram_df=_gram_df(spark, sf_dir)
+    )
 
 
 @register(
@@ -659,7 +672,9 @@ GROUP BY g.doc_id""",
 def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """functions/text.py:boilerplate_fraction — fraction of each doc's
     gram instances whose corpus df >= BP_MIN_DF."""
-    return tx.boilerplate_fraction(_docs(spark, sf_dir), BP_N, BP_MIN_DF)
+    return tx.boilerplate_fraction(
+        _docs(spark, sf_dir), BP_N, BP_MIN_DF, gram_df=_gram_df(spark, sf_dir)
+    )
 
 
 @register(
