@@ -1,0 +1,114 @@
+"""Sequence packing: the last hop of a pre-training data pipeline —
+concatenate documents in a deterministic order and chunk the token
+stream into fixed-length training sequences.
+
+The core primitive is a GLOBAL prefix sum (each doc's start offset in
+the concatenated stream).  The naive Spark expression — a window over
+``ORDER BY doc_id`` with no partition key — moves the whole corpus
+into ONE partition (Spark even warns: "No Partition Defined for Window
+operation"), which is exactly the shape that dies at 100 TB.
+:func:`sharded_cumsum` is the textbook two-pass distributed scan
+instead: per-shard partial sums (tiny, driver-merged), then an
+intra-shard window.  The only driver-side data is one row per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def sharded_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_shards: int = 256,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` in ``order_col`` order,
+    computed without a single-partition window.
+
+    Two passes:
+
+    1. shard = ``order_col // ceil((max+1)/n_shards)`` (contiguous
+       ranges, so shard order == global order); per-shard totals are
+       aggregated and collected — ``n_shards`` rows of orchestration
+       metadata, constant-bounded — and turned into exclusive shard
+       offsets on the driver;
+    2. the offsets broadcast-join back and an intra-shard window adds
+       the within-shard exclusive prefix.
+
+    ``order_col`` must be non-negative and unique per row (doc ids);
+    ties would make "exclusive" ambiguous.
+    """
+    hi = df.agg(F.max(order_col).alias("m")).first()["m"]
+    if hi is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    bucket = (int(hi) // n_shards) + 1
+    sharded = df.withColumn("_shard", (F.col(order_col) / bucket).cast("long"))
+
+    totals = sorted(
+        (r["_shard"], r["t"])
+        for r in sharded.groupBy("_shard").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for shard_id, tot in totals:
+        offsets.append((shard_id, acc))
+        acc += int(tot)
+    off_df = df.sparkSession.createDataFrame(offsets, "_shard long, _shard_off long")
+
+    w = W.partitionBy("_shard").orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    return (
+        sharded.join(F.broadcast(off_df), "_shard")
+        .withColumn(
+            out_col,
+            (F.col("_shard_off") + F.coalesce(F.sum(value_col).over(w), F.lit(0))).cast("long"),
+        )
+        .drop("_shard", "_shard_off")
+    )
+
+
+def pack_sequences(
+    docs_tokens: DataFrame, seq_len: int = 512, n_shards: int = 256
+) -> DataFrame:
+    """Pack a (doc_id, n_tokens) frame into fixed-``seq_len`` training
+    sequences: docs are concatenated in doc_id order; each doc fills
+    [start_off, start_off + n_tokens) of the global token stream, and
+    every sequence reports how many docs touch it and how many of its
+    slots are filled (== ``seq_len`` everywhere except the tail block).
+
+    Output: (seq_id, n_docs, n_tokens).  The doc -> sequence fan-out is
+    a bounded explode of ``sequence(start_seq, end_seq)`` — a doc spans
+    ``ceil(n_tokens / seq_len) + 1`` blocks at most — followed by one
+    partial-aggregable groupBy on seq_id.  No step materializes the
+    token stream itself; packing is pure offset arithmetic.
+    """
+    with_off = sharded_cumsum(
+        docs_tokens.filter(F.col("n_tokens") > 0),
+        "doc_id",
+        "n_tokens",
+        out_col="start_off",
+        n_shards=n_shards,
+    )
+    end_off = F.col("start_off") + F.col("n_tokens")  # exclusive
+    spans = with_off.select(
+        "doc_id",
+        "start_off",
+        "n_tokens",
+        (F.col("start_off") / seq_len).cast("long").alias("start_seq"),
+        ((end_off - 1) / seq_len).cast("long").alias("end_seq"),
+    )
+    exploded = spans.select(
+        "doc_id",
+        "start_off",
+        "n_tokens",
+        F.explode(F.sequence("start_seq", "end_seq")).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    filled = F.least(seq_start + seq_len, F.col("start_off") + F.col("n_tokens")) - F.greatest(
+        seq_start, F.col("start_off")
+    )
+    return exploded.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(filled).cast("long").alias("n_tokens"),
+    )

@@ -677,6 +677,54 @@ def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing: concatenate docs in doc_id order, chunk the token
+# stream into SEQ_LEN blocks.  The Spark side uses the two-pass sharded
+# prefix sum (functions/packing.py) — no single-partition window.
+SEQ_LEN = 512
+
+_PACKING_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM tok WHERE n_tokens > 0
+),
+spans AS (
+  SELECT doc_id, n_tokens, start_off,
+         CAST(start_off // {SEQ_LEN} AS BIGINT) AS start_seq,
+         CAST((start_off + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_seq
+  FROM off
+),
+exploded AS (
+  SELECT doc_id, start_off, n_tokens, unnest(generate_series(start_seq, end_seq)) AS seq_id
+  FROM spans
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST((seq_id + 1) * {SEQ_LEN}, start_off + n_tokens)
+                - GREATEST(seq_id * {SEQ_LEN}, start_off)) AS BIGINT) AS n_tokens
+FROM exploded GROUP BY 1"""
+
+
+@register(
+    "doc_sequence_packing",
+    _PACKING_ORACLE,
+    survey_ids="LLM: fixed-length sequence packing via distributed prefix sum",
+)
+def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/packing.py:pack_sequences over whitespace token counts
+    — per-sequence doc count and fill level, offsets via the two-pass
+    sharded cumsum (the single-partition-window antipattern avoided)."""
+    from tg_reporting_etl_spark.functions import packing as pk
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pk.pack_sequences(toks, SEQ_LEN)
+
+
 @register(
     "doc_repetition",
     _REPETITION_ORACLE,
