@@ -120,6 +120,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     "doc_boilerplate_ngrams": {"smj_max": 0},
     "doc_boilerplate_fraction": {"bhj_min": 1, "smj_max": 0},
     "doc_dedup_best_rep": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 1},
+    "corpus_curation": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 2},
+    "doc_sequence_packing": {"bhj_min": 1, "smj_max": 0},
+    "corpus_vocab_topk": {"smj_max": 0},
     "risk_ctrl_rtp_1d": {"bhj_min": 15, "smj_max": 2, "pushdown_min": 2},
     "dependency_gate": {"smj_max": 2},
     "init_board_seed": {"bhj_min": 6, "smj_max": 2},

@@ -677,6 +677,45 @@ def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocab induction seed: the top-K corpus tokens by total frequency with
+# deterministic (count DESC, token ASC) ranking — the baseline every
+# subword tokenizer build starts from.  Scale shape: token-type-bounded
+# partial agg, then one small top-k sort; the corpus row count never
+# reaches the sort.
+VOCAB_K = 256
+
+_VOCAB_ORACLE = f"""SELECT token, cnt, rank FROM (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+  FROM (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY 1
+  )
+) WHERE rank <= {VOCAB_K}"""
+
+
+@register(
+    "corpus_vocab_topk",
+    _VOCAB_ORACLE,
+    survey_ids="LLM: corpus vocab induction (top-K token frequencies)",
+)
+def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-VOCAB_K tokens by corpus frequency, deterministically ranked.
+    The explode is map-side; the agg is partial-combinable on the
+    bounded token-type space; only the tiny (type, cnt) table sorts."""
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= VOCAB_K)
+        .select("token", "cnt", "rank")
+    )
+
+
 # Sequence packing: concatenate docs in doc_id order, chunk the token
 # stream into SEQ_LEN blocks.  The Spark side uses the two-pass sharded
 # prefix sum (functions/packing.py) — no single-partition window.
