@@ -745,3 +745,32 @@ def test_pack_sequences_invariants(spark):
     assert by_seq[1] == 2   # d2, d3
     assert by_seq[2] == 1   # d3
     assert by_seq[3] == 3   # d3, d4, d6
+
+
+def test_balanced_shard_writer_roundtrip(spark, docs, tmp_path):
+    """Shards are contiguous in doc_id, balanced to within one doc's
+    tokens, and the roundtrip loses nothing."""
+    from tg_reporting_etl_spark.functions import packing as pk
+
+    out = str(tmp_path / "shards")
+    target = 3000
+    pk.write_balanced_shards(docs.select("doc_id", "text"), out, target)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    stats = {
+        r.shard: (r.toks, r.lo, r.hi)
+        for r in back.select(
+            "shard", F.size(F.split("text", " ")).alias("nt"), "doc_id"
+        )
+        .groupBy("shard")
+        .agg(F.sum("nt").alias("toks"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    }
+    max_doc_tokens = docs.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    shards = sorted(stats)
+    for s in shards[:-1]:
+        assert abs(stats[s][0] - target) < max_doc_tokens, (s, stats[s])
+    # contiguity: id ranges never interleave
+    for a, b in zip(shards, shards[1:]):
+        assert stats[a][2] < stats[b][1]

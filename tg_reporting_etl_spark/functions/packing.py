@@ -112,3 +112,39 @@ def pack_sequences(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(filled).cast("long").alias("n_tokens"),
     )
+
+
+def assign_balanced_shards(
+    docs_tokens: DataFrame, tokens_per_shard: int, n_shards: int = 256
+) -> DataFrame:
+    """Assign each doc a shard id so every shard carries ~``tokens_per_shard``
+    tokens (contiguous in doc_id order): shard = start_offset // target.
+
+    The output-materialization step after curation — balanced shards
+    keep downstream loader workers evenly fed.  Balance bound: each
+    shard's token count differs from the target by less than one doc
+    (a doc is never split).  Same two-pass scan as :func:`pack_sequences`;
+    adds a ``shard`` column.
+    """
+    with_off = sharded_cumsum(
+        docs_tokens.filter(F.col("n_tokens") > 0),
+        "doc_id",
+        "n_tokens",
+        out_col="_start_off",
+        n_shards=n_shards,
+    )
+    return with_off.withColumn(
+        "shard", (F.col("_start_off") / tokens_per_shard).cast("long")
+    ).drop("_start_off")
+
+
+def write_balanced_shards(
+    docs: DataFrame, out_dir: str, tokens_per_shard: int, n_shards: int = 256
+) -> None:
+    """Write ``docs`` (needs doc_id + text) as ``shard=N`` parquet
+    partitions balanced by whitespace-token count.  Readers get one
+    directory per ~equal-token shard; partition pruning gives shard-
+    parallel loading for free."""
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    assigned = assign_balanced_shards(toks, tokens_per_shard, n_shards).select("doc_id", "shard")
+    docs.join(assigned, "doc_id").write.mode("overwrite").partitionBy("shard").parquet(out_dir)
