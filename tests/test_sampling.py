@@ -42,3 +42,32 @@ def test_quota_sample_exact_n_per_stratum(spark, sf_dir):
     a = {r.doc_id for r in sp.quota_sample(docs, "source", n).collect()}
     b = {r.doc_id for r in sp.quota_sample(docs, "source", n).collect()}
     assert a == b
+
+
+def test_mixture_fractions_feasible_total(spark):
+    """T = min(budget/weight); binding stratum fully consumed; strata
+    outside the weights excluded."""
+    import pytest
+
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(30)]
+        + [(2000 + i, "c") for i in range(60)]
+        + [(3000 + i, "junk") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {
+        r.source: (r.budget, r.fraction)
+        for r in sp.mixture_fractions(df, "source", {"a": 0.5, "b": 0.3, "c": 0.2}).collect()
+    }
+    assert set(fr) == {"a", "b", "c"}
+    assert fr["b"] == (30, 1.0)                      # binding stratum
+    assert fr["a"][1] == pytest.approx(0.5)          # 0.5*100/100
+    assert fr["c"][1] == pytest.approx(1 / 3)        # 0.2*100/60
+
+    out = sp.mixture_sample(df, "source", {"a": 0.5, "b": 0.3, "c": 0.2})
+    got = {r.source for r in out.collect()}
+    assert "junk" not in got
+    assert out.filter("source = 'b'").count() == 30  # fraction 1.0 keeps all

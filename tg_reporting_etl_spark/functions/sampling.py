@@ -70,3 +70,52 @@ def quota_sample(
         )
     )
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= n_per_stratum).drop("_rn")
+
+
+def mixture_fractions(
+    df: DataFrame, strata_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """(stratum, budget, fraction) achieving the LARGEST total sample
+    with composition ``weights`` that the per-stratum budgets support.
+
+    T = min_s(budget_s / w_s) is the feasible total; fraction_s =
+    w_s * T / budget_s (== 1.0 for the binding stratum, < 1 elsewhere).
+    Strata not in ``weights`` are excluded.  Everything here is
+    bounded-size: one count per stratum, a one-row min, a broadcastable
+    fractions table — the corpus itself is never shuffled.
+    """
+    wt = F.lit(0.0)
+    for value, p in weights.items():
+        wt = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(wt)
+    budgets = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").cast("long").alias("budget"))
+        .withColumn("wt", wt)
+        .filter(F.col("wt") > 0)
+    )
+    t = budgets.agg(F.min(F.col("budget") / F.col("wt")).alias("T"))
+    return budgets.crossJoin(F.broadcast(t)).select(
+        strata_col,
+        "budget",
+        F.least(F.lit(1.0), F.col("wt") * F.col("T") / F.col("budget")).alias("fraction"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic sample whose EXPECTED composition matches
+    ``weights``, sized to the largest feasible total (the binding
+    stratum is consumed whole).  The data-mixing planner + Bernoulli
+    draw in one operator: fractions from :func:`mixture_fractions`
+    broadcast onto the corpus scan, membership by the same md5 uniform
+    as :func:`stratified_sample` — a pure narrow filter over the scan.
+    """
+    fr = mixture_fractions(df, strata_col, weights).select(strata_col, "fraction")
+    return df.join(F.broadcast(fr), strata_col).filter(
+        hash_uniform(F.col(key_col), salt) < F.col("fraction")
+    )

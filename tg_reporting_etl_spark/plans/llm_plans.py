@@ -324,6 +324,45 @@ def q_doc_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+# Mixture planner + draw: largest total sample whose EXPECTED
+# composition matches MIX_WEIGHTS given the actual per-source budgets
+# (the binding source is consumed whole).  Both engines compute the
+# fractions with the same IEEE double arithmetic — wt * T / budget with
+# T = min(budget / wt) — so the u01 < fraction comparison is identical.
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())
+    + " ELSE 0.0 END"
+)
+
+_MIXTURE_ORACLE = f"""WITH b AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS budget, {_MIX_CASE} AS wt
+  FROM documents GROUP BY 1
+),
+t AS (SELECT MIN(budget / wt) AS T FROM b WHERE wt > 0),
+fr AS (SELECT source, LEAST(1.0, wt * T / budget) AS fraction FROM b, t WHERE wt > 0)
+SELECT d.doc_id, d.source
+FROM documents d JOIN fr USING (source)
+WHERE {_U01.format(salt='mix')} < fr.fraction"""
+
+
+@register(
+    "doc_mixture_sample",
+    _MIXTURE_ORACLE,
+    survey_ids="LLM: target-mixture sampling (feasible-total planner + Bernoulli draw)",
+)
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/sampling.py:mixture_sample — fractions derived from
+    target weights vs actual budgets (tiny broadcast), membership by
+    the deterministic md5 uniform; pure narrow filter over the scan."""
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    out = sp.mixture_sample(_docs(spark, sf_dir), "source", MIX_WEIGHTS)
+    return out.select("doc_id", "source")
+
+
 def _minhash_oracle() -> str:
     r = N_HASHES // BANDS
     mins = ",\n         ".join(
