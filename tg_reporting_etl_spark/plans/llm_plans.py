@@ -716,6 +716,41 @@ def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source token-length quantiles: the distribution report behind
+# length-filter threshold choices.
+_QUANTILES_ORACLE = """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(nt, 0.5), 6) + 0.0 AS p50,
+       ROUND(quantile_cont(nt, 0.9), 6) + 0.0 AS p90,
+       ROUND(quantile_cont(nt, 0.99), 6) + 0.0 AS p99
+FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)
+GROUP BY 1"""
+
+
+@register(
+    "corpus_length_quantiles",
+    _QUANTILES_ORACLE,
+    survey_ids="LLM: per-source token-length quantile report (exact interpolated)",
+)
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-7 interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, bit-identical on integer inputs).  Exact
+    percentile buffers each group's values — right for the bounded
+    source key here; an unbounded group key at 100 TB swaps in
+    `percentile_approx` (t-digest, mergeable) at the cost of the
+    oracle's exactness (error-bound-tested in tests/test_approx.py
+    style instead)."""
+    nt = _docs(spark, sf_dir).select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    return nt.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(nt, 0.99)"), 6).alias("p99"),
+    )
+
+
 # Vocab induction seed: the top-K corpus tokens by total frequency with
 # deterministic (count DESC, token ASC) ranking — the baseline every
 # subword tokenizer build starts from.  Scale shape: token-type-bounded
