@@ -123,6 +123,8 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     "corpus_curation": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 2},
     "doc_sequence_packing": {"bhj_min": 1, "smj_max": 0},
     "corpus_vocab_topk": {"smj_max": 0},
+    "doc_mixture_sample": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 2},
+    "corpus_length_quantiles": {"smj_max": 0},
     "risk_ctrl_rtp_1d": {"bhj_min": 15, "smj_max": 2, "pushdown_min": 2},
     "dependency_gate": {"smj_max": 2},
     "init_board_seed": {"bhj_min": 6, "smj_max": 2},
@@ -133,7 +135,10 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
 }
 
 #: queries whose plan legitimately contains a broadcast nested-loop join
-_BNLJ_ALLOWED = {"embedding_topk", "ann_ivf_topk", "doc_ngram_jaccard_exact"}
+# doc_mixture_sample's BNLJ is the bounded-stratum budgets frame cross-
+# joined with the ONE-ROW feasible-total aggregate — constant-size both
+# sides, the legitimate scalar-broadcast shape.
+_BNLJ_ALLOWED = {"embedding_topk", "ann_ivf_topk", "doc_ngram_jaccard_exact", "doc_mixture_sample"}
 
 import pytest as _pytest
 

@@ -552,3 +552,35 @@ def test_streaming_embedding_dup_across_batches(spark, tmp_path):
     assert got[(1, 2)] >= 0.999
     vecs = spark.read.parquet(str(tmp_path / "ed_index" / "vectors"))
     assert {r.vec_id for r in vecs.collect()} == {1, 2, 10, 20, 21}
+
+
+def test_streaming_sessionize_watermark_closes_sessions(spark, tmp_path):
+    """Append mode emits a session only after the watermark passes its
+    gap horizon — the bounded-state contract: closed sessions leave the
+    state store and are immutable to later events."""
+    import datetime as dt
+
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_sessionize
+
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), uid, "a", 1.0) for (h, m, uid) in rows], schema
+        )
+
+    src = str(tmp_path / "wm_src")
+    rows_df([(0, 0, 1), (0, 5, 1)]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_memory_sink(streaming_sessionize(stream, 10, watermark="10 minutes"), "wm_sess", mode="append")
+    try:
+        q.processAllAvailable()
+        # watermark is still at 00:05 - 10min: nothing closed yet
+        assert spark.table("wm_sess").count() == 0
+        # an event far ahead advances the watermark past user 1's gap
+        rows_df([(2, 0, 2)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {(r.user_id, r.n_events) for r in spark.table("wm_sess").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 2)}  # user 1's session closed; user 2's still open
