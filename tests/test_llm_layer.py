@@ -774,3 +774,18 @@ def test_balanced_shard_writer_roundtrip(spark, docs, tmp_path):
     # contiguity: id ranges never interleave
     for a, b in zip(shards, shards[1:]):
         assert stats[a][2] < stats[b][1]
+
+
+def test_pack_token_ids_consistent_with_stats_twin(spark, docs):
+    """The materialized blocks agree with the stats-only packer on
+    (seq_id, n_tokens); serialized ids are well-formed and in-vocab."""
+    from tg_reporting_etl_spark.functions import packing as pk
+
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    stats = {(r.seq_id, r.n_tokens) for r in pk.pack_sequences(toks, 512).collect()}
+    mat = pk.pack_token_ids(docs, 512, 32768).collect()
+    assert {(r.seq_id, r.n_tokens) for r in mat} == stats
+    for r in mat:
+        ids = r.token_ids.split("-")
+        assert len(ids) == r.n_tokens
+        assert all(0 <= int(i) < 32768 for i in ids)

@@ -148,3 +148,48 @@ def write_balanced_shards(
     toks = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     assigned = assign_balanced_shards(toks, tokens_per_shard, n_shards).select("doc_id", "shard")
     docs.join(assigned, "doc_id").write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+
+def pack_token_ids(
+    docs: DataFrame, seq_len: int = 512, vocab_mod: int = 32768, n_shards: int = 256
+) -> DataFrame:
+    """Materialize the ACTUAL packed training sequences: every token of
+    the concatenated corpus mapped to a deterministic id (md5-hash
+    vocab, engine-portable) and grouped into fixed-``seq_len`` blocks
+    in stream order.
+
+    Output: (seq_id, n_tokens, token_ids) with ``token_ids`` a
+    '-'-joined id string — a portable serialization both engines
+    produce byte-identically (an array column would round-trip through
+    numpy in the comparison harness and lose formatting parity).
+
+    Scale shape: this is the one operator whose row count IS the token
+    count — unavoidable for materialization (the stats-only twin is
+    :func:`pack_sequences`).  The explode is map-side; the only wide
+    ops are the shard-bounded cumsum and the final seq_id groupBy,
+    whose groups are exactly ``seq_len`` rows — no skew by
+    construction.  Within-block order rides a struct sort_array, not a
+    window.
+    """
+    from tg_reporting_etl_spark.functions.dedup import h32
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    counts = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    offs = sharded_cumsum(counts, "doc_id", "n_tokens", out_col="start_off", n_shards=n_shards)
+    gpos = F.col("start_off") + F.col("pos")
+    flat = toks.join(offs.select("doc_id", "start_off"), "doc_id").select(
+        (gpos / seq_len).cast("long").alias("seq_id"),
+        (gpos % seq_len).cast("long").alias("wpos"),
+        (h32(F.concat_ws("|", F.lit("tok"), F.col("tok"))) % vocab_mod).alias("tid"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("wpos", "tid"))), lambda x: x.tid.cast("string")
+    )
+    return flat.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.concat_ws("-", ordered).alias("token_ids"),
+    )

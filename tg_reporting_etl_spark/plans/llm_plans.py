@@ -821,6 +821,47 @@ SELECT seq_id,
 FROM exploded GROUP BY 1"""
 
 
+VOCAB_MOD = 32768
+
+_PACK_IDS_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+cnt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+off AS (
+  SELECT doc_id, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM cnt
+),
+flat AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM tok CROSS JOIN generate_series(1, 2000) s(i) WHERE i <= len(t)
+),
+g AS (
+  SELECT CAST((o.start_off + f.pos) // {SEQ_LEN} AS BIGINT) AS seq_id,
+         (o.start_off + f.pos) % {SEQ_LEN} AS wpos,
+         CAST({_H32.format(s="'tok|' || tok")} % {VOCAB_MOD} AS BIGINT) AS tid
+  FROM flat f JOIN off o USING (doc_id)
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       array_to_string(list(tid ORDER BY wpos), '-') AS token_ids
+FROM g GROUP BY 1"""
+
+
+@register(
+    "doc_packed_token_ids",
+    _PACK_IDS_ORACLE,
+    survey_ids="LLM: materialized packed token-id sequences (hash vocab)",
+)
+def q_doc_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/packing.py:pack_token_ids — the materialization twin of
+    doc_sequence_packing: every corpus token hashed into a VOCAB_MOD id
+    and emitted inside its fixed-SEQ_LEN block, '-'-serialized in
+    stream order (byte-identical across engines)."""
+    from tg_reporting_etl_spark.functions import packing as pk
+
+    return pk.pack_token_ids(_docs(spark, sf_dir), SEQ_LEN, VOCAB_MOD)
+
+
 @register(
     "doc_sequence_packing",
     _PACKING_ORACLE,
