@@ -789,3 +789,20 @@ def test_pack_token_ids_consistent_with_stats_twin(spark, docs):
         ids = r.token_ids.split("-")
         assert len(ids) == r.n_tokens
         assert all(0 <= int(i) < 32768 for i in ids)
+
+
+def test_text_family_drops_null_text(spark):
+    """Family contract: NULL text never reaches downstream signals — it
+    is dropped by every text operator rather than emitting null stats
+    that would poison quality filters and arg-maxes."""
+    from tg_reporting_etl_spark.functions import text as tx
+
+    d = spark.createDataFrame(
+        [(1, "the fast key of the run"), (2, None)], "doc_id long, text string"
+    )
+    for fn in (tx.with_token_stats, tx.with_quality, tx.with_lang_id,
+               tx.with_fingerprint, tx.repetition_stats):
+        rows = fn(d).collect()
+        assert [r.doc_id for r in rows] == [1], fn.__name__
+        assert all(v is not None for v in rows[0].asDict().values()), fn.__name__
+    assert tx.word_ngram_rows(d, 2).filter("doc_id = 2").count() == 0

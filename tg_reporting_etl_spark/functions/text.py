@@ -32,11 +32,19 @@ def occurrences(text: Column, needle: str) -> Column:
 
 
 def with_token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + a BPE-ish regex token count + avg length."""
+    """Whitespace token count + a BPE-ish regex token count + avg length.
+
+    NULL-text contract (whole text family): rows with NULL text are
+    DROPPED, not propagated — a null n_tokens/quality would silently
+    poison downstream filters and arg-maxes, and the explode-based
+    operators (repetition, n-grams) already drop such rows naturally.
+    Oracles see no nulls (the corpus has none), so the twin SQL needs
+    no mirroring clause."""
     toks = F.split(F.col("text"), " ")
     bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
     return (
-        docs.withColumn("n_tokens", F.size(toks).cast("long"))
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("n_tokens", F.size(toks).cast("long"))
         .withColumn("n_bpe_tokens", F.size(bpe).cast("long"))
         .withColumn(
             "avg_token_len",
@@ -67,9 +75,10 @@ def with_lang_id(docs: DataFrame) -> DataFrame:
     """Marker-count language heuristic with deterministic arg-max.
 
     Scores = occurrence counts of per-language marker words; ties break
-    by the fixed language order (first wins).
+    by the fixed language order (first wins).  NULL text drops (family
+    contract, see :func:`with_token_stats`).
     """
-    scored = docs
+    scored = docs.filter(F.col("text").isNotNull())
     for lang, markers in LANG_MARKERS.items():
         s: Column = F.lit(0.0)
         for m in markers:
@@ -118,7 +127,9 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive rolling polynomial hash over whitespace tokens:
     acc = (acc*31 + h(tok)) mod (2^31-1), h already reduced mod the same
-    prime so the zero-seed fold equals a first-element-seeded fold."""
+    prime so the zero-seed fold equals a first-element-seeded fold.
+    NULL text drops (family contract, see :func:`with_token_stats`)."""
+    docs = docs.filter(F.col("text").isNotNull())
     tok_hashes = F.transform(
         F.split(F.col("text"), " "),
         lambda t: h32(F.concat_ws("|", F.lit("fp"), t)) % MOD31,
