@@ -46,10 +46,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by content digest: keeper = min doc_id per text.
 
     Groups by md5(text) so the shuffle key is 16 bytes regardless of
-    document size.
+    document size.  NULL text drops (md5(NULL) is NULL — without the
+    guard every null-text row would cluster into one bogus "duplicate"
+    family; matches the text family's contract).
     """
     return (
-        docs.select("doc_id", F.md5("text").alias("digest"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("digest"))
         .groupBy("digest")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").cast("long").alias("n_copies"))
     )
