@@ -806,3 +806,46 @@ def test_text_family_drops_null_text(spark):
         assert [r.doc_id for r in rows] == [1], fn.__name__
         assert all(v is not None for v in rows[0].asDict().values()), fn.__name__
     assert tx.word_ngram_rows(d, 2).filter("doc_id = 2").count() == 0
+
+
+def test_full_pipeline_integration(spark, docs, tmp_path):
+    """The whole LLM data pipeline composed end to end on real testdata:
+    near-dup components -> quality-aware curation -> mixture sampling ->
+    sequence packing -> balanced shard write.  Each stage consumes the
+    previous stage's actual output; invariants hold at every joint."""
+    from tg_reporting_etl_spark.functions import curation as cu
+    from tg_reporting_etl_spark.functions import packing as pk
+    from tg_reporting_etl_spark.functions import sampling as sp
+    from tg_reporting_etl_spark.functions import text as tx
+
+    n_docs = docs.count()
+
+    # 1. near-dup graph -> components (docs outside any pair excluded)
+    pairs = dd.ngram_jaccard_dedup_capped(docs, 0.35)
+    comp = dd.connected_components(pairs.select("doc_a", "doc_b"))
+    assert 0 < comp.count() < n_docs
+
+    # 2. curation: quality floor + repetition ceiling + non-keeper drop
+    kept = cu.curate_corpus(docs, comp, 0.3, 0.6).cache()
+    n_kept = kept.count()
+    assert 0 < n_kept < n_docs
+    dropped_ids = {r.doc_id for r in comp.filter("doc_id != component_id").collect()}
+    assert not dropped_ids & {r.doc_id for r in kept.collect()}
+
+    # 3. mixture sample over the CURATED corpus
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    mixed = sp.mixture_sample(kept, "source", weights).cache()
+    assert 0 < mixed.count() <= n_kept
+    assert {r.source for r in mixed.collect()} <= set(weights)
+
+    # 4. pack the sampled docs into training blocks
+    packed = pk.pack_sequences(mixed.select("doc_id", "n_tokens"), 256).collect()
+    total_tokens = mixed.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r.n_tokens for r in packed) == total_tokens
+    assert all(r.n_tokens == 256 for r in sorted(packed, key=lambda r: r.seq_id)[:-1])
+
+    # 5. write the mixed corpus as balanced shards and read it back whole
+    out = str(tmp_path / "pipeline_shards")
+    text_back = docs.select("doc_id", "text").join(mixed.select("doc_id"), "doc_id")
+    pk.write_balanced_shards(text_back, out, tokens_per_shard=2000)
+    assert spark.read.parquet(out).count() == mixed.count()
