@@ -849,3 +849,25 @@ def test_full_pipeline_integration(spark, docs, tmp_path):
     text_back = docs.select("doc_id", "text").join(mixed.select("doc_id"), "doc_id")
     pk.write_balanced_shards(text_back, out, tokens_per_shard=2000)
     assert spark.read.parquet(out).count() == mixed.count()
+
+
+def test_sharded_cumsum_scales_to_a_million_rows(spark):
+    """Volume smoke for the distributed scan: 1M rows, 256 shards —
+    bounded wall clock, exact global total, driver touches only the
+    per-shard totals."""
+    import time
+
+    from tg_reporting_etl_spark.functions import packing as pk
+
+    df = (
+        spark.range(1_000_000)
+        .select(F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens"))
+        .repartition(32)
+    )
+    t0 = time.perf_counter()
+    out = pk.sharded_cumsum(df, "doc_id", "n_tokens", n_shards=256)
+    last = out.orderBy(F.desc("doc_id")).select("cum_before", "n_tokens").first()
+    wall = time.perf_counter() - t0
+    total = df.agg(F.sum("n_tokens")).first()[0]
+    assert last.cum_before + last.n_tokens == total  # exact inclusive total
+    assert wall < 60, f"cumsum over 1M rows took {wall:.1f}s"
