@@ -584,3 +584,50 @@ def test_streaming_sessionize_watermark_closes_sessions(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 2)}  # user 1's session closed; user 2's still open
+
+
+def test_continuous_topk_matches_batch_bruteforce(spark, tmp_path):
+    """After streaming the corpus in two batches, the standing top-k
+    table equals the batch brute-force top-k over everything ingested —
+    re-ranking under arrival order changes nothing."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.functions import similarity as sim
+    from tg_reporting_etl_spark.streaming.pipeline import start_continuous_topk_sink
+
+    def vec(i):
+        return [math.sin(i * 1.7 + d) for d in range(8)]
+
+    all_rows = [(i, vec(i)) for i in range(10)]
+    schema = "vec_id long, embedding array<float>"
+    src = str(tmp_path / "ct_src")
+    os.makedirs(src, exist_ok=True)
+
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in all_rows if i in (0, 5)], schema
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+
+    spark.createDataFrame(all_rows[:6], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    idx = str(tmp_path / "ct_index")
+    q = start_continuous_topk_sink(stream, queries, idx, str(tmp_path / "ct_ckpt"), k=3)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(all_rows[6:], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in spark.read.parquet(os.path.join(idx, "topk")).collect()
+        }
+    finally:
+        q.stop()
+
+    emb = spark.createDataFrame(all_rows, schema)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in sim.brute_force_topk(emb, F.col("vec_id").isin(0, 5), k=3).collect()
+    }
+    assert got == want

@@ -465,3 +465,66 @@ def start_embedding_dup_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_continuous_topk_sink(
+    stream: DataFrame,
+    queries: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    k: int = 5,
+) -> StreamingQuery:
+    """Continuous top-k similarity search: registered query vectors keep
+    an always-current top-k neighbor table while the corpus streams in
+    (the incremental-session-search shape — EDBT'20 incremental top-k /
+    SIGMOD'20 continuously adaptive search).
+
+    ``queries`` is a static (query_id, q_emb) frame, broadcast against
+    each micro-batch — per batch cost is O(batch x queries), never the
+    corpus.  The persistent ``topk`` table is the ONLY state: each batch
+    unions its candidate scores with the standing top-k and re-ranks by
+    (cos_sim DESC, neighbor_id ASC), so displaced neighbors fall out
+    and re-delivered batches are idempotent (a neighbor can only tie
+    with itself).  Bounded at |queries| x k rows forever.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    from tg_reporting_etl_spark.functions.similarity import cosine
+
+    topk_path = os.path.join(index_dir, "topk")
+    q = queries.select("query_id", "q_emb")
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        scored = batch.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        from tg_reporting_etl_spark.sources.writers import _fs_path
+
+        fs, jpath = _fs_path(spark, topk_path)
+        if fs.exists(jpath):
+            standing = spark.read.parquet(topk_path).select("query_id", "neighbor_id", "cos_sim")
+            scored = scored.unionByName(standing).dropDuplicates(["query_id", "neighbor_id"])
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        new_topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+        )
+        # bounded table: materialize then overwrite (reading and writing
+        # the same path in one plan is illegal)
+        rows = new_topk.collect()
+        spark.createDataFrame(rows, new_topk.schema).write.mode("overwrite").parquet(topk_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
