@@ -336,3 +336,43 @@ def test_partitioned_merge_releases_checkpoint_blocks(spark, tmp_path):
         merge_into(spark, path, batch, keys=["k"], partition_cols=["part"])
     assert n_stored() == before
     assert _read(spark, path) == {("a", 1): 102, ("c", 2): 30}
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    """20 small files -> num_files larger ones, byte-identical data;
+    swap protocol shares the merge self-heal contract."""
+    import glob
+
+    from tg_reporting_etl_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df.repartition(20).write.parquet(path)
+    assert len(glob.glob(path + "/part-*")) == 20
+
+    compact_table(spark, path, num_files=2)
+    assert len(glob.glob(path + "/part-*")) == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 999 * 1000
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    """Partitioned table: one file per partition after compaction."""
+    import glob
+
+    from tg_reporting_etl_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag_part")
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 4).alias("day"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(10).write.partitionBy("day").parquet(path)
+    assert len(glob.glob(path + "/day=1/part-*")) > 1
+
+    compact_table(spark, path, partition_cols=["day"])
+    for d in range(4):
+        assert len(glob.glob(path + f"/day={d}/part-*")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert back.agg(F.sum("v")).first()[0] == 3 * sum(range(400))

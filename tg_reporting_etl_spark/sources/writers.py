@@ -273,3 +273,55 @@ def _select_merge_backend(spark):
         if available(spark):
             return merge_fn
     return _merge_parquet
+
+
+def compact_table(
+    spark,
+    path: str,
+    num_files: int = 1,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Rewrite a parquet table into fewer, larger files — the
+    maintenance pass every micro-batch streaming sink eventually needs
+    (each trigger appends small files; scan cost degrades with file
+    count, not data volume).
+
+    UNPARTITIONED: coalesce to ``num_files`` and swap via the SAME
+    temp-dir + rename protocol (and the same ``._merge_tmp`` suffix) as
+    the unpartitioned merge — so a crash inside the swap window is
+    healed by the next ``merge_into`` OR ``compact_table`` on the path,
+    one shared self-heal contract.
+
+    PARTITIONED: one file per partition via a repartition on the
+    partition tuple + dynamic partition overwrite; carries the same
+    documented mid-write partial-partition caveat as the partitioned
+    merge (a table format with a commit log removes it).
+    """
+    tmp_path = path.rstrip("/") + "._merge_tmp"
+    if partition_cols:
+        df = spark.read.parquet(path).repartition(*partition_cols)
+        df = df.localCheckpoint(eager=True)
+        try:
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .parquet(path)
+            )
+        finally:
+            _release_local_checkpoint(df)
+        return
+
+    # self-heal a previous crashed swap before reading
+    try:
+        fs, jtarget = _fs_path(spark, path)
+        _, jtmp = _fs_path(spark, tmp_path)
+        if not fs.exists(jtarget) and fs.exists(jtmp):
+            fs.rename(jtmp, jtarget)
+    except Exception:
+        pass
+    spark.read.parquet(path).coalesce(num_files).write.mode("overwrite").parquet(tmp_path)
+    fs, jtarget = _fs_path(spark, path)
+    _, jtmp = _fs_path(spark, tmp_path)
+    fs.delete(jtarget, True)
+    fs.rename(jtmp, jtarget)
