@@ -871,3 +871,33 @@ def test_sharded_cumsum_scales_to_a_million_rows(spark):
     total = df.agg(F.sum("n_tokens")).first()[0]
     assert last.cum_before + last.n_tokens == total  # exact inclusive total
     assert wall < 60, f"cumsum over 1M rows took {wall:.1f}s"
+
+
+def test_quality_report_counts_each_rule_kind(spark):
+    """Constructed violations: null, out-of-set, out-of-range, dup key —
+    each rule reports exactly its own count; null predicate counts as a
+    violation (unknown is not provably valid)."""
+    from tg_reporting_etl_spark.functions.validate import quality_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (2, "b", 50.0),
+            (2, "zz", -1.0),   # dup id, bad enum, below range
+            (None, "a", None), # null id, null value
+        ],
+        "id long, kind string, v double",
+    )
+    got = {
+        r.rule: r.n_violations
+        for r in quality_report(
+            df, not_null=["id"], in_set={"kind": ["a", "b"]},
+            ranges={"v": (0.0, 100.0)}, unique=["id"],
+        ).collect()
+    }
+    assert got == {
+        "id_not_null": 1,
+        "kind_in_set": 1,
+        "v_range": 2,      # -1.0 below range + NULL (unknown)
+        "id_unique": 1,
+    }

@@ -56,3 +56,44 @@ def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+# Data-quality gate over the events table: one scan, every rule a
+# conditional-sum measure (functions/validate.py).  value_range is
+# deliberately tighter than the data (100.0) so the report proves it
+# counts REAL violations, not just zeros.
+_QUALITY_RULES = dict(
+    not_null=["event_id", "user_id", "ts"],
+    in_set={"event_type": ["click", "error", "purchase", "signup", "view"]},
+    ranges={"value": (0.0, 100.0)},
+    unique=["event_id"],
+)
+
+_DQ_ORACLE = """
+SELECT 'event_id_not_null' AS rule,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM events
+UNION ALL SELECT 'user_id_not_null',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'ts_not_null',
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'event_type_in_set',
+       CAST(SUM(CASE WHEN event_type IS NULL
+                     OR event_type NOT IN ('click','error','purchase','signup','view')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'value_range',
+       CAST(SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'event_id_unique',
+       CAST(count(*) - count(DISTINCT CAST(event_id AS VARCHAR)) AS BIGINT) FROM events"""
+
+
+@register(
+    "events_quality_report",
+    _DQ_ORACLE,
+    survey_ids="data-quality gate: declarative rules -> single-scan violation report",
+)
+def q_events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/validate.py:quality_report — every rule folded into one
+    partial-aggregable agg pass, unpivoted to (rule, n_violations)."""
+    from tg_reporting_etl_spark.functions.validate import quality_report
+
+    return quality_report(load_table(spark, sf_dir, "events"), **_QUALITY_RULES)
