@@ -376,3 +376,46 @@ def test_compact_table_partitioned(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 400
     assert back.agg(F.sum("v")).first()[0] == 3 * sum(range(400))
+
+
+def test_write_clustered_narrows_rowgroup_stats(spark, tmp_path):
+    """Clustered layout: per-file user_id min/max ranges are narrow and
+    pairwise disjoint (pyarrow footer stats), vs the unclustered write
+    where every file spans ~the whole key domain — the measurable
+    precondition for parquet stats-based file/row-group skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tg_reporting_etl_spark.sources.writers import write_clustered
+
+    df = spark.range(40_000).select(
+        (F.xxhash64("id") % 1000).alias("user_id"), F.col("id").alias("v")
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # user_id
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    base = str(tmp_path / "unclustered")
+    df.repartition(4).write.parquet(base)
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, ["user_id"], files_per_partition=4)
+
+    domain = 2000  # user_id spans about [-1000, 1000]
+    wide = file_ranges(base)
+    narrow = sorted(file_ranges(clustered))
+    assert all(hi - lo > 0.8 * domain for lo, hi in wide)        # every file spans ~all keys
+    assert all(hi - lo < 0.5 * domain for lo, hi in narrow)      # clustered files are slices
+    for (_, hi_a), (lo_b, _) in zip(narrow, narrow[1:]):          # and pairwise disjoint
+        assert hi_a <= lo_b
+    # data survives intact
+    assert spark.read.parquet(clustered).agg(F.sum("v")).first()[0] == sum(range(40_000))
