@@ -631,3 +631,36 @@ def test_continuous_topk_matches_batch_bruteforce(spark, tmp_path):
         for r in sim.brute_force_topk(emb, F.col("vec_id").isin(0, 5), k=3).collect()
     }
     assert got == want
+
+
+def test_streaming_quality_audit_per_batch(spark, tmp_path):
+    """Each micro-batch contributes its own rule rows; violations are
+    attributed to the batch that carried them."""
+    import os
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_quality_audit_sink
+
+    schema = "id long, v double"
+    src = str(tmp_path / "qa_src")
+    os.makedirs(src, exist_ok=True)
+    audit = str(tmp_path / "qa_audit")
+
+    spark.createDataFrame([(1, 5.0), (2, 7.0)], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    rules = dict(not_null=["id"], ranges={"v": (0.0, 10.0)})
+    q = start_quality_audit_sink(stream, rules, audit, str(tmp_path / "qa_ckpt"))
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(3, 99.0), (None, 1.0)], schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.read.parquet(audit).collect()
+    finally:
+        q.stop()
+
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch_id, {})[r.rule] = r.n_violations
+    assert len(by_epoch) == 2
+    clean, dirty = (by_epoch[e] for e in sorted(by_epoch))
+    assert clean == {"id_not_null": 0, "v_range": 0}
+    assert dirty == {"id_not_null": 1, "v_range": 1}

@@ -528,3 +528,34 @@ def start_continuous_topk_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_quality_audit_sink(
+    stream: DataFrame,
+    rules: dict,
+    audit_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Per-micro-batch data-quality audit: run the declarative rule set
+    (:func:`~tg_reporting_etl_spark.functions.validate.quality_report`)
+    over every batch and APPEND the (epoch_id, rule, n_violations) rows
+    to a durable audit table — the streaming form of the batch gate,
+    giving an always-growing record of when violations entered the
+    stream.  One agg pass per batch regardless of rule count; the audit
+    table grows by |rules| rows per trigger."""
+    from tg_reporting_etl_spark.functions.validate import quality_report
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        report = quality_report(batch, **rules).withColumn(
+            "epoch_id", F.lit(int(epoch_id)).cast("long")
+        )
+        report.write.mode("append").parquet(audit_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
