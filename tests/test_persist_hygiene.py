@@ -48,3 +48,25 @@ def test_dedup_and_rtp_persists_all_released(spark):
 
     clear_df_cache()
     assert cm.isEmpty()
+
+
+def test_catalog_shared_caches_all_released(spark, sf_dir):
+    """The round-7 session caches (components labeling, gram-df table,
+    shingles, capped pairs) all register with the tracked-cache registry
+    and release on clear_df_cache — a long-lived driver serving the
+    catalog cannot accumulate blocks."""
+    import __spark_entry__ as em
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    clear_df_cache()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    qs = em.queries()
+    for name in ("doc_dup_components", "doc_dedup_best_rep",
+                 "doc_boilerplate_fraction", "corpus_curation"):
+        qs[name](spark, sf_dir).count()
+    assert not cm.isEmpty()
+
+    clear_df_cache()
+    assert cm.isEmpty()
