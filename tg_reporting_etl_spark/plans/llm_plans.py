@@ -458,6 +458,73 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_dup_pairs_blocked(_emb(spark, sf_dir), COSINE_TAU)
 
 
+# Ensemble dedup audit: every candidate pair from EITHER channel with a
+# per-channel flag — the review table an operator of a real pipeline
+# reads before choosing removal policy (lexical-only, semantic-only, or
+# both-channel consensus).  Full outer join of two bounded pair tables.
+_ENSEMBLE_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()},
+disc AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1
+        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM disc a JOIN disc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM cands c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}
+),
+sem AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= {COSINE_TAU}
+)
+SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+       COALESCE(l.doc_b, s.doc_b) AS doc_b,
+       l.doc_a IS NOT NULL AS lexical,
+       s.doc_a IS NOT NULL AS semantic
+FROM lex l FULL OUTER JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b"""
+
+
+@register(
+    "doc_ensemble_dedup_audit",
+    _ENSEMBLE_ORACLE,
+    survey_ids="LLM: ensemble dedup audit (lexical + semantic channel flags)",
+)
+def q_doc_ensemble_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of the lexical (n-gram Jaccard, shared capped
+    pair cache) and semantic (embedding cosine) candidate channels —
+    both sides bounded pair tables, so the join is broadcast-able at
+    any corpus size where dedup itself is feasible."""
+    lex = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(True).alias("lexical"))
+    sem = sim.embedding_dup_pairs_blocked(_emb(spark, sf_dir), COSINE_TAU).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
+        F.lit(True).alias("semantic"),
+    )
+    return (
+        lex.join(sem, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("lexical", F.lit(False)).alias("lexical"),
+            F.coalesce("semantic", F.lit(False)).alias("semantic"),
+        )
+    )
+
+
 # -------------------------------------------------------- similarity search
 
 @register(
