@@ -901,3 +901,35 @@ def test_quality_report_counts_each_rule_kind(spark):
         "v_range": 2,      # -1.0 below range + NULL (unknown)
         "id_unique": 1,
     }
+
+
+def test_funnel_steps_ordered_progression(spark):
+    """Out-of-order steps don't advance; session boundaries isolate
+    progressions; the distribution counts sessions, not users."""
+    import datetime as dt
+
+    from tg_reporting_etl_spark.operators.sessions import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def ev(uid, mins, et):
+        return (t0 + dt.timedelta(minutes=mins), uid, et, 1.0)
+
+    events = spark.createDataFrame(
+        [
+            # user 1: view -> (premature purchase ignored) -> click -> purchase = 3
+            ev(1, 0, "view"), ev(1, 1, "purchase"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+            # user 2: click before any view never counts; later view = 1
+            ev(2, 0, "click"), ev(2, 1, "view"),
+            # user 3: two sessions (2h apart), each only reaches view = two step-1 sessions
+            ev(3, 0, "view"), ev(3, 120, "view"),
+            # user 4: nothing relevant = 0
+            ev(4, 0, "error"),
+        ],
+        "ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r.funnel_step: r.n_sessions
+        for r in funnel_steps(events, ["view", "click", "purchase"], 30).collect()
+    }
+    assert got == {3: 1, 1: 3, 0: 1}

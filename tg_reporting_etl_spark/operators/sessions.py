@@ -13,23 +13,66 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Assign session ids per user (new session when the gap from the
-    previous event exceeds ``gap_minutes``) and aggregate per session."""
+def with_session_ids(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-EVENT session assignment: each row gains a ``session_id``
+    (per-user counter; new session when the gap from the previous event
+    exceeds ``gap_minutes``).  The shared first stage of sessionize and
+    the funnel operator — one (user_id, ts) shuffle."""
     by_user = W.partitionBy("user_id").orderBy("ts")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
     with_breaks = events.withColumn(
         "_new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
     )
-    with_ids = with_breaks.withColumn(
+    return with_breaks.withColumn(
         "session_id",
         F.sum("_new_session").over(by_user.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
-    )
+    ).drop("_new_session")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids per user (new session when the gap from the
+    previous event exceeds ``gap_minutes``) and aggregate per session."""
+    with_ids = with_session_ids(events, gap_minutes)
     return with_ids.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
         F.countDistinct("event_type").cast("long").alias("n_event_types"),
+    )
+
+
+def funnel_steps(
+    events: DataFrame, steps: list[str], gap_minutes: int = 30
+) -> DataFrame:
+    """Session funnel: how far each session progressed through the
+    ordered ``steps`` (an event advances the funnel only when it is the
+    NEXT expected step — out-of-order steps don't count), then the
+    distribution (funnel_step, n_sessions).
+
+    The per-session progression is a left fold over the time-ordered
+    event array — a pure column expression (``array_sort`` +
+    ``aggregate``), no UDF and no second shuffle beyond the session
+    grouping: genuinely stateful-in-order logic expressed inside
+    whole-stage codegen.  Ties on ts break by event_type so the fold
+    order is deterministic across engines.
+    """
+    with_ids = with_session_ids(events, gap_minutes)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+    )
+
+    def _advance(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            out = F.when((acc == i) & (e.event_type == s), i + 1).otherwise(out)
+        return out
+
+    per_session = (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(F.aggregate(ordered, F.lit(0), _advance).alias("funnel_step"))
+    )
+    return per_session.groupBy("funnel_step").agg(
+        F.count("*").cast("long").alias("n_sessions")
     )

@@ -36,3 +36,59 @@ FROM ids GROUP BY 1, 2"""
 @register("sessionize_events", _ORACLE, survey_ids="W-family: lag + cumsum sessionization")
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), GAP_MIN)
+
+
+# Session funnel: ordered progression through view -> click -> purchase.
+# Oracle folds the time-ordered event list with a string-state
+# list_reduce (DuckDB's fold requires acc and element types to match,
+# so the step counter rides as a digit string) — the exact mirror of
+# the Spark aggregate() integer fold.
+FUNNEL = ["view", "click", "purchase"]
+
+_FUNNEL_CASES = "\n             ".join(
+    f"WHEN acc = '{i}' AND x = '{s}' THEN '{i + 1}'" for i, s in enumerate(FUNNEL)
+)
+
+_FUNNEL_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ids AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+folded AS (
+  SELECT user_id, session_id,
+         CAST(list_reduce(
+           list_prepend('0', list(event_type ORDER BY ts, event_type)),
+           (acc, x) -> CASE
+             {_FUNNEL_CASES}
+             ELSE acc END) AS INT) AS funnel_step
+  FROM ids GROUP BY user_id, session_id
+)
+SELECT funnel_step, CAST(count(*) AS BIGINT) AS n_sessions
+FROM folded GROUP BY 1"""
+
+
+@register(
+    "session_funnel",
+    _FUNNEL_ORACLE,
+    survey_ids="events analytics: session funnel via in-codegen ordered fold",
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sessions.py:funnel_steps — per-session ordered funnel
+    progression as a pure array_sort + aggregate() fold (no UDF), then
+    the (funnel_step, n_sessions) distribution."""
+    from tg_reporting_etl_spark.operators.sessions import funnel_steps
+
+    out = funnel_steps(load_table(spark, sf_dir, "events"), FUNNEL, GAP_MIN)
+    from pyspark.sql import functions as F
+
+    return out.select(F.col("funnel_step").cast("int").alias("funnel_step"), "n_sessions")
