@@ -76,3 +76,28 @@ def funnel_steps(
     return per_session.groupBy("funnel_step").agg(
         F.count("*").cast("long").alias("n_sessions")
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Daily retention triangle: users grouped by first-seen day
+    (cohort), counted on each later active day as an offset from their
+    cohort day — (cohort_date, day_offset, n_users).
+
+    Two aggregations on the SAME key (user_id): the first-seen min and
+    the distinct active days both shuffle on user_id, so Catalyst
+    reuses one exchange for the join; the final (cohort, offset) agg is
+    over a frame bounded by users x active-days.  day_offset 0 row ==
+    cohort size, so retention rate is a ratio within the result.
+    """
+    day = F.to_date("ts")
+    first = events.groupBy("user_id").agg(F.min(day).alias("cohort_date"))
+    active = events.select("user_id", day.alias("active_date")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

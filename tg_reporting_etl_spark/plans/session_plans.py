@@ -92,3 +92,31 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return out.select(F.col("funnel_step").cast("int").alias("funnel_step"), "n_sessions")
+
+
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+)
+SELECT f.cohort_date,
+       CAST(date_diff('day', f.cohort_date, a.active_date) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2"""
+
+
+@register(
+    "retention_cohorts",
+    _RETENTION_ORACLE,
+    survey_ids="events analytics: daily retention triangle (cohort x day offset)",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sessions.py:retention_cohorts — first-seen cohort x
+    active-day offset counts; both aggs shuffle on user_id so the join
+    reuses one exchange."""
+    from tg_reporting_etl_spark.operators.sessions import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
