@@ -101,3 +101,33 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def trailing_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Exact trailing-N-day active users per day (WAU shape):
+    (report_date, n_active) where a user counts if active on any of the
+    N days ending at report_date.
+
+    Spark-first shape: the (user, day) distinct frame fans each active
+    day out to the ``window_days`` report days it contributes to (a
+    bounded explode — no day-range self-join), then one distinct count
+    per report day.  Report days with no activity in range simply don't
+    appear.  The sketch path for 100 TB — per-day HLL sketches merged
+    per window via hll_sketch_agg/hll_union_agg — is pytest-covered
+    next to this (error-bounded), trading exactness for mergeable
+    per-day state.
+    """
+    day = F.to_date("ts")
+    per_day = events.select("user_id", day.alias("active_date")).distinct()
+    fanned = per_day.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("active_date"),
+                F.date_add("active_date", window_days - 1),
+            )
+        ).alias("report_date"),
+    )
+    return fanned.groupBy("report_date").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active")
+    )

@@ -120,3 +120,31 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tg_reporting_etl_spark.operators.sessions import retention_cohorts
 
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+WAU_DAYS = 7
+
+_WAU_ORACLE = f"""
+WITH per_day AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+),
+fanned AS (
+  SELECT user_id, active_date + INTERVAL (o) DAY AS report_date
+  FROM per_day CROSS JOIN generate_series(0, {WAU_DAYS - 1}) s(o)
+)
+SELECT CAST(report_date AS DATE) AS report_date,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM fanned GROUP BY 1"""
+
+
+@register(
+    "trailing_active_users",
+    _WAU_ORACLE,
+    survey_ids="events analytics: exact trailing-7-day active users (WAU)",
+)
+def q_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sessions.py:trailing_active_users — bounded fan-out of
+    active days to their report windows, no day-range self-join."""
+    from tg_reporting_etl_spark.operators.sessions import trailing_active_users
+
+    return trailing_active_users(load_table(spark, sf_dir, "events"), WAU_DAYS)
