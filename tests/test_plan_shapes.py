@@ -132,6 +132,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    "session_funnel": {"smj_max": 0},
+    "retention_cohorts": {"bhj_min": 1, "smj_max": 0},
+    "trailing_active_users": {"smj_max": 0},
     "risk_ctrl_rtp_1d": {"bhj_min": 15, "smj_max": 2, "pushdown_min": 2},
     "dependency_gate": {"smj_max": 2},
     "init_board_seed": {"bhj_min": 6, "smj_max": 2},
