@@ -664,3 +664,28 @@ def test_streaming_quality_audit_per_batch(spark, tmp_path):
     clean, dirty = (by_epoch[e] for e in sorted(by_epoch))
     assert clean == {"id_not_null": 0, "v_range": 0}
     assert dirty == {"id_not_null": 1, "v_range": 1}
+
+
+def test_streaming_wau_tracks_batch_within_hll_error(spark, sf_dir, tmp_path):
+    """Sliding-window streaming WAU lands within HLL error of the exact
+    batch operator on every report day both sides cover."""
+    from tg_reporting_etl_spark.operators.sessions import trailing_active_users
+    from tg_reporting_etl_spark.sources.readers import load_table
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_trailing_active_users
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = str(tmp_path / "wau_src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = start_memory_sink(streaming_trailing_active_users(stream), "wau_stream", mode="complete")
+    try:
+        q.processAllAvailable()
+        approx = {r.report_date: r.n_active for r in spark.table("wau_stream").collect()}
+    finally:
+        q.stop()
+    exact = {r.report_date: r.n_active for r in trailing_active_users(ev, 7).collect()}
+    shared = set(approx) & set(exact)
+    assert len(shared) >= len(exact) - 1  # sliding grid may clip the edge day
+    for d in shared:
+        assert abs(approx[d] - exact[d]) <= max(5, 0.05 * exact[d]), d

@@ -559,3 +559,22 @@ def start_quality_audit_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_trailing_active_users(
+    stream: DataFrame, window_days: int = 7, watermark: str = "1 day", rsd: float = 0.02
+) -> DataFrame:
+    """Streaming twin of the batch WAU operator: a sliding event-time
+    window (length ``window_days``, sliding daily) with
+    ``approx_count_distinct`` — exact distinct over sliding windows
+    would keep every user id per open window in state, so the streaming
+    path trades to HLL state the same way the batch sketch-merge path
+    does (tests/test_approx.py).  Emits (report_date, n_active) where
+    report_date is the window's LAST day, matching the batch frame."""
+    win = F.window("ts", f"{window_days} days", "1 day")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd).cast("long").alias("n_active"))
+        .select(F.date_add(F.to_date("w.end"), -1).alias("report_date"), "n_active")
+    )
