@@ -132,6 +132,11 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # scrub family: narrow scan-only maps (normalized dedup's only
+    # exchange is the digest groupBy; PII + chunking have none)
+    "doc_normalized_dedup": {"smj_max": 0},
+    "doc_pii_scrub": {"smj_max": 0},
+    "doc_chunk_overlap": {"smj_max": 0},
     "session_funnel": {"smj_max": 0},
     "retention_cohorts": {"bhj_min": 1, "smj_max": 0},
     "trailing_active_users": {"smj_max": 0},

@@ -68,6 +68,7 @@ def _load_all() -> None:
         rollup_plans,
         rtp_plans,
         runner_plans,
+        scrub_plans,
         session_plans,
         trans_plans,
     )

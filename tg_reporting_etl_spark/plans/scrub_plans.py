@@ -1,0 +1,107 @@
+"""Catalog rows for the scrubbing family (functions/scrub.py):
+normalized dedup, PII census/redaction, overlap chunking.
+
+DuckDB regex parity: patterns live in functions/scrub.py and are
+written in the Java-regex/RE2 common subset; DuckDB ``regexp_replace``
+takes the ``'g'`` flag because Spark's is always global.
+
+PII fixture note: the synthetic corpus is PII-free by construction
+(lowercase word soup — zero emails/digits), so the catalog query runs
+:func:`scrub_pii` over ``text`` augmented with a DETERMINISTIC per-doc
+PII suffix built from ``doc_id`` (one email, one IPv4, one phone).
+Both engines build the identical suffix, so the oracle exercises the
+full detect/redact/digest path with non-degenerate counts; the
+un-augmented operator behavior (zero-count pass-through, crafted true
+positives/negatives, NULL contract) is pinned in tests/test_scrub.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tg_reporting_etl_spark.functions import scrub as sc
+from tg_reporting_etl_spark.plans.catalog import register
+from tg_reporting_etl_spark.sources.readers import load_table
+
+CHUNK_SIZE, CHUNK_STRIDE = 120, 90
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "doc_normalized_dedup",
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_digest,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1""",
+    survey_ids="LLM: normalized-text exact dedup",
+)
+def q_doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sc.normalized_dedup(_docs(spark, sf_dir))
+
+
+def _pii_suffix_sql() -> str:
+    return (
+        "' user' || CAST(doc_id AS VARCHAR) || '@example.com"
+        " 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+def _pii_suffix_col() -> Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(" user"), did, F.lit("@example.com 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    f"""WITH pii AS (
+  SELECT doc_id, text || {_pii_suffix_sql()} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{sc.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{sc.IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{sc.PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(s) AS scrubbed_digest,
+       CAST(length(s) AS BIGINT) AS scrubbed_len
+FROM (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{sc.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{sc.IPV4_RE}', '<IP>', 'g'),
+           '{sc.PHONE_RE}', '<PHONE>', 'g') AS s
+  FROM pii
+)""",
+    survey_ids="LLM: PII census + redaction",
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    augmented = _docs(spark, sf_dir).withColumn(
+        "pii_text", F.concat(F.col("text"), _pii_suffix_col())
+    )
+    return sc.scrub_pii(augmented, text_col="pii_text")
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_pos,
+       CAST(length(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_digest
+FROM documents CROSS JOIN generate_series(0, 200) t(i)
+WHERE i <= ceil(greatest(length(text) - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0)""",
+    survey_ids="LLM: fixed-size overlap chunking (RAG prep)",
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sc.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE)
