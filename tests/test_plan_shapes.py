@@ -132,6 +132,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # bloom probe: words side must broadcast (it is O(m_bits) by
+    # construction); an SMJ here would shuffle the probe corpus
+    "doc_bloom_decontaminate": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 2},
     # scrub family: narrow scan-only maps (normalized dedup's only
     # exchange is the digest groupBy; PII + chunking have none)
     "doc_normalized_dedup": {"smj_max": 0},

@@ -691,6 +691,42 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out)
 
 
+def _bloom_decon_oracle() -> str:
+    from tg_reporting_etl_spark.functions import bloom as bl
+
+    return bl.bloom_oracle_sql(
+        eval_rel=f"(SELECT md5(text) AS d FROM documents WHERE source IN ({_EVAL_IN})) e",
+        probe_rel=f"(SELECT doc_id, md5(text) AS d FROM documents WHERE source NOT IN ({_EVAL_IN})) t",
+        key_expr="d",
+        id_expr="doc_id",
+    )
+
+
+@register(
+    "doc_bloom_decontaminate",
+    _bloom_decon_oracle(),
+    survey_ids="LLM: bloom-filter exact decontamination (broadcast-free probe at scale)",
+)
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup decontamination probed through a Bloom filter built
+    over the eval-holdout digests (functions/bloom.py).  Same semantics
+    as the exact channel of doc_decontaminate, but the eval side ships
+    as an O(m_bits)-size word table instead of its full digest set —
+    the shape that stays broadcastable when the holdout corpus itself
+    is web-scale.  The filter is deterministic (md5 positions), so the
+    DuckDB oracle reproduces it bit-for-bit, false positives included;
+    the no-false-negative guarantee and FPR bound are pinned in
+    tests/test_bloom.py."""
+    from tg_reporting_etl_spark.functions import bloom as bl
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    eval_keys = docs.filter(is_eval).select(F.md5("text").alias("d"))
+    train = docs.filter(~is_eval).select("doc_id", F.md5("text").alias("d"))
+    words = bl.bloom_build(eval_keys, "d")
+    return bl.bloom_might_contain(train, "d", "doc_id", words)
+
+
 # ------------------------------------------------------------- text analysis
 
 def _occ(needle: str) -> str:
