@@ -1,0 +1,80 @@
+"""Duplicated-substring span detection (functions/spans.py): crafted
+truth tables for window placement, interval merge, and the zero row;
+cross-engine parity runs through the doc_dup_spans oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tg_reporting_etl_spark.functions import spans as sp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _stats(spark, rows, length):
+    return {
+        r.doc_id: r for r in sp.duplicated_span_stats(_docs(spark, rows), length).collect()
+    }
+
+
+def test_shared_substring_covered_both_sides(spark):
+    # docs 1 and 2 share "ABCDEFGH" (len 8 >= L=4); doc 3 is disjoint
+    rows = [(1, "xxABCDEFGHyy"), (2, "ABCDEFGHzzzz"), (3, "qqqqwwwwrrrr")]
+    out = _stats(spark, rows, 4)
+    # doc1: windows at 3..7 dup ("ABCD".."EFGH") -> covers chars 3..10 = 8
+    assert (out[1].n_chars, out[1].covered_chars) == (12, 8)
+    assert (out[2].n_chars, out[2].covered_chars) == (12, 8)
+    assert (out[3].covered_chars, out[3].dup_span_fraction) == (0, 0.0)
+
+
+def test_disjoint_islands_sum_not_merge(spark):
+    # two shared 4-char substrings separated by unique middles
+    rows = [(1, "AAAA-u1u1u1-BBBB"), (2, "AAAA=v2v2v2=BBBB")]
+    out = _stats(spark, rows, 4)
+    # islands [1,5) and [13,17): 4 + 4 covered, not one merged span
+    assert out[1].covered_chars == 8
+    assert out[2].covered_chars == 8
+
+
+def test_overlapping_windows_merge(spark):
+    # "ABCDE" shared: windows [1,5) and [2,6) merge to [1,6)
+    rows = [(1, "ABCDExxxx"), (2, "yyyyABCDE")]
+    out = _stats(spark, rows, 4)
+    assert out[1].covered_chars == 5
+    assert out[2].covered_chars == 5
+
+
+def test_within_doc_repeat_not_counted(spark):
+    # the gram repeats only WITHIN one doc -> df counts distinct docs,
+    # so it is not a cross-document duplicate
+    rows = [(1, "ABCDzzABCD"), (2, "unrelated!")]
+    out = _stats(spark, rows, 4)
+    assert out[1].covered_chars == 0
+
+
+def test_short_and_null_docs_drop(spark):
+    rows = [(1, "abc"), (2, None), (3, "long enough text")]
+    out = _stats(spark, rows, 4)
+    assert set(out) == {3}
+
+
+def test_full_duplicate_fraction_one(spark):
+    rows = [(1, "identical text body"), (2, "identical text body")]
+    out = _stats(spark, rows, 4)
+    assert out[1].dup_span_fraction == 1.0
+    assert out[2].dup_span_fraction == 1.0
+
+
+def test_dup_gram_join_broadcasts(spark):
+    import contextlib
+    import io
+
+    df = sp.duplicated_span_stats(_docs(spark, [(1, "abcdefgh"), (2, "abcdefgh")]), 4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

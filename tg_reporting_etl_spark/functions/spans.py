@@ -1,0 +1,118 @@
+"""Exact duplicated-substring span detection (the substring-dedup
+signal of Lee et al., "Deduplicating Training Data Makes Language
+Models Better"): for every document, the fraction of characters
+covered by some length-``L`` substring that also appears in ANOTHER
+document.
+
+Spark-first shape (no suffix arrays, no Python):
+
+1. gram rows — every length-``L`` character window, keyed by a 60-bit
+   md5 prefix hash (15 hex chars: fits a signed BIGINT in both engines,
+   collision odds ~n²/2^61 — negligible at any realistic gram-type
+   count, and engine-portable where xxhash64 is not);
+2. cross-document gram table — groupBy hash with a distinct-doc count,
+   kept only where df >= 2.  Bounded by the gram TYPE space, so it
+   broadcasts; a corpus whose type space outgrows the threshold
+   degrades to a sort-merge join (correct, one extra shuffle);
+3. duplicated positions join back, then a classic gaps-and-islands
+   interval merge per document: position windows [i, i+L) sorted by i,
+   a new island starts where i breaks past the running max end, and
+   each island contributes (max i) + L - (min i) covered chars;
+4. one left join back to the documents so dup-free docs report 0.0
+   rather than vanishing.
+
+The per-doc window (partition by doc_id order by i) is the only
+row-count-scale shuffle beyond the gram df agg — both are keyed on
+bounded-size columns (8-byte hash / doc id + int), never the text.
+
+At 100 TB the honest caveat: char-level gram rows are ~len(text) rows
+per doc.  That is the same cost class the shingle family already pays
+(dedup.py), and the standard production refinement — stride the gram
+start positions and round island boundaries outward — divides the row
+count by the stride at the cost of span-boundary resolution; the
+interval-merge machinery here is unchanged under that refinement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tg_reporting_etl_spark.functions.persist import tracked_persist
+
+DEFAULT_SPAN_L = 20
+
+
+def h60(col: Column) -> Column:
+    """First 15 md5 hex chars as a non-negative 60-bit BIGINT —
+    portable (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def char_gram_rows(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> DataFrame:
+    """(doc_id, i, h): every length-``length`` char window's start
+    position (1-based) and 60-bit hash.  Docs shorter than ``length``
+    yield no rows; NULL text drops (text family contract)."""
+    t = F.col("text")
+    return (
+        docs.filter(t.isNotNull() & (F.length(t) >= length))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - length + 1),
+                    lambda i: h60(F.substring(t, i, length)),
+                )
+            ),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("h"))
+    )
+
+
+def duplicated_span_stats(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> DataFrame:
+    """(doc_id, n_chars, covered_chars, dup_span_fraction) for every
+    doc with >= ``length`` chars: covered_chars = size of the union of
+    all windows whose gram occurs in >= 2 distinct documents."""
+    # persisted: the gram explode is the expensive pass and both the df
+    # table and the position join read it (24 bytes/row, no strings)
+    grams = tracked_persist(char_gram_rows(docs, length))
+    dup_grams = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    pos = grams.join(F.broadcast(dup_grams), "h").select("doc_id", "i")
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + length).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # two projections: a window expression may not nest inside another
+    # window aggregate (both engines), so flag island starts first,
+    # then cumulative-sum the flags.
+    flagged = pos.withColumn(
+        "new_island",
+        F.when(F.col("i") > F.coalesce(prev_end, F.lit(0)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w))
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("i") + length - F.min("i")).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").cast("long").alias("covered_chars"))
+    )
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= length)
+    ).select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("covered_chars", F.lit(0)).cast("long").alias("covered_chars"),
+            F.round(F.coalesce("covered_chars", F.lit(0)) / F.col("n_chars"), 6).alias(
+                "dup_span_fraction"
+            ),
+        )
+    )
