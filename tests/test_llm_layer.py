@@ -933,3 +933,30 @@ def test_funnel_steps_ordered_progression(spark):
         for r in funnel_steps(events, ["view", "click", "purchase"], 30).collect()
     }
     assert got == {3: 1, 1: 3, 0: 1}
+
+
+def test_leakage_safe_split_co_travel(spark, sf_dir):
+    """Every near-dup pair must land in ONE split, and the hash split
+    must cover all docs in roughly 80/10/10."""
+    from tg_reporting_etl_spark.plans.llm_plans import (
+        q_doc_leakage_safe_split,
+        _capped_pairs,
+    )
+
+    split = q_doc_leakage_safe_split(spark, sf_dir)
+    pairs = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a")
+    b = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b")
+    straddle = (
+        pairs.join(a.select("doc_a", "split_a"), "doc_a")
+        .join(b.select("doc_b", "split_b"), "doc_b")
+        .filter("split_a <> split_b")
+    )
+    assert straddle.count() == 0
+
+    import pyspark.sql.functions as F
+
+    n = split.count()
+    by = {r.split: r.c for r in split.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert n == 500 and set(by) <= {"train", "validation", "test"}
+    assert by["train"] / n > 0.6  # md5 bucket split is ~80/10/10

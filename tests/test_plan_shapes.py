@@ -132,6 +132,11 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # split: the tiny component labeling must broadcast onto the doc
+    # base (hash + bucket are narrow maps)
+    # (no pushdown floor: the query scans the full doc-id base and the
+    # component side is an in-memory cached frame)
+    "doc_leakage_safe_split": {"bhj_min": 1},
     # bloom probe: words side must broadcast (it is O(m_bits) by
     # construction); an SMJ here would shuffle the probe corpus
     "doc_bloom_decontaminate": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 2},

@@ -691,6 +691,47 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out)
 
 
+_SPLIT_ORACLE = f"""{_COMPONENTS_CTES}
+SELECT doc_id, group_key,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'validation' ELSE 'test' END AS split
+FROM (
+  SELECT g.doc_id, g.group_key,
+         CAST(('0x' || substr(md5('split|' || CAST(g.group_key AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+  FROM (
+    SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_key
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+  ) g
+)"""
+
+
+@register(
+    "doc_leakage_safe_split",
+    _SPLIT_ORACLE,
+    survey_ids="LLM: leakage-safe train/val/test split (near-dup groups co-travel)",
+)
+def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split hashed on the near-dup GROUP, not
+    the document: every member of a connected dup component draws the
+    same md5 bucket, so no near-duplicate pair ever straddles a split
+    boundary (the eval-leakage failure mode of row-wise random splits).
+    Singletons group under their own doc_id.  The component labeling is
+    the session-shared ``_components`` frame (tiny — broadcast);
+    everything else is a narrow map.  Pair-co-travel and fraction
+    sanity pinned in tests/test_llm_layer.py."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    comp = _components(spark, sf_dir)
+    gk = F.coalesce("component_id", "doc_id")
+    b = dd.h32(F.concat(F.lit("split|"), gk.cast("string"))) % 10
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            gk.alias("group_key"),
+            F.when(b < 8, "train").when(b < 9, "validation").otherwise("test").alias("split"),
+        )
+    )
+
+
 def _bloom_decon_oracle() -> str:
     from tg_reporting_etl_spark.functions import bloom as bl
 
