@@ -71,3 +71,42 @@ def test_mixture_fractions_feasible_total(spark):
     got = {r.source for r in out.collect()}
     assert "junk" not in got
     assert out.filter("source = 'b'").count() == 30  # fraction 1.0 keeps all
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    """T=2 must shrink the relative spread of realized fractions vs the
+    natural distribution, and the binding (smallest-after-flattening)
+    stratum must be kept whole."""
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {r.source: r for r in sp.temperature_plan(df, "source", 2.0).collect()}
+    # natural ratio 9:1; sqrt-flattened weights ratio 3:1
+    assert abs(plan["big"].weight / plan["small"].weight - 3.0) < 1e-6
+    # small is binding: fraction 1.0; big keeps 3*100/900 = 1/3
+    assert round(plan["small"].fraction, 6) == 1.0
+    assert abs(plan["big"].fraction - 1 / 3) < 1e-6
+    samp = sp.temperature_sample(df, "source", 2.0)
+    by = {r.source: r.c for r in samp.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert by["small"] == 100  # binding stratum consumed whole
+    assert 250 < by["big"] < 420  # Bernoulli around 300
+
+
+def test_temperature_sample_deterministic_and_narrow(spark):
+    import contextlib
+    import io
+
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in sp.temperature_sample(df, "source", 2.0).collect())
+    b = sorted(r.doc_id for r in sp.temperature_sample(df.repartition(7), "source", 2.0).collect())
+    assert a == b  # membership independent of partitioning
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sp.temperature_sample(df, "source", 2.0).explain("formatted")
+    assert "SortMergeJoin" not in buf.getvalue()  # plan table broadcasts

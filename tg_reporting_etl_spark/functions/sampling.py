@@ -101,6 +101,69 @@ def mixture_fractions(
     )
 
 
+def temperature_plan(
+    df: DataFrame, strata_col: str, temperature: float = 2.0
+) -> DataFrame:
+    """(stratum, budget, weight, fraction): temperature-scaled source
+    mixing (the UniMax / multilingual-LLM recipe) — target composition
+    w_s ∝ n_s^(1/T), flattening the natural distribution toward uniform
+    as T grows, then the feasible-total plan of
+    :func:`mixture_fractions` (fraction = 1.0 for the binding stratum).
+
+    Cross-engine determinism: the only libm call is ``sqrt`` (T = 2.0,
+    the common choice — IEEE-exact in every engine, unlike ``pow``),
+    and the un-normalized weights are quantized to integer micro-units
+    BEFORE summation, so the normalizing total is an exact integer sum
+    (immune to float add-order) and every downstream double derives
+    identically in both engines.  Other temperatures use ``pow`` and
+    carry a documented last-ulp risk at fraction boundaries.
+
+    Everything is bounded-size: one count per stratum, one integer sum,
+    a broadcastable plan table.
+    """
+    budgets = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("budget"))
+    if temperature == 2.0:
+        pw = F.sqrt(F.col("budget"))
+    else:
+        pw = F.pow(F.col("budget"), F.lit(1.0 / float(temperature)))
+    scaled = budgets.withColumn("pw", F.floor(pw * 1_000_000).cast("long"))
+    tot = scaled.agg(F.sum("pw").cast("long").alias("tot"))
+    weighted = scaled.crossJoin(F.broadcast(tot)).select(
+        strata_col, "budget", (F.col("pw") / F.col("tot")).alias("weight")
+    )
+    t = weighted.agg(F.min(F.col("budget") / F.col("weight")).alias("T"))
+    return weighted.crossJoin(F.broadcast(t)).select(
+        strata_col,
+        "budget",
+        "weight",
+        F.least(F.lit(1.0), F.col("weight") * F.col("T") / F.col("budget")).alias("fraction"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 2.0,
+    key_col: str = "doc_id",
+    salt: str = "temp",
+    plan: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic draw realizing the :func:`temperature_plan`
+    composition — plan table broadcast onto the scan, membership by the
+    md5 uniform against the 6-place-rounded fraction (rounded in BOTH
+    engines, so a last-ulp fraction difference can never flip a row).
+    Pass a precomputed (ideally persisted) ``plan`` to share the
+    planning aggregates with other consumers."""
+    if plan is None:
+        plan = temperature_plan(df, strata_col, temperature)
+    plan = plan.select(strata_col, F.round("fraction", 6).alias("_frac"))
+    return (
+        df.join(F.broadcast(plan), strata_col)
+        .filter(hash_uniform(F.col(key_col), salt) < F.col("_frac"))
+        .drop("_frac")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

@@ -363,6 +363,69 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+# Temperature-scaled mixing: weights from the data itself (w ∝ sqrt(n)
+# at T=2), quantized to integer micro-units before the normalizing sum
+# so both engines derive bit-identical doubles (see
+# functions/sampling.py:temperature_plan).
+_TEMP_ORACLE = f"""WITH b AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS budget,
+         CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS pw
+  FROM documents GROUP BY 1
+),
+tt AS (SELECT CAST(SUM(pw) AS BIGINT) AS tot FROM b),
+w AS (SELECT source, budget, pw * 1.0 / tot AS weight FROM b, tt),
+t2 AS (SELECT MIN(budget / weight) AS T FROM w),
+plan AS (
+  SELECT source, budget, weight, LEAST(1.0, weight * T / budget) AS fraction
+  FROM w, t2
+),
+samp AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN plan p USING (source)
+  WHERE {_U01.format(salt='temp')} < ROUND(p.fraction, 6)
+  GROUP BY 1
+)
+SELECT p.source, p.budget,
+       ROUND(p.weight, 6) AS weight,
+       ROUND(p.fraction, 6) AS fraction,
+       COALESCE(s.n_sampled, 0) AS n_sampled
+FROM plan p LEFT JOIN samp s USING (source)"""
+
+
+@register(
+    "doc_temperature_mixture",
+    _TEMP_ORACLE,
+    survey_ids="LLM: temperature-scaled source mixing (UniMax shape, T=2)",
+)
+def q_doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/sampling.py:temperature_plan/_sample at T=2 — the
+    multilingual-LLM recipe that flattens source sizes toward uniform.
+    Output is the per-source plan (budget, weight, fraction) plus the
+    realized deterministic-draw count, so the oracle checks planner and
+    draw in one row set."""
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    from tg_reporting_etl_spark.functions.persist import tracked_persist
+
+    docs = _docs(spark, sf_dir)
+    plan = tracked_persist(sp.temperature_plan(docs, "source", 2.0))
+    realized = (
+        sp.temperature_sample(docs, "source", 2.0, plan=plan)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return (
+        plan.join(realized, "source", "left")
+        .select(
+            "source",
+            "budget",
+            F.round("weight", 6).alias("weight"),
+            F.round("fraction", 6).alias("fraction"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
+
+
 def _minhash_oracle() -> str:
     r = N_HASHES // BANDS
     mins = ",\n         ".join(
