@@ -109,7 +109,13 @@ def main() -> None:
     # sink overhead on constant-size board metadata, not operator
     # throughput — report them separately so round-over-round data-path
     # totals stay comparable as lifecycle coverage grows.
-    orch = {"rerun_journal_lifecycle", "window_sink_roundtrip", "init_board_seed", "board_scan_priority"}
+    orch = {
+        "rerun_journal_lifecycle",
+        "window_sink_roundtrip",
+        "init_board_seed",
+        "board_scan_priority",
+        "corpus_ingest_dedup_lifecycle",
+    }
     orch_total = round(sum(t for n, t in timings.items() if n in orch), 3)
     # Adversarial-regime queries deliberately drive an operator in its
     # documented worst case (the exact ngram query runs the self-pricing

@@ -1,0 +1,68 @@
+"""Incremental corpus-ingest dedup: the batch twin of the streaming
+exact-dedup sink (streaming/pipeline.py) — each arriving batch is
+deduped against a PERSISTENT digest index on disk, first-seen wins,
+and the index grows by exactly the never-seen digests.
+
+This is the ingestion shape of a living training corpus: crawls land
+in batches, and "is this document new?" must consult everything ever
+ingested, not just the current batch.
+
+Scale posture: the index holds one row per distinct digest —
+(digest, shard, first_doc_id, first_batch), ~50 bytes — partitioned by
+a hex-prefix shard so a 1e10-digest index splits into balanced
+partitions and the anti-join shuffles 16-byte digests, never document
+bodies.  The merge goes through sources/writers.py:merge_into, so a
+MERGE-capable table format (Delta) upgrades it to a transactional
+commit with no code change here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from tg_reporting_etl_spark.sources.writers import merge_into
+
+#: hex-prefix length of the shard partition key (1 -> 16 shards; a real
+#: deployment sizes this to target partition row counts)
+SHARD_PREFIX = 1
+
+
+def batch_digest_index(docs: DataFrame, batch_id: int, text_col: str = "text") -> DataFrame:
+    """Within-batch dedup to index grain: (digest, shard, first_doc_id,
+    first_batch).  NULL text drops (text family contract)."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.md5(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("first_doc_id"))
+        .select(
+            "digest",
+            # letter-prefixed so parquet partition-value type inference
+            # can never read an all-numeric shard back as an int
+            F.concat(F.lit("s"), F.substring("digest", 1, SHARD_PREFIX)).alias("shard"),
+            "first_doc_id",
+            F.lit(int(batch_id)).alias("first_batch"),
+        )
+    )
+
+
+def ingest_batch(
+    spark: SparkSession, index_path: str, docs: DataFrame, batch_id: int
+) -> int:
+    """Dedup ``docs`` against the index at ``index_path``, insert the
+    never-seen digests (first-seen wins: existing index rows are NEVER
+    replaced), and return how many new digests were added.
+
+    Re-ingesting the same batch is a no-op (returns 0)."""
+    batch_idx = batch_digest_index(docs, batch_id)
+    try:
+        existing = spark.read.parquet(index_path).select("digest")
+    except AnalysisException:
+        existing = None
+    new = batch_idx if existing is None else batch_idx.join(existing, "digest", "left_anti")
+    n_new = int(new.count())
+    if n_new > 0:
+        merge_into(spark, index_path, new, keys=["digest"], partition_cols=["shard"])
+    return n_new

@@ -61,6 +61,7 @@ def _load_all() -> None:
         return
     from tg_reporting_etl_spark.plans import (  # noqa: F401
         events_plans,
+        ingest_plans,
         leaderboard_plans,
         llm_plans,
         player_plans,
