@@ -132,6 +132,8 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # cms: the D*W counter table must broadcast onto the probe side
+    "corpus_token_cms": {"bhj_min": 1},
     # split: the tiny component labeling must broadcast onto the doc
     # base (hash + bucket are narrow maps)
     # (no pushdown floor: the query scans the full doc-id base and the

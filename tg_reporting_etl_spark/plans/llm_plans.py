@@ -831,6 +831,61 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.bloom_might_contain(train, "d", "doc_id", words)
 
 
+CMS_W, CMS_D = 1024, 4
+
+_CMS_VALS = ", ".join(f"({d})" for d in range(CMS_D))
+_CMS_IDX = (
+    "CAST(('0x' || substr(md5('cms|' || CAST(s.d AS VARCHAR) || '|' || {tok}), 1, 8))"
+    f" AS BIGINT) % {CMS_W}"
+)
+
+_CMS_ORACLE = f"""WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY 1),
+stream AS (
+  SELECT s.d, {_CMS_IDX.format(tok='t.tok')} AS idx
+  FROM toks t CROSS JOIN (VALUES {_CMS_VALS}) s(d)
+),
+counters AS (SELECT d, idx, CAST(count(*) AS BIGINT) AS c FROM stream GROUP BY 1, 2),
+probes AS (
+  SELECT f.tok, f.true_cnt, s.d, {_CMS_IDX.format(tok='f.tok')} AS idx
+  FROM freq f CROSS JOIN (VALUES {_CMS_VALS}) s(d)
+)
+SELECT p.tok AS token, p.true_cnt,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_est
+FROM probes p LEFT JOIN counters c ON c.d = p.d AND c.idx = p.idx
+GROUP BY 1, 2"""
+
+
+@register(
+    "corpus_token_cms",
+    _CMS_ORACLE,
+    survey_ids="LLM: count-min sketch frequency estimation (mergeable fixed-size summary)",
+)
+def q_corpus_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/sketch.py: build the D x W counter table over the
+    whitespace token stream, then estimate every vocab token's count
+    through it, reported next to the exact count.  The sketch is
+    deterministic (md5 buckets), so the oracle reproduces collisions
+    exactly; est >= true always, and the table stays D*W rows at any
+    corpus size.  The counter build is persisted: the estimate probes
+    it once per depth row."""
+    from tg_reporting_etl_spark.functions import sketch as sk
+    from tg_reporting_etl_spark.functions.persist import tracked_persist
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("true_cnt"))
+    counters = tracked_persist(sk.cms_build(toks, "tok", CMS_W, CMS_D))
+    est = sk.cms_estimate(freq.select("tok"), "tok", counters, CMS_W, CMS_D)
+    return (
+        freq.join(est, "tok")
+        .select(F.col("tok").alias("token"), "true_cnt", "cms_est")
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 def _occ(needle: str) -> str:
