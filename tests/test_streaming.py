@@ -689,3 +689,56 @@ def test_streaming_wau_tracks_batch_within_hll_error(spark, sf_dir, tmp_path):
     assert len(shared) >= len(exact) - 1  # sliding grid may clip the edge day
     for d in shared:
         assert abs(approx[d] - exact[d]) <= max(5, 0.05 * exact[d]), d
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """The streaming CMS after two micro-batches must equal the batch
+    sketch over the union, estimates must never underestimate, and a
+    replayed epoch must be a no-op (per-epoch delta idempotency)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.functions import sketch as sk
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        cms_counters,
+        cms_ingest_epoch,
+        start_cms_sink,
+    )
+
+    W, D = 64, 4
+    src = str(tmp_path / "cms_src")
+    deltas = str(tmp_path / "cms_deltas")
+    os.makedirs(src, exist_ok=True)
+    schema = "tok string"
+    b1 = [(t,) for t in ["a"] * 5 + ["b"] * 3]
+    b2 = [(t,) for t in ["a"] * 2 + ["c"] * 7]
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_cms_sink(stream, deltas, str(tmp_path / "cms_ckpt"), width=W, depth=D)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = cms_counters(spark, deltas)
+    rebuilt = sk.cms_build(spark.createDataFrame(b1 + b2, schema), "tok", W, D)
+    diff = live.join(rebuilt, ["d", "idx"], "full").filter(
+        F.coalesce(live["c"], F.lit(0)) != F.coalesce(rebuilt["c"], F.lit(0))
+    )
+    assert diff.count() == 0
+
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], schema)
+    est = {r.tok: r.cms_est for r in sk.cms_estimate(keys, "tok", live, W, D).collect()}
+    assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 7
+
+    # replay epoch 0 with the same rows: byte-identical delta, no double-add
+    cms_ingest_epoch(spark, deltas, spark.createDataFrame(b1, schema), 0, width=W, depth=D)
+    live2 = cms_counters(spark, deltas)
+    diff2 = live2.join(rebuilt, ["d", "idx"], "full").filter(
+        F.coalesce(live2["c"], F.lit(0)) != F.coalesce(rebuilt["c"], F.lit(0))
+    )
+    assert diff2.count() == 0

@@ -578,3 +578,71 @@ def streaming_trailing_active_users(
         .agg(F.approx_count_distinct("user_id", rsd).cast("long").alias("n_active"))
         .select(F.date_add(F.to_date("w.end"), -1).alias("report_date"), "n_active")
     )
+
+
+def cms_ingest_epoch(
+    spark,
+    deltas_path: str,
+    batch: DataFrame,
+    epoch_id: int,
+    key_col: str = "tok",
+    width: int = 1024,
+    depth: int = 4,
+) -> None:
+    """One micro-batch of the streaming count-min sketch: build the
+    batch's own D x W counter delta and MERGE it keyed by
+    (epoch_id, d, idx).
+
+    Per-EPOCH deltas (not a mutated running total) make re-delivery
+    idempotent: a replayed epoch rewrites byte-identical rows instead
+    of double-adding, the additive-merge property the batch
+    :func:`~tg_reporting_etl_spark.functions.sketch.cms_merge` test
+    pins.  The live sketch is the epoch-sum view
+    (:func:`cms_counters`); a compaction job may fold closed epochs
+    into one row set at any time without changing that view."""
+    from tg_reporting_etl_spark.functions.sketch import cms_build
+    from tg_reporting_etl_spark.sources.writers import merge_into
+
+    delta = cms_build(batch.select(key_col), key_col, width, depth).withColumn(
+        "epoch_id", F.lit(int(epoch_id)).cast("long")
+    )
+    if not delta.take(1):
+        return
+    merge_into(spark, deltas_path, delta, keys=["epoch_id", "d", "idx"])
+
+
+def cms_counters(spark, deltas_path: str) -> DataFrame:
+    """The live counter table: epoch deltas summed to (d, idx, c) —
+    directly consumable by
+    :func:`~tg_reporting_etl_spark.functions.sketch.cms_estimate`."""
+    return (
+        spark.read.parquet(deltas_path)
+        .groupBy("d", "idx")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def start_cms_sink(
+    stream: DataFrame,
+    deltas_path: str,
+    checkpoint: str,
+    key_col: str = "tok",
+    width: int = 1024,
+    depth: int = 4,
+) -> StreamingQuery:
+    """Streaming heavy-hitter counters: maintain a count-min sketch
+    over an unbounded key stream with O(D x W) state per epoch and no
+    per-key state at all — the frequency twin of the HLL distinct
+    path (streaming_trailing_active_users)."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        cms_ingest_epoch(
+            batch.sparkSession, deltas_path, batch, epoch_id, key_col, width, depth
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
