@@ -132,6 +132,10 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # pq: codebook / per-query LUT broadcast; the encode argmin and the
+    # per-query agg are the only row-scale shuffles
+    "ann_pq_codes": {"bhj_min": 1, "smj_max": 0},
+    "ann_pq_topk": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 1},
     # cms: the D*W counter table must broadcast onto the probe side
     "corpus_token_cms": {"bhj_min": 1},
     # split: the tiny component labeling must broadcast onto the doc
@@ -166,7 +170,15 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
 # doc_mixture_sample's BNLJ is the bounded-stratum budgets frame cross-
 # joined with the ONE-ROW feasible-total aggregate — constant-size both
 # sides, the legitimate scalar-broadcast shape.
-_BNLJ_ALLOWED = {"embedding_topk", "ann_ivf_topk", "doc_ngram_jaccard_exact", "doc_mixture_sample"}
+# doc_temperature_mixture adds two one-row scalar broadcasts (the
+# integer weight total and the feasible total T), same shape.
+_BNLJ_ALLOWED = {
+    "embedding_topk",
+    "ann_ivf_topk",
+    "doc_ngram_jaccard_exact",
+    "doc_mixture_sample",
+    "doc_temperature_mixture",
+}
 
 import pytest as _pytest
 

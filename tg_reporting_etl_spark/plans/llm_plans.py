@@ -415,7 +415,7 @@ def q_doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_sampled"))
     )
     return (
-        plan.join(realized, "source", "left")
+        plan.join(F.broadcast(realized), "source", "left")
         .select(
             "source",
             "budget",
@@ -829,6 +829,121 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(~is_eval).select("doc_id", F.md5("text").alias("d"))
     words = bl.bloom_build(eval_keys, "d")
     return bl.bloom_might_contain(train, "d", "doc_id", words)
+
+
+# ------------------------------------------------- product quantization
+
+PQ_DIM, PQ_SUB = 64, 16  # embedding dim / subspace width (M=4, K=16)
+
+_PQ_SQD = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y)"
+)
+_PQ_SUBV = "list_transform({e}[{m}*16+1 : {m}*16+16], x -> CAST(x AS DOUBLE))"
+
+_PQ_CTES = f"""WITH seeds AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         ) AS rn
+  FROM embeddings
+),
+centroids AS (
+  SELECT m.m, CAST(s.rn - 1 AS INTEGER) AS cid,
+         {_PQ_SUBV.format(e='s.embedding', m='m.m')} AS cvec
+  FROM seeds s CROSS JOIN (VALUES (0),(1),(2),(3)) m(m)
+  WHERE s.rn <= 16
+),
+enc AS (
+  SELECT e.vec_id, c.m, c.cid,
+         ROUND({_PQ_SQD.format(a=_PQ_SUBV.format(e='e.embedding', m='c.m'), b='c.cvec')}, 6) AS d
+  FROM embeddings e CROSS JOIN centroids c
+),
+codes AS (
+  SELECT vec_id, m, cid AS code
+  FROM (SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS r
+        FROM enc)
+  WHERE r = 1
+)"""
+
+_PQ_CODES_ORACLE = f"""{_PQ_CTES}
+SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code FROM codes"""
+
+_PQ_TOPK_ORACLE = f"""{_PQ_CTES},
+qsub AS (
+  SELECT e.vec_id AS query_id, m.m,
+         {_PQ_SUBV.format(e='e.embedding', m='m.m')} AS qv
+  FROM embeddings e CROSS JOIN (VALUES (0),(1),(2),(3)) m(m)
+  WHERE e.vec_id < 10
+),
+lut AS (
+  SELECT q.query_id, c.m, c.cid,
+         {_PQ_SQD.format(a='q.qv', b='c.cvec')} AS d
+  FROM qsub q JOIN centroids c ON c.m = q.m
+),
+est AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         ROUND(SUM(CASE WHEN l.m = 0 THEN l.d END)
+             + SUM(CASE WHEN l.m = 1 THEN l.d END)
+             + SUM(CASE WHEN l.m = 2 THEN l.d END)
+             + SUM(CASE WHEN l.m = 3 THEN l.d END), 6) AS est_dist
+  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, est_dist, CAST(r AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est_dist, neighbor_id) AS r
+      FROM est)
+WHERE r <= 5"""
+
+
+def _pq_codebook_codes(spark: SparkSession, sf_dir: str):
+    """Session-shared (codebook, codes) pair — the encode pass is paid
+    once and probed by both PQ queries."""
+    from tg_reporting_etl_spark.functions import pq
+
+    cb = cached_df(
+        spark, f"pq_codebook|{sf_dir}", lambda: pq.pq_codebook(_emb(spark, sf_dir), PQ_DIM)
+    )
+    codes = cached_df(
+        spark, f"pq_codes|{sf_dir}", lambda: pq.pq_encode(_emb(spark, sf_dir), cb, PQ_DIM)
+    )
+    return cb, codes
+
+
+@register(
+    "ann_pq_codes",
+    _PQ_CODES_ORACLE,
+    survey_ids="LLM: product-quantization encoding (M-subspace codebook, nearest-centroid codes)",
+)
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/pq.py — 64-dim vectors compress to 4 nibble codes
+    against a deterministic hash-seeded codebook; the oracle replays
+    codebook, encode argmin, and tie-breaks exactly."""
+    _, codes = _pq_codebook_codes(spark, sf_dir)
+    return codes.select("vec_id", F.col("m").cast("int").alias("m"), F.col("code").cast("int").alias("code"))
+
+
+@register(
+    "ann_pq_topk",
+    _PQ_TOPK_ORACLE,
+    survey_ids="LLM: PQ asymmetric-distance top-k (per-query LUT broadcast, codes-only corpus)",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search: queries stay exact, the corpus is its PQ codes; per
+    query an M x K distance lookup table broadcasts and the estimate is
+    a fixed-order sum of M lookups.  Recall vs brute force is floored
+    in tests/test_pq.py."""
+    from tg_reporting_etl_spark.functions import pq
+
+    cb, codes = _pq_codebook_codes(spark, sf_dir)
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return pq.pq_adc_topk(codes, cb, q, PQ_DIM, 5)
 
 
 CMS_W, CMS_D = 1024, 4
