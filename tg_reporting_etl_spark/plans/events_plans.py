@@ -97,3 +97,38 @@ def q_events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tg_reporting_etl_spark.functions.validate import quality_report
 
     return quality_report(load_table(spark, sf_dir, "events"), **_QUALITY_RULES)
+
+
+_SALTED_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 4) + 0.0 AS total_value
+FROM events GROUP BY 1"""
+
+
+@register(
+    "events_user_salted_agg",
+    _SALTED_ORACLE,
+    survey_ids="A1 skew path: two-stage salted aggregation (functions/skew.py)",
+)
+def q_events_user_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resilient twin of a plain per-user rollup: stage 1
+    aggregates on (user_id, salt) so a whale key spreads across N
+    reducers, stage 2 merges the partials — values provably identical
+    to the direct groupBy (the oracle IS the direct groupBy).  At
+    100 TB this is the shape that keeps one hot user from pinning a
+    single reducer; here the oracle gate certifies the rewrite is
+    value-preserving."""
+    from tg_reporting_etl_spark.functions.skew import salted_agg
+    from tg_reporting_etl_spark.plans.util import round_doubles
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.col("value").cast("double").alias("value"))
+    out = salted_agg(ev, ["user_id"], ["value"], count_col="n_events")
+    return round_doubles(
+        out.select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value").alias("total_value"),
+        ),
+        places=4,
+    )
