@@ -11,9 +11,12 @@ Scale posture: the index holds one row per distinct digest —
 (digest, shard, first_doc_id, first_batch), ~50 bytes — partitioned by
 a hex-prefix shard so a 1e10-digest index splits into balanced
 partitions and the anti-join shuffles 16-byte digests, never document
-bodies.  The merge goes through sources/writers.py:merge_into, so a
-MERGE-capable table format (Delta) upgrades it to a transactional
-commit with no code change here.
+bodies.  Writes are APPEND-only deltas (each ingest writes exactly the
+never-seen digests, O(new) not O(index)); idempotency comes from the
+anti-join, which makes replay after any partial write self-healing.
+A MERGE-capable table format (Delta, via the sources/writers.py
+backend registry) upgrades the append to a transactional insert-only
+MERGE with no change to the dedup logic.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from tg_reporting_etl_spark.sources.writers import merge_into
+from tg_reporting_etl_spark.sources.writers import write_append
 
 #: hex-prefix length of the shard partition key (1 -> 16 shards; a real
 #: deployment sizes this to target partition row counts)
@@ -64,5 +67,13 @@ def ingest_batch(
     new = batch_idx if existing is None else batch_idx.join(existing, "digest", "left_anti")
     n_new = int(new.count())
     if n_new > 0:
-        merge_into(spark, index_path, new, keys=["digest"], partition_cols=["shard"])
+        # APPEND, not merge: the anti-join guarantees every written row
+        # is a never-seen key, so appending only the delta costs O(new)
+        # while a MERGE would rewrite O(index).  The anti-join also
+        # makes replay self-healing — after a torn append the re-run
+        # inserts exactly the missing digests and converges.  A
+        # MERGE-capable backend (sources/writers.py registry) upgrades
+        # this to a transactional insert-only MERGE if torn-append
+        # visibility is unacceptable.
+        write_append(new, index_path, partition_cols=["shard"])
     return n_new
