@@ -132,6 +132,10 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # range join: points and intervals both derive from the row-scale
+    # events table — SMJ on the bucket key IS the correct shape (plus
+    # the interval-count left join); what matters is no BNLJ/cartesian
+    "events_incident_range_join": {"smj_max": 2, "pushdown_min": 1},
     # pq: codebook / per-query LUT broadcast; the encode argmin and the
     # per-query agg are the only row-scale shuffles
     "ann_pq_codes": {"bhj_min": 1, "smj_max": 0},

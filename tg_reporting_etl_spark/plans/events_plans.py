@@ -132,3 +132,84 @@ def q_events_user_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         places=4,
     )
+
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.event_id AS click_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS secs_since_click
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
+@register(
+    "events_asof_attribution",
+    _ASOF_ORACLE,
+    survey_ids="custom operator: AS-OF backward temporal join (union+window plan vs native ASOF oracle)",
+)
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's most recent click at or
+    before it — the point-in-time lookup (functions/asof.py).  The
+    oracle is DuckDB's NATIVE ASOF JOIN, so the union+window plan is
+    checked against an independent first-class implementation of the
+    operator, not a rephrasing of our own SQL."""
+    from tg_reporting_etl_spark.functions.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join_backward(purchases, clicks, key="user_id", ts="ts", right_prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts", "click_ts", "click_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).cast("long").alias("secs_since_click"),
+    )
+
+
+_RANGE_ORACLE = """
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS start_ts,
+         ts + INTERVAL 5 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+hits AS (
+  SELECT i.incident_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM inc i JOIN events e ON e.ts >= i.start_ts AND e.ts < i.end_ts
+  GROUP BY 1
+)
+SELECT i.incident_id, COALESCE(h.n_events, 0) AS n_events
+FROM inc i LEFT JOIN hits h USING (incident_id)"""
+
+
+@register(
+    "events_incident_range_join",
+    _RANGE_ORACLE,
+    survey_ids="custom operator: keyless point-in-interval range join (bucketed equi plan vs native IEJoin oracle)",
+)
+def q_events_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every error event opens a 5-minute incident window; count ALL
+    events (any user, any type — no equi key) landing in each window.
+    functions/rangejoin.py turns the bare range predicate into a
+    bucketed equi join; the oracle is DuckDB's native inequality-join
+    path, an independent implementation of the operator."""
+    from tg_reporting_etl_spark.functions.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    hits = (
+        bucketed_range_join(ev.select("ts"), inc)
+        .groupBy("incident_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return inc.select("incident_id").join(hits, "incident_id", "left").select(
+        "incident_id", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
