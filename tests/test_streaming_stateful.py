@@ -161,3 +161,119 @@ def test_streaming_replays_batch_rtp_scenario(spark, sf_dir, tmp_path):
         ), key
     for df in (b1, full):
         df.unpersist()
+
+
+def test_streaming_asof_enrich_cross_batch(spark, tmp_path):
+    """Streaming as-of: lefts match rights indexed by EARLIER batches;
+    an out-of-order left still binary-searches the retained rights;
+    results agree with the batch as-of twin on the union of batches."""
+    import datetime as dt
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.streaming.stateful import (
+        ASOF_INPUT_SCHEMA,
+        streaming_asof_enrich,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    src = str(tmp_path / "asof_src")
+    os.makedirs(src, exist_ok=True)
+
+    # batch 1: rights at 0 and 10 for key 1; right at 5 for key 2
+    b1 = [
+        (1, t(0), "R", 0, 100.0),
+        (1, t(10), "R", 0, 110.0),
+        (2, t(5), "R", 0, 200.0),
+    ]
+    # batch 2: lefts — in-order (key 1 @12), out-of-order (key 1 @3,
+    # needs the @0 right, not the @10 one), unmatched (key 2 @4)
+    b2 = [
+        (1, t(12), "L", 901, 0.0),
+        (1, t(3), "L", 902, 0.0),
+        (2, t(4), "L", 903, 0.0),
+    ]
+    spark.createDataFrame(b1, ASOF_INPUT_SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], ASOF_INPUT_SCHEMA).schema
+    ).parquet(src)
+    out = streaming_asof_enrich(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, ASOF_INPUT_SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {r.rid: r for r in spark.sql("SELECT * FROM asof_sink").collect()}
+    finally:
+        q.stop()
+
+    assert rows[901].r_val == 110.0 and rows[901].r_ts == t(10)
+    assert rows[902].r_val == 100.0 and rows[902].r_ts == t(0)  # out-of-order left
+    assert rows[903].r_val is None and rows[903].r_ts is None  # right is later
+
+    # parity with the batch twin over the union
+    from tg_reporting_etl_spark.functions.asof import asof_join_backward
+
+    union = spark.createDataFrame(b1 + b2, ASOF_INPUT_SCHEMA)
+    left = union.filter("side = 'L'").select("key", "ts", "rid")
+    right = union.filter("side = 'R'").select("key", "ts", "val")
+    batch = {
+        r.rid: r
+        for r in asof_join_backward(left, right, "key", right_prefix="r_").collect()
+    }
+    for rid in (901, 902, 903):
+        assert batch[rid].r_val == rows[rid].r_val
+        assert batch[rid].r_ts == rows[rid].r_ts
+
+
+def test_streaming_asof_retention_prunes_state(spark, tmp_path):
+    """Rights older than the retention horizon are pruned: a left
+    arriving beyond the horizon reports no match (documented bound)."""
+    import datetime as dt
+    import os
+
+    from tg_reporting_etl_spark.streaming.stateful import (
+        ASOF_INPUT_SCHEMA,
+        streaming_asof_enrich,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "asof_ret_src")
+    os.makedirs(src, exist_ok=True)
+    b1 = [(1, t0, "R", 0, 1.0)]
+    # 2h later: beyond the 3600s retention; then the probe left
+    b2 = [(1, t0 + dt.timedelta(hours=2), "R", 0, 2.0)]
+    b3 = [(1, t0 + dt.timedelta(minutes=1), "L", 900, 0.0)]
+    spark.createDataFrame(b1, ASOF_INPUT_SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], ASOF_INPUT_SCHEMA).schema
+    ).parquet(src)
+    q = (
+        streaming_asof_enrich(stream, retention_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("asof_ret_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, ASOF_INPUT_SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(b3, ASOF_INPUT_SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {r.rid: r for r in spark.sql("SELECT * FROM asof_ret_sink").collect()}
+    finally:
+        q.stop()
+    # the t0 right was pruned when the 2h right advanced the horizon,
+    # so the late left (t0+1min) finds nothing at-or-before it
+    assert rows[900].r_val is None

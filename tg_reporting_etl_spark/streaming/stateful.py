@@ -103,3 +103,93 @@ def streaming_rtp_alerts(hourly_rows: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------- as-of enrich
+
+ASOF_INPUT_SCHEMA = "key long, ts timestamp, side string, rid long, val double"
+ASOF_OUTPUT_SCHEMA = "key long, ts timestamp, rid long, r_ts timestamp, r_val double"
+_ASOF_STATE_SCHEMA = "r_ts array<long>, r_val array<double>"
+
+
+def _make_asof_step(retention_seconds: int):
+    """Per-key micro-batch step factory for the streaming as-of enrich:
+    state holds the retained right rows (epoch-micros + value arrays);
+    each left row is answered with the latest right at-or-before it
+    (binary search, inclusive ties); rights below the retention horizon
+    of the key's event-time high-water mark are pruned."""
+    retention_us = int(retention_seconds) * 1_000_000
+
+    def _step(key, pdfs, state):
+        import numpy as np
+
+        pdf = pd.concat(list(pdfs))
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+
+        r_ts, r_val = state.get if state.exists else ((), ())
+        is_r = (pdf["side"] == "R").to_numpy()
+        all_ts = np.concatenate(
+            [np.asarray(r_ts, dtype="int64"), ts_us.to_numpy()[is_r]]
+        )
+        all_val = np.concatenate(
+            [np.asarray(r_val, dtype="float64"), pdf["val"].to_numpy()[is_r]]
+        )
+        order = np.argsort(all_ts, kind="stable")
+        all_ts, all_val = all_ts[order], all_val[order]
+
+        left = pdf[~is_r]
+        if len(left):
+            out = pd.DataFrame(
+                {
+                    "key": left["key"].to_numpy(),
+                    "ts": left["ts"].to_numpy(),
+                    "rid": left["rid"].to_numpy(),
+                }
+            )
+            if len(all_ts):
+                lts = ts_us.to_numpy()[~is_r]
+                idx = np.searchsorted(all_ts, lts, side="right") - 1
+                ok = idx >= 0
+                safe = np.maximum(idx, 0)
+                out["r_ts"] = pd.Series(
+                    pd.to_datetime(all_ts[safe], unit="us")
+                ).where(pd.Series(ok)).to_numpy()
+                out["r_val"] = np.where(ok, all_val[safe], np.nan)
+            else:
+                out["r_ts"] = pd.NaT
+                out["r_val"] = np.nan
+            yield out
+
+        if len(all_ts):
+            horizon = int(ts_us.max()) - retention_us
+            keep = all_ts >= horizon
+            state.update((all_ts[keep].tolist(), all_val[keep].tolist()))
+
+    return _step
+
+
+def streaming_asof_enrich(unified: DataFrame, retention_seconds: int = 3600) -> DataFrame:
+    """Streaming twin of functions/asof.py:asof_join_backward over a
+    SINGLE tagged stream (side 'L' = rows to enrich, 'R' = state
+    rows): every left row is answered with the latest right row of the
+    same key at or before its event time.
+
+    State per key is the retained right rows — bounded by
+    ``retention_seconds`` of the key's event-time high-water mark, the
+    same horizon contract as dropDuplicatesWithinWatermark: a left row
+    arriving more than the retention behind the rights it needs may
+    miss them.  Within the horizon, out-of-order LEFT rows across
+    batches still match exactly (binary search over retained rights);
+    a RIGHT row arriving after a left row was already emitted cannot
+    retro-correct it (streaming emits once — the batch twin is the
+    replayable ground truth).
+
+    Clock: per-key event time, never wall clock — deterministic under
+    replay, like the alert throttler above."""
+    return unified.groupBy("key").applyInPandasWithState(
+        _make_asof_step(retention_seconds),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
