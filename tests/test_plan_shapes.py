@@ -132,6 +132,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # Ceiling 2: under a warm shared-cache session AQE occasionally
     # leaves a second merge join on the cached pair side.
     "doc_ensemble_dedup_audit": {"bhj_min": 10, "smj_max": 2},
+    # agreement matrix embeds the full minhash + simhash channel plans
+    # (their own self-join SMJs), plus three broadcast flag joins
+    "doc_dedup_agreement": {"bhj_min": 3, "smj_max": 4},
     # range join: points and intervals both derive from the row-scale
     # events table — SMJ on the bucket key IS the correct shape (plus
     # the interval-count left join); what matters is no BNLJ/cartesian

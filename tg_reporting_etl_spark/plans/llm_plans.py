@@ -831,6 +831,62 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.bloom_might_contain(train, "d", "doc_id", words)
 
 
+def _agreement_oracle() -> str:
+    """Nests the three channel oracles as WITH-subqueries — each
+    channel's ground truth is the SAME SQL the channel's own catalog
+    row is checked against, so the matrix cannot drift from them."""
+    return f"""WITH jp AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE})),
+mp AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+sh AS (SELECT doc_a, doc_b FROM ({_simhash_oracle()})),
+allp AS (
+  SELECT doc_a, doc_b FROM jp
+  UNION SELECT doc_a, doc_b FROM mp
+  UNION SELECT doc_a, doc_b FROM sh
+),
+flags AS (
+  SELECT p.doc_a, p.doc_b,
+         j.doc_a IS NOT NULL AS in_jaccard,
+         m.doc_a IS NOT NULL AS in_minhash,
+         s.doc_a IS NOT NULL AS in_simhash
+  FROM allp p
+  LEFT JOIN jp j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
+  LEFT JOIN mp m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+  LEFT JOIN sh s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+)
+SELECT in_jaccard, in_minhash, in_simhash,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM flags GROUP BY 1, 2, 3"""
+
+
+@register(
+    "doc_dedup_agreement",
+    _agreement_oracle(),
+    survey_ids="LLM: dedup method-agreement matrix (jaccard x minhash x simhash)",
+)
+def q_doc_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which near-dup channels agree, pair by pair: the union of the
+    three candidate-pair sets flagged per channel, rolled up to the
+    2^3 agreement cells — the diagnostic that tells a curation run
+    whether its lexical detectors are redundant or complementary.
+    All three pair tables are session-shared/bounded, so the joins
+    broadcast; the matrix itself is at most 7 rows."""
+    jp = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mp = dd.minhash_dedup(
+        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    sh = dd.simhash_dedup(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    allp = jp.unionByName(mp).unionByName(sh).distinct()
+    out = allp
+    for name, ch in (("in_jaccard", jp), ("in_minhash", mp), ("in_simhash", sh)):
+        flagged = ch.withColumn(name, F.lit(True))
+        out = out.join(F.broadcast(flagged), ["doc_a", "doc_b"], "left").withColumn(
+            name, F.coalesce(F.col(name), F.lit(False))
+        )
+    return out.groupBy("in_jaccard", "in_minhash", "in_simhash").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
 # ------------------------------------------------- product quantization
 
 PQ_DIM, PQ_SUB = 64, 16  # embedding dim / subspace width (M=4, K=16)
