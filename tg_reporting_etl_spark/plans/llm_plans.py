@@ -1002,6 +1002,92 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(codes, cb, q, PQ_DIM, 5)
 
 
+def _ivfpq_oracle(n_cells: int = 16, nprobe: int = 2, shortlist: int = 50, k: int = 3) -> str:
+    """IVF cells -> PQ ADC shortlist -> exact cosine re-rank, composed
+    from the same CTE fragments the standalone IVF and PQ oracles use."""
+    return f"""{_PQ_CTES},
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < {n_cells}
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_D2.format(a='e.embedding', b='c.c_emb')} ASC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_D2.format(a='q.q_emb', b='c.c_emb')} ASC, c.cell_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE a.vec_id <> p.query_id
+),
+lut AS (
+  SELECT q.query_id, c.m, c.cid,
+         {_PQ_SQD.format(a=_PQ_SUBV.format(e='q.q_emb', m='c.m'), b='c.cvec')} AS d
+  FROM q CROSS JOIN centroids c
+),
+est AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(SUM(CASE WHEN l.m = 0 THEN l.d END)
+             + SUM(CASE WHEN l.m = 1 THEN l.d END)
+             + SUM(CASE WHEN l.m = 2 THEN l.d END)
+             + SUM(CASE WHEN l.m = 3 THEN l.d END), 6) AS est_dist
+  FROM (SELECT c.query_id, c.neighbor_id, k.m, k.code
+        FROM cand c JOIN codes k ON k.vec_id = c.neighbor_id) cd
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = cd.m AND l.cid = cd.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY est_dist ASC, neighbor_id ASC) AS rn
+    FROM est
+  ) WHERE rn <= {shortlist}
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({_cos('q.q_emb', 'e.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY ROUND({_cos('q.q_emb', 'e.embedding')}, 6) DESC, s.neighbor_id ASC) AS rank
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+) WHERE rank <= {k}"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ivfpq_oracle(),
+    survey_ids="LLM: IVF-PQ with exact re-rank (coarse cells -> ADC shortlist -> refine)",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-scale ANN stack composed from the
+    engine's own pieces (functions/pq.py:ivfpq_topk): IVF cells bound
+    the candidates, PQ codes bound the bytes touched per candidate,
+    and only the shortlist's full vectors are fetched for the exact
+    cosine re-rank."""
+    from tg_reporting_etl_spark.functions import pq
+
+    cb, codes = _pq_codebook_codes(spark, sf_dir)
+    return pq.ivfpq_topk(
+        _emb(spark, sf_dir), codes, cb, F.col("vec_id") < 10, PQ_DIM, k=3
+    )
+
+
 CMS_W, CMS_D = 1024, 4
 
 _CMS_VALS = ", ".join(f"({d})" for d in range(CMS_D))
