@@ -135,6 +135,8 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # agreement matrix embeds the full minhash + simhash channel plans
     # (their own self-join SMJs), plus three broadcast flag joins
     "doc_dedup_agreement": {"bhj_min": 3, "smj_max": 4},
+    # tfidf: the type-bounded df table must broadcast onto tf
+    "doc_tfidf_topterms": {"bhj_min": 1, "smj_max": 0},
     # range join: points and intervals both derive from the row-scale
     # events table — SMJ on the bucket key IS the correct shape (plus
     # the interval-count left join); what matters is no BNLJ/cartesian
@@ -189,6 +191,9 @@ _BNLJ_ALLOWED = {
     # IVF-PQ inherits the deliberately-broadcast centroid cross joins
     # of the IVF path
     "ann_ivfpq_topk",
+    # tfidf cross-joins the ONE-ROW corpus-size aggregate (scalar
+    # broadcast shape)
+    "doc_tfidf_topterms",
 }
 
 import pytest as _pytest

@@ -742,3 +742,46 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
         F.coalesce(live2["c"], F.lit(0)) != F.coalesce(rebuilt["c"], F.lit(0))
     )
     assert diff2.count() == 0
+
+
+def test_streaming_range_join_stream_static(spark, tmp_path):
+    """The bucketed range join works unchanged as a stream-static
+    join: streaming points land in static incident windows — the
+    bucket key is a deterministic column on both sides, so Spark's
+    stream-static equi join handles it with no custom state."""
+    import datetime as dt
+    import os
+
+    from tg_reporting_etl_spark.functions.rangejoin import bucketed_range_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(secs):
+        return t0 + dt.timedelta(seconds=secs)
+
+    ivs = spark.createDataFrame(
+        [(1, t(0), t(300)), (2, t(600), t(900))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    src = str(tmp_path / "rj_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "pid long, ts timestamp"
+    spark.createDataFrame([(1, t(10)), (2, t(400))], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(src)
+    out = bucketed_range_join(stream, ivs, bucket_secs=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rj_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(3, t(700))], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r.iid, r.pid) for r in spark.sql("SELECT * FROM rj_sink").collect()}
+    finally:
+        q.stop()
+    assert rows == {(1, 1), (2, 3)}  # pid 2 at t=400 is in no window

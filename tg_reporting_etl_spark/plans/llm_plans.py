@@ -1143,6 +1143,68 @@ def q_corpus_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP = 3
+
+_TFIDF_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(r AS INTEGER) AS term_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS r
+      FROM scored)
+WHERE r <= {TFIDF_TOP}"""
+
+
+@register(
+    "doc_tfidf_topterms",
+    _TFIDF_ORACLE,
+    survey_ids="LLM: per-doc TF-IDF keyword extraction (smoothed idf, deterministic top-k)",
+)
+def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf from one (doc, term)
+    aggregation, df from the type-bounded term table (broadcast), the
+    corpus size as a one-row scalar broadcast, ranking by
+    (rounded score DESC, term ASC) so float ulps cannot reorder.
+    Smoothed idf = ln((N+1)/(df+1)) keeps corpus-wide terms finite."""
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_tbl = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n = _docs(spark, sf_dir).agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("term_rank").cast("int").alias("term_rank"))
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 def _occ(needle: str) -> str:
