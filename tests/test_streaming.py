@@ -785,3 +785,49 @@ def test_streaming_range_join_stream_static(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {(1, 1), (2, 3)}  # pid 2 at t=400 is in no window
+
+
+def test_streaming_cms_survives_restart(spark, tmp_path):
+    """Stop the CMS sink and start a NEW query on the same checkpoint:
+    the restarted stream must pick up after the committed batch — no
+    re-processing, no double-add — and the live counters must equal a
+    batch rebuild over everything ingested across both incarnations."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.functions import sketch as sk
+    from tg_reporting_etl_spark.streaming.pipeline import cms_counters, start_cms_sink
+
+    W, D = 64, 4
+    src = str(tmp_path / "cmsr_src")
+    deltas = str(tmp_path / "cmsr_deltas")
+    ckpt = str(tmp_path / "cmsr_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "tok string"
+    b1 = [("a",)] * 4 + [("b",)] * 2
+    b2 = [("a",)] * 1 + [("c",)] * 3
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    q1 = start_cms_sink(stream, deltas, ckpt, width=W, depth=D)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # second incarnation: same checkpoint, new data lands while down
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    q2 = start_cms_sink(stream2, deltas, ckpt, width=W, depth=D)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    live = cms_counters(spark, deltas)
+    rebuilt = sk.cms_build(spark.createDataFrame(b1 + b2, schema), "tok", W, D)
+    diff = live.join(rebuilt, ["d", "idx"], "full").filter(
+        F.coalesce(live["c"], F.lit(0)) != F.coalesce(rebuilt["c"], F.lit(0))
+    )
+    assert diff.count() == 0
