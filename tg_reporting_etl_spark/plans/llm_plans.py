@@ -100,6 +100,25 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH pair table — consumed by its own catalog
+    row and the agreement matrix."""
+    return cached_df(
+        spark,
+        f"minhash_pairs|{sf_dir}",
+        lambda: dd.minhash_dedup(
+            _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
+        ),
+    )
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SimHash pair table — same sharing story."""
+    return cached_df(
+        spark, f"simhash_pairs|{sf_dir}", lambda: dd.simhash_dedup(_docs(spark, sf_dir))
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted 5-gram shingle-hash table (doc_id, h, mh — all longs)
     shared by the ngram and minhash dedup queries (each references it
@@ -461,9 +480,7 @@ FROM jacc j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b"""
 
 @register("doc_minhash_lsh_dups", _minhash_oracle(), survey_ids="LLM: MinHash+LSH near-dup")
 def q_doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.minhash_dedup(
-        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -506,7 +523,7 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3"""
 
 @register("doc_simhash_dups", _simhash_oracle(), survey_ids="LLM: SimHash near-dup (lossless banding)")
 def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_dedup(_docs(spark, sf_dir))
+    return _simhash_pairs(spark, sf_dir)
 
 
 @register(
@@ -871,10 +888,8 @@ def q_doc_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three pair tables are session-shared/bounded, so the joins
     broadcast; the matrix itself is at most 7 rows."""
     jp = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    mp = dd.minhash_dedup(
-        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir)
-    ).select("doc_a", "doc_b")
-    sh = dd.simhash_dedup(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    mp = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     allp = jp.unionByName(mp).unionByName(sh).distinct()
     out = allp
     for name, ch in (("in_jaccard", jp), ("in_minhash", mp), ("in_simhash", sh)):
