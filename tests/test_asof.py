@@ -70,3 +70,41 @@ def test_plan_has_no_join(spark):
     plan = buf.getvalue()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # union sides feed ONE window shuffle
+
+
+def test_asof_random_sweep_vs_python_model(spark):
+    """Directed random sweep (repo idiom: seeded cases, one Spark job
+    each — not hypothesis, whose adaptive engine multiplies Spark
+    jobs): random keys/timestamps incl. collisions, checked against an
+    O(n^2) pure-Python reference model."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rights = [
+            (rng.randint(1, 4), _t(rng.randint(0, 120)), float(i))
+            for i in range(25)
+        ]
+        # unique (key, ts): keep max val like the catalog query's dedup
+        dedup = {}
+        for k, ts, v in rights:
+            dedup[(k, ts)] = max(dedup.get((k, ts), v), v)
+        rights = [(k, ts, v) for (k, ts), v in dedup.items()]
+        lefts = [
+            (i, rng.randint(1, 4), _t(rng.randint(0, 120))) for i in range(25)
+        ]
+
+        def model(key, ts):
+            cands = [(rts, v) for k, rts, v in rights if k == key and rts <= ts]
+            return max(cands)[1] if cands else None
+
+        left_df = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+        right_df = spark.createDataFrame(rights, "user_id long, ts timestamp, px double")
+        got = {
+            r.event_id: r.q_px
+            for r in asof_join_backward(
+                left_df, right_df, "user_id", right_prefix="q_"
+            ).collect()
+        }
+        want = {i: model(k, ts) for i, k, ts in lefts}
+        assert got == want, seed

@@ -78,3 +78,33 @@ def test_plan_is_equi_join_not_bnlj(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rangejoin_random_sweep_vs_python_model(spark):
+    """Seeded random points/intervals (several bucket widths) against
+    the O(n*m) pure-Python containment model — boundary-heavy because
+    all timestamps land on a coarse grid."""
+    import random
+
+    for seed, bucket in ((1, 60), (2, 300), (3, 7)):
+        rng = random.Random(seed)
+        pts = [(i, _t(rng.randint(0, 600))) for i in range(30)]
+        ivs = []
+        for j in range(12):
+            s = rng.randint(0, 550)
+            ivs.append((j, _t(s), _t(s + rng.randint(1, 120))))
+        want = {
+            (j, i)
+            for j, s, e in ivs
+            for i, ts in pts
+            if s <= ts < e
+        }
+        got = {
+            (r.iid, r.pid)
+            for r in bucketed_range_join(
+                spark.createDataFrame(pts, "pid long, ts timestamp"),
+                spark.createDataFrame(ivs, "iid long, start_ts timestamp, end_ts timestamp"),
+                bucket_secs=bucket,
+            ).collect()
+        }
+        assert got == want, (seed, bucket)
