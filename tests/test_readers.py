@@ -77,3 +77,27 @@ def test_read_jdbc_defaults_and_serial_path(spark, captured_reader):
     captured_reader.clear()
     readers.read_jdbc(spark, "jdbc:mysql://db/x", "t")
     assert captured_reader["options"] == {"url": "jdbc:mysql://db/x", "dbtable": "t"}
+
+
+def test_read_jsonl_permissive_quarantine(spark, tmp_path):
+    """Explicit schema, malformed lines land in the corrupt column
+    instead of killing the scan or vanishing."""
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    # Spark disallows queries touching ONLY the corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — always project a data
+    # column alongside it, as documented on read_jsonl.
+    rows = df.select("doc_id", "text", "_corrupt_record").collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert sorted(r.doc_id for r in good) == [1, 2]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record

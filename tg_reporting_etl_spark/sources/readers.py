@@ -95,3 +95,40 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines corpus reader — the interchange format most raw LLM
+    corpora arrive in (one document object per line).
+
+    Scale rules encoded here:
+    - ALWAYS pass an explicit ``schema`` in production: without one,
+      Spark runs a full inference pre-pass over every byte before the
+      real scan (double read at 100 TB).  ``schema=None`` is accepted
+      for exploration and costs exactly that extra pass.
+    - PERMISSIVE mode with a named corrupt-record column: a single
+      malformed line (truncated shard, encoding glitch — guaranteed at
+      corpus scale) must neither kill the job (FAILFAST) nor silently
+      vanish (DROPMALFORMED).  Callers audit/split on
+      ``{corrupt_col} IS NOT NULL`` and route bad lines to quarantine.
+      Caveat: Spark rejects queries whose referenced columns are ONLY
+      the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — always
+      project a data column alongside it (or cache first).
+    - JSONL is line-splittable, so a 100 TB directory parallelizes by
+      byte ranges like CSV; gzip members are NOT splittable — prefer
+      zstd/uncompressed shards upstream.
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        # the corrupt column must exist in the schema to be populated
+        full = schema if corrupt_col in schema else f"{schema}, {corrupt_col} string"
+        reader = reader.schema(full)
+    return reader.json(path)
