@@ -831,3 +831,39 @@ def test_streaming_cms_survives_restart(spark, tmp_path):
         F.coalesce(live["c"], F.lit(0)) != F.coalesce(rebuilt["c"], F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_streaming_deterministic_sampling_is_stateless(spark, tmp_path):
+    """The md5-membership samplers are pure narrow filters, so they
+    run unchanged on a stream — and pick EXACTLY the rows the batch
+    sampler picks, independent of batch boundaries."""
+    import os
+
+    from tg_reporting_etl_spark.functions.sampling import stratified_sample
+
+    src = str(tmp_path / "samp_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, source string"
+    rows = [(i, f"s{i % 2}") for i in range(200)]
+    fractions = {"s0": 0.5, "s1": 0.2}
+
+    spark.createDataFrame(rows[:120], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    out = stratified_sample(stream, "source", fractions)
+    q = (
+        out.writeStream.format("memory").queryName("samp_sink").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[120:], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM samp_sink").collect())
+    finally:
+        q.stop()
+    want = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            spark.createDataFrame(rows, schema), "source", fractions
+        ).collect()
+    )
+    assert got == want and 0 < len(got) < 200
