@@ -15,10 +15,14 @@ def safe_div(num: Column, den: Column) -> Column:
     """num/den with ÷0 -> 0.
 
     The reference divides in pandas (inf on ÷0) then maps inf/NaN to 0
-    (player_summary_5min.py:106).  Spark yields NULL on ÷0; coalescing to
-    0 reproduces the reference's observable output.
+    (player_summary_5min.py:106).  ``try_divide`` yields NULL on ÷0
+    under EVERY session (plain ``/`` RAISES DIVIDE_BY_ZERO for
+    decimal operands under Spark 4's default ANSI mode — and the
+    driver runs vanilla sessions, so operators must be ANSI-robust at
+    the expression level); coalescing to 0 reproduces the reference's
+    observable output.
     """
-    return F.coalesce(num / den, F.lit(0.0))
+    return F.coalesce(F.try_divide(num, den), F.lit(0.0))
 
 
 def int_date_key(ts: Column) -> Column:

@@ -48,8 +48,13 @@ def _floored(col: str, cond_floor: float, value_floor: float, rate: Column) -> C
 
 def _upper_sigma(cur: Column, wma: Column, wmasd: Column) -> Column:
     """abs(cur-wma)/wmasd when cur >= wma else 0; inf/NaN -> 0
-    (risk_ctrl_player_1d.py:206-214)."""
-    return F.coalesce(F.when(cur >= wma, F.abs(cur - wma) / wmasd).otherwise(F.lit(0.0)), F.lit(0.0))
+    (risk_ctrl_player_1d.py:206-214).  try_divide: a zero floored
+    deviation would RAISE under default-ANSI sessions, not reach the
+    coalesce."""
+    return F.coalesce(
+        F.when(cur >= wma, F.try_divide(F.abs(cur - wma), wmasd)).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
 
 
 def _trailing_stats(tier_1d: DataFrame, keys: list[str], gte_key: int, lt_key: int, prefix_map: dict[str, str]) -> DataFrame:
@@ -202,7 +207,14 @@ def _score_player(meta: DataFrame) -> DataFrame:
         _upper_sigma(F.col("net_trans_cur"), nt_wma_f, nt_wmasd_f)
     )
     p_trans_multi = F.coalesce(
-        F.when(F.col("net_trans_cur") > 0, F.col("net_trans_cur") / F.col("p_cur")).otherwise(0.0),
+        # try_divide: p_cur is a DECIMAL sum that CAN be zero while
+        # net_trans_cur > 0 (first hit at sf0.1) — plain / raises
+        # DIVIDE_BY_ZERO under default-ANSI sessions before the outer
+        # coalesce can see the NULL
+        F.when(
+            F.col("net_trans_cur") > 0,
+            F.try_divide(F.col("net_trans_cur"), F.col("p_cur")),
+        ).otherwise(0.0),
         F.lit(0.0),
     )
     w = RISK_CTRL_1D["risk_score_multi"]
