@@ -157,3 +157,35 @@ def test_multi_day_equals_per_day_union(spark):
         for r in risk_ctrl_game_days(g1h, g1d, days).collect()
     }
     assert multi_g == per_day_g and len(multi_g) == 6
+
+
+def test_division_sites_survive_ansi_zero_divisors(spark):
+    """Spark 4 runs ANSI by default (x/0 raises for every numeric
+    type); the engine's division sites must yield the documented
+    ÷0->0 instead.  Fixture forces every risky divisor to zero:
+    p_cur = 0 with net_trans_cur > 0 (the sf0.1 crash), zero floored
+    deviation, zero bet sum."""
+    import pyspark.sql.functions as F
+    from decimal import Decimal
+
+    from tg_reporting_etl_spark.functions.core import safe_div
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    # safe_div on decimal AND double zero divisors
+    row = spark.createDataFrame(
+        [(Decimal("1.00"), Decimal("0.00"), 1.0, 0.0)],
+        "dn decimal(10,2), dd decimal(10,2), fn double, fd double",
+    ).select(
+        safe_div(F.col("dn"), F.col("dd")).alias("dec"),
+        safe_div(F.col("fn"), F.col("fd")).alias("dbl"),
+    ).collect()[0]
+    assert row.dec == 0.0 and row.dbl == 0.0
+
+    # the sigma/p_trans expressions via the public scoring path
+    from tg_reporting_etl_spark.operators.risk_ctrl import _upper_sigma
+
+    sig = spark.createDataFrame([(5.0, 1.0, 0.0)], "cur double, wma double, sd double").select(
+        _upper_sigma(F.col("cur"), F.col("wma"), F.col("sd")).alias("s")
+    ).collect()[0]
+    assert sig.s == 0.0  # zero deviation floor -> 0, not DIVIDE_BY_ZERO
