@@ -78,3 +78,33 @@ def test_dup_gram_join_broadcasts(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stride_is_a_subset_approximation(spark):
+    """stride > 1 must never OVER-count: per doc, strided coverage is
+    <= exact coverage, and stride=1 remains byte-identical to the
+    original expression shape (the catalog/oracle path)."""
+    rows = [
+        (1, "xxABCDEFGHIJKLMNOPyy-unique-one-111"),
+        (2, "zzABCDEFGHIJKLMNOPqq-unique-two-222"),
+        (3, "totally unrelated body without reuse"),
+    ]
+    d = _docs(spark, rows)
+    exact = {r.doc_id: r.covered_chars for r in sp.duplicated_span_stats(d, 8, 1).collect()}
+    for s in (2, 3, 5):
+        approx = {
+            r.doc_id: r.covered_chars
+            for r in sp.duplicated_span_stats(d, 8, s).collect()
+        }
+        assert set(approx) == set(exact)
+        assert all(approx[k] <= exact[k] for k in exact), (s, approx, exact)
+    # the shared 16-char run still detected at stride 3 (length >= 2s)
+    approx3 = {r.doc_id: r.covered_chars for r in sp.duplicated_span_stats(d, 8, 3).collect()}
+    assert approx3[1] > 0 and approx3[2] > 0
+
+
+def test_stride_validates(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.char_gram_rows(_docs(spark, [(1, "abc")]), 4, 0)

@@ -49,33 +49,51 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def char_gram_rows(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> DataFrame:
-    """(doc_id, i, h): every length-``length`` char window's start
-    position (1-based) and 60-bit hash.  Docs shorter than ``length``
-    yield no rows; NULL text drops (text family contract)."""
+def char_gram_rows(
+    docs: DataFrame, length: int = DEFAULT_SPAN_L, stride: int = 1
+) -> DataFrame:
+    """(doc_id, i, h): the length-``length`` char window at every
+    ``stride``-th start position (1-based) and its 60-bit hash.  Docs
+    shorter than ``length`` yield no rows; NULL text drops (text
+    family contract).
+
+    ``stride=1`` is exact; ``stride=s>1`` divides the row count by
+    ``s`` at the cost of span resolution — a duplicated region is
+    detected only if it covers a sampled start, so reported coverage
+    is a SUBSET of the exact coverage (never an overcount; pinned in
+    tests).  The standard production setting pairs ``s`` with
+    ``length >= 2s`` so any duplicated run of ``length + s - 1`` chars
+    still hits a sampled start."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
     t = F.col("text")
     return (
         docs.filter(t.isNotNull() & (F.length(t) >= length))
         .select(
             "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t) - length + 1),
-                    lambda i: h60(F.substring(t, i, length)),
-                )
-            ),
+            F.explode(
+                F.sequence(F.lit(1), F.length(t) - length + 1, F.lit(stride))
+            ).alias("i"),
+            t.alias("_t"),
         )
-        .select("doc_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("h"))
+        .select(
+            "doc_id",
+            "i",
+            h60(F.col("_t").substr(F.col("i").cast("int"), F.lit(length))).alias("h"),
+        )
     )
 
 
-def duplicated_span_stats(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> DataFrame:
+def duplicated_span_stats(
+    docs: DataFrame, length: int = DEFAULT_SPAN_L, stride: int = 1
+) -> DataFrame:
     """(doc_id, n_chars, covered_chars, dup_span_fraction) for every
     doc with >= ``length`` chars: covered_chars = size of the union of
-    all windows whose gram occurs in >= 2 distinct documents."""
+    all sampled windows whose gram occurs in >= 2 distinct documents
+    (``stride`` > 1 under-approximates — see :func:`char_gram_rows`)."""
     # persisted: the gram explode is the expensive pass and both the df
     # table and the position join read it (24 bytes/row, no strings)
-    grams = tracked_persist(char_gram_rows(docs, length))
+    grams = tracked_persist(char_gram_rows(docs, length, stride))
     dup_grams = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
