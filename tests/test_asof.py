@@ -108,3 +108,52 @@ def test_asof_random_sweep_vs_python_model(spark):
         }
         want = {i: model(k, ts) for i, k, ts in lefts}
         assert got == want, seed
+
+
+def test_forward_direction(spark):
+    out = _run(spark, direction="forward")
+    # user 100 @10: rights at 4 and 10 -> equal-ts wins (inclusive)
+    assert (out[1].q_px, out[1].q_ts) == (92.0, _t(10))
+    # user 100 @5: earliest right at-or-after is @10
+    assert (out[2].q_px, out[2].q_ts) == (92.0, _t(10))
+    # user 200 @10: the @11 right is ahead -> matches forward
+    assert (out[3].q_px, out[3].q_ts) == (93.0, _t(11))
+    assert out[4].q_px is None  # no rights at all
+
+
+def test_forward_tolerance(spark):
+    got = _run(spark, direction="forward", tolerance_seconds=60)
+    assert got[3].q_px == 93.0  # 60s ahead -> inclusive
+    got59 = _run(spark, direction="forward", tolerance_seconds=59)
+    assert got59[3].q_px is None
+    # backward matches are unaffected by the forward flag
+    assert got[2].q_px is None  # nearest forward right is 300s ahead
+
+
+def test_forward_random_sweep_vs_python_model(spark):
+    import random
+
+    for seed in (7, 8):
+        rng = random.Random(seed)
+        rights = {}
+        for i in range(20):
+            k, ts = rng.randint(1, 3), _t(rng.randint(0, 90))
+            rights[(k, ts)] = max(rights.get((k, ts), float(i)), float(i))
+        rights = [(k, ts, v) for (k, ts), v in rights.items()]
+        lefts = [(i, rng.randint(1, 3), _t(rng.randint(0, 90))) for i in range(20)]
+
+        def model(key, ts):
+            cands = [(rts, v) for k, rts, v in rights if k == key and rts >= ts]
+            return min(cands)[1] if cands else None
+
+        got = {
+            r.event_id: r.q_px
+            for r in asof_join_backward(
+                spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp"),
+                spark.createDataFrame(rights, "user_id long, ts timestamp, px double"),
+                "user_id",
+                right_prefix="q_",
+                direction="forward",
+            ).collect()
+        }
+        assert got == {i: model(k, ts) for i, k, ts in lefts}, seed

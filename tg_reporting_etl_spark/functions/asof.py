@@ -38,13 +38,20 @@ def asof_join_backward(
     ts: str = "ts",
     tolerance_seconds: int | None = None,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of-backward join.
+    """Left as-of join, ``direction`` 'backward' (latest right at or
+    BEFORE each left row — the default, pandas ``merge_asof`` parity)
+    or 'forward' (earliest right at or AFTER it — the same walk over
+    the reversed sort order, so the plan shape is identical).
 
     Output: every ``left`` row with every non-key ``right`` column
-    appended as ``{right_prefix}{col}`` (NULL when no right row at or
-    before the left timestamp — or none within ``tolerance_seconds``).
+    appended as ``{right_prefix}{col}`` (NULL when no right row on the
+    required side of the left timestamp — or none within
+    ``tolerance_seconds``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r_payload = [c for c in right.columns if c not in (key, ts)]
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -62,9 +69,12 @@ def asof_join_backward(
         F.lit(None).cast(l_tagged.schema["_l"].dataType.simpleString()).alias("_l"),
         F.struct(F.col(ts), *[F.col(c) for c in r_payload]).alias("_r"),
     )
+    # ties (left.ts == right.ts) match inclusively in both directions:
+    # the right row sorts before the left at equal ts.
+    ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_ts"), F.asc("_tag"))
+        .orderBy(ts_order, F.asc("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -73,13 +83,10 @@ def asof_join_backward(
         .filter(F.col("_tag") == 1)
     )
     if tolerance_seconds is not None:
-        within = (
-            F.col("_m").isNotNull()
-            & (
-                F.unix_timestamp(F.col("_ts")) - F.unix_timestamp(F.col(f"_m.{ts}"))
-                <= tolerance_seconds
-            )
-        )
+        gap = F.unix_timestamp(F.col("_ts")) - F.unix_timestamp(F.col(f"_m.{ts}"))
+        if direction == "forward":
+            gap = -gap
+        within = F.col("_m").isNotNull() & (gap <= tolerance_seconds)
         matched = matched.withColumn("_m", F.when(within, F.col("_m")))
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col(f"_m.{ts}").alias(f"{right_prefix}{ts}"))
