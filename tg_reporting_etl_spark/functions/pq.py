@@ -304,3 +304,24 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_decode(codes: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, approx_embedding): the quantizer's reconstruction —
+    each subspace's assigned centroid, concatenated in subspace order.
+
+    Useful for debugging recall and for downstream consumers that can
+    tolerate quantized vectors without a second full-vector store.
+    Reconstruction error per vector is exactly the sum of the encode
+    argmin distances (pinned in tests), i.e. the ADC self-distance.
+    One broadcast join + one groupBy keyed on vec_id."""
+    joined = codes.alias("k").join(
+        F.broadcast(codebook.alias("cb")),
+        (F.col("k.m") == F.col("cb.m")) & (F.col("k.code") == F.col("cb.cid")),
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("k.m").alias("m"), F.col("cb.cvec").alias("cvec")))
+    )
+    return joined.groupBy("vec_id").agg(
+        F.flatten(F.transform(parts, lambda s: s["cvec"])).alias("approx_embedding")
+    )
