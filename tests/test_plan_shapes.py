@@ -162,6 +162,7 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # dup-gram table is bounded by the gram TYPE space -> broadcast;
     # the doc-base left join may SMJ (two row-scale sides, correct)
     "doc_dup_spans": {"bhj_min": 1, "smj_max": 2},
+    "doc_dup_spans_strided": {"bhj_min": 1, "smj_max": 2},
     "doc_pii_scrub": {"smj_max": 0},
     "doc_chunk_overlap": {"smj_max": 0},
     "session_funnel": {"smj_max": 0},

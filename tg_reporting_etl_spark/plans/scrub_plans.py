@@ -142,6 +142,61 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.duplicated_span_stats(_docs(spark, sf_dir), SPAN_L)
 
 
+SPAN_STRIDE = 3
+
+
+def _span_strided_oracle() -> str:
+    ln, st = SPAN_L, SPAN_STRIDE
+    return f"""WITH grams AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(text, i, {ln})), 1, 15)) AS BIGINT) AS h
+  FROM documents CROSS JOIN generate_series(1, 2000, {st}) t(i)
+  WHERE length(text) >= {ln} AND i <= length(text) - {ln - 1}
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+pos AS (SELECT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {ln}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS new_island
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS covered_chars
+  FROM (SELECT doc_id, island, MAX(i) + {ln} - MIN(i) AS span_len FROM isl GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(c.covered_chars, 0) AS covered_chars,
+       ROUND(COALESCE(c.covered_chars, 0) * 1.0 / length(d.text), 6) AS dup_span_fraction
+FROM documents d LEFT JOIN cov c USING (doc_id)
+WHERE length(d.text) >= {ln}"""
+
+
+@register(
+    "doc_dup_spans_strided",
+    _span_strided_oracle(),
+    survey_ids="LLM: duplicated-substring spans, strided scale path (rows/stride, subset coverage)",
+)
+def q_doc_dup_spans_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stride-3 scale path of doc_dup_spans: gram rows divided by
+    the stride, coverage a proven subset of the exact query's (see
+    tests/test_spans.py) — here oracle-checked cross-engine at the
+    sampled positions, so the approximation itself is deterministic
+    and verified, not just bounded."""
+    from tg_reporting_etl_spark.functions import spans as sp
+
+    return sp.duplicated_span_stats(_docs(spark, sf_dir), SPAN_L, SPAN_STRIDE)
+
+
 @register(
     "doc_chunk_overlap",
     f"""SELECT doc_id,
