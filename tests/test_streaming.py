@@ -867,3 +867,46 @@ def test_streaming_deterministic_sampling_is_stateless(spark, tmp_path):
         ).collect()
     )
     assert got == want and 0 < len(got) < 200
+
+
+def test_streaming_pii_scrub_batch_invariant(spark, tmp_path):
+    """PII scrubbing is a pure narrow map, so it runs unchanged on a
+    stream and yields byte-identical censuses regardless of batch
+    boundaries — scrub-at-ingestion with no state."""
+    import os
+
+    from tg_reporting_etl_spark.functions.scrub import scrub_pii
+
+    src = str(tmp_path / "pii_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "mail alice@example.com now"),
+        (2, "server 10.0.0.7 is up"),
+        (3, "call 555-123-4567 today"),
+        (4, "nothing sensitive here"),
+    ]
+    spark.createDataFrame(rows[:2], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[2:], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.scrubbed_digest)
+            for r in spark.sql("SELECT * FROM pii_sink").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.scrubbed_digest)
+        for r in scrub_pii(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == want and got[1][0] == 1 and got[2][1] == 1 and got[3][2] == 1

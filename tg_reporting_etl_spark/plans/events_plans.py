@@ -213,3 +213,42 @@ def q_events_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.select("incident_id").join(hits, "incident_id", "left").select(
         "incident_id", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT s.event_id, s.user_id, s.ts,
+       p.ts AS purchase_ts, p.event_id AS purchase_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(s.ts)) AS BIGINT) AS secs_to_purchase
+FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts"""
+
+
+@register(
+    "events_signup_conversion_lag",
+    _ASOF_FWD_ORACLE,
+    survey_ids="custom operator: AS-OF forward temporal join (activation latency vs native ASOF oracle)",
+)
+def q_events_signup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each signup joined to the user's FIRST purchase at or after it
+    — activation-latency analytics via the forward direction of
+    functions/asof.py (same union+window plan over the reversed sort).
+    Oracle: DuckDB's native ASOF with the inequality flipped."""
+    from tg_reporting_etl_spark.functions.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join_backward(
+        signups, purchases, key="user_id", ts="ts",
+        right_prefix="purchase_", direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_ts", "purchase_event_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("ts")).cast("long").alias("secs_to_purchase"),
+    )
