@@ -795,8 +795,11 @@ def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5 bucket, so no near-duplicate pair ever straddles a split
     boundary (the eval-leakage failure mode of row-wise random splits).
     Singletons group under their own doc_id.  The component labeling is
-    the session-shared ``_components`` frame (tiny — broadcast);
-    everything else is a narrow map.  Pair-co-travel and fraction
+    the session-shared ``_components`` frame — broadcast here because
+    it is bounded by the dup-PAIR graph, orders of magnitude below the
+    corpus; if a pathological corpus ever grew it past the broadcast
+    budget, drop the hint and the join degrades to a correct
+    shuffle-hash join on doc_id.  Everything else is a narrow map.  Pair-co-travel and fraction
     sanity pinned in tests/test_llm_layer.py."""
     docs = _docs(spark, sf_dir).select("doc_id")
     comp = _components(spark, sf_dir)
