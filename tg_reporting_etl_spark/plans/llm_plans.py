@@ -1576,6 +1576,84 @@ WHERE q.quality >= {CURATE_MIN_QUALITY} AND r.dup_token_fraction <= {CURATE_MAX_
 GROUP BY d.source"""
 
 
+def _funnel_oracle() -> str:
+    return f"""{_COMPONENTS_CTES},
+qual AS (SELECT doc_id, n_tokens, quality FROM ({_quality_oracle()})),
+rep AS (SELECT doc_id, dup_token_fraction FROM ({_REPETITION_ORACLE})),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id != component_id),
+base AS (
+  SELECT d.doc_id, q.n_tokens, q.quality, r.dup_token_fraction,
+         d.doc_id IN (SELECT doc_id FROM dropped) AS is_dropped
+  FROM documents d JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+)
+SELECT CAST(stage AS INTEGER) AS stage, stage_name,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (
+  SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM base
+  UNION ALL
+  SELECT 1, 'quality', count(*), sum(n_tokens)
+  FROM base WHERE quality >= {CURATE_MIN_QUALITY}
+  UNION ALL
+  SELECT 2, 'repetition', count(*), sum(n_tokens)
+  FROM base WHERE quality >= {CURATE_MIN_QUALITY} AND dup_token_fraction <= {CURATE_MAX_DUP}
+  UNION ALL
+  SELECT 3, 'dedup', count(*), sum(n_tokens)
+  FROM base WHERE quality >= {CURATE_MIN_QUALITY} AND dup_token_fraction <= {CURATE_MAX_DUP}
+        AND NOT is_dropped
+)"""
+
+
+@register(
+    "corpus_curation_funnel",
+    _funnel_oracle(),
+    survey_ids="LLM: curation funnel report (docs/tokens surviving each pipeline stage)",
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: how many docs/tokens survive each
+    cumulative curation stage (raw -> quality floor -> repetition
+    ceiling -> near-dup keeper) — the report a corpus owner reads
+    before signing off a training mix.  ONE scan: all four stages are
+    conditional aggregates over the same scored frame, unpivoted with
+    stack (the events_quality_report shape); the component drop-list
+    broadcasts."""
+    docs = _docs(spark, sf_dir)
+    q = tx.with_quality(docs).select(
+        "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    )
+    r = tx.repetition_stats(docs).select(
+        "doc_id", F.round("dup_token_fraction", 6).alias("dup_token_fraction")
+    )
+    dropped = (
+        _components(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id", F.lit(True).alias("is_dropped"))
+    )
+    base = (
+        q.join(r, "doc_id")
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .withColumn("is_dropped", F.coalesce("is_dropped", F.lit(False)))
+    )
+    f1 = F.col("quality") >= CURATE_MIN_QUALITY
+    f2 = f1 & (F.col("dup_token_fraction") <= CURATE_MAX_DUP)
+    f3 = f2 & ~F.col("is_dropped")
+    conds = [(0, "raw", F.lit(True)), (1, "quality", f1), (2, "repetition", f2), (3, "dedup", f3)]
+    aggs = []
+    for i, _, c in conds:
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(F.sum(F.when(c, F.col("n_tokens")).otherwise(0)).alias(f"t{i}"))
+    one = base.agg(*aggs)
+    stack = ", ".join(f"{i}, '{name}', n{i}, t{i}" for i, name, _ in conds)
+    return one.selectExpr(
+        f"stack(4, {stack}) AS (stage, stage_name, n_docs, n_tokens)"
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 @register(
     "corpus_curation",
     _curation_oracle(),
