@@ -851,6 +851,65 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.bloom_might_contain(train, "d", "doc_id", words)
 
 
+_SOURCE_OVERLAP_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()},
+disc AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1
+        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM disc a JOIN disc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM cands c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes x ON x.doc_id = i.doc_a JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}
+)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM dpairs p
+JOIN documents sa ON sa.doc_id = p.doc_a
+JOIN documents sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2"""
+
+
+@register(
+    "doc_source_overlap_matrix",
+    _SOURCE_OVERLAP_ORACLE,
+    survey_ids="LLM: cross-source duplication matrix (mirror/provenance-overlap detection)",
+)
+def q_doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: near-dup pairs rolled up to
+    unordered (source, source) cells — the provenance report that
+    surfaces mirror sites and re-crawls before mixing weights are
+    chosen.  Reuses the session-shared capped pair table; the
+    doc->source lookup broadcasts; output is bounded by the squared
+    (tiny) source-type space."""
+    pairs = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa")
+    sb = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def _agreement_oracle() -> str:
     """Nests the three channel oracles as WITH-subqueries — each
     channel's ground truth is the SAME SQL the channel's own catalog
