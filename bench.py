@@ -94,10 +94,19 @@ def main() -> None:
     # queries, not session startup.
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    # Adversarial-regime queries deliberately drive an operator in its
+    # documented worst case (doc_ngram_jaccard_exact forces the lossless
+    # prefix join on a low-entropy corpus — ~33 s at sf0.1, the honest
+    # price of scale-independent exactness).  They run ONCE: at tens of
+    # seconds the scheduler-noise floor min-of-N exists to defeat is a
+    # small relative error, and repeating the worst case would dominate
+    # total bench wall-clock without adding signal.
+    adversarial = {"doc_ngram_jaccard_exact"}
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
-        for _ in range(repeats):
+        for _ in range(1 if name in adversarial else repeats):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -117,11 +126,8 @@ def main() -> None:
         "corpus_ingest_dedup_lifecycle",
     }
     orch_total = round(sum(t for n, t in timings.items() if n in orch), 3)
-    # Adversarial-regime queries deliberately drive an operator in its
-    # documented worst case (the exact ngram query runs the self-pricing
-    # gate against a low-entropy corpus) — bucketed apart so
+    # (adversarial set defined above the timing loop) — bucketed apart so
     # data_path_total stays comparable across rounds.
-    adversarial = {"doc_ngram_jaccard_exact"}
     adv_total = round(sum(t for n, t in timings.items() if n in adversarial), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
@@ -147,24 +153,56 @@ def main() -> None:
     except OSError:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "mode": f"min-of-{repeats}",
-                "data_path_total": round(total - orch_total - adv_total, 3),
-                "orchestration_total": orch_total,
-                "adversarial_total": adv_total,
-                "shared_cache_build_s": cache_builds,
-                "stderr_exceptions": exceptions,
-                "expected_probes": probes,
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "mode": f"min-of-{repeats}",
+        "data_path_total": round(total - orch_total - adv_total, 3),
+        "orchestration_total": orch_total,
+        "adversarial_total": adv_total,
+        "shared_cache_build_s": cache_builds,
+        "stderr_exceptions": exceptions,
+        "expected_probes": probes,
+        "queries": timings,
+        "sf": sf,
+    }
+    # Rounds 6 and 7 both shipped with the driver recording
+    # ``"parsed": null``: the single JSON line grew past the driver's
+    # ~2 KB stdout-tail capture once the catalog hit 77 queries.  So:
+    # print the FULL per-query report first (and persist it to
+    # BENCH_FULL.json next to this script for auditing), then make the
+    # FINAL stdout line a compact summary guaranteed under 1.5 KB —
+    # that line is what survives the tail window and must parse.
+    print(json.dumps(full))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "mode": f"min-of-{repeats}",
+        "data_path_total": full["data_path_total"],
+        "orchestration_total": orch_total,
+        "adversarial_total": adv_total,
+        "n_queries": len(timings),
+        "stderr_exceptions": exceptions[:3],
+        "queries": slowest,
+        "queries_truncated_to_slowest": 5,
+        "full_report": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    final_line = json.dumps(compact)
+    assert len(final_line) < 1500, f"final bench line {len(final_line)}B >= 1.5KB"
+    print(final_line)
     sys.stdout.flush()
 
 

@@ -34,8 +34,8 @@ N_HASHES, BANDS = 16, 4
 _SHINGLES = """
 shingles AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
-  FROM documents CROSS JOIN generate_series(1, 2000) t(i)
-  WHERE length(text) >= 5 AND i <= length(text) - 4
+  FROM documents, unnest(generate_series(1, length(text) - 4)) t(i)
+  WHERE length(text) >= 5
 )"""
 
 _SIZES = """
@@ -199,23 +199,50 @@ SELECT doc_a, doc_b, jaccard FROM jacc"""
     survey_ids="LLM: n-gram Jaccard near-dup (gated exact scale path)",
 )
 def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs via the SELF-PRICING gated operator
-    (functions/dedup.py:ngram_jaccard_dedup).  On natural text the
-    lossless AllPairs/PPJoin prefix filter runs; on this low-entropy
-    synthetic corpus the gate prices the degenerate prefix join and
-    reroutes — at oracle scale (sf0.01, n=500) to brute-force
-    candidates (still EXACT, equals the O(n²) oracle); at bench scale
-    (sf0.1, n=5000, where the ungated join cost 30 s) to MinHash-LSH
-    candidates + exact verify (measured 255/256 recall,
-    regression-guarded in tests/test_llm_layer.py).
+    """EXACT near-dup pairs at ANY scale factor — the scale-independent
+    contract for functions/dedup.py:ngram_jaccard_dedup.
 
-    ``on_blowup="lsh"`` is the EXPLICIT opt-in to that lossy reroute —
-    the operator's own default is "error" so exactness claims stay
-    scale-independent; this catalog entry documents and accepts the
-    bounded-recall contract for the corpora too big to brute-force."""
+    ``on_blowup="force"`` restricts the operator to the lossless
+    AllPairs/PPJoin prefix path regardless of the self-pricing gate's
+    verdict, so this entry equals the O(n²) all-pairs oracle on every
+    corpus the oracle can price — including the low-entropy synthetic
+    fixtures where the gate would otherwise reroute.  The cost of that
+    guarantee is paid honestly (sf0.1: ~33 s, 150M priced candidate
+    rows — bucketed under the bench's adversarial_total).  The
+    bounded-recall LSH reroute is its own catalog entry with its own
+    candidate-mirroring oracle: ``doc_ngram_jaccard_lsh``."""
+    sink: dict = {}
     pairs = dd.ngram_jaccard_dedup(
-        _docs(spark, sf_dir), JACCARD_TAU, shingles=_shingles(spark, sf_dir), on_blowup="lsh"
+        _docs(spark, sf_dir),
+        JACCARD_TAU,
+        shingles=_shingles(spark, sf_dir),
+        on_blowup="force",
+        path_sink=sink,
     )
+    assert sink["path"] == "prefix", sink  # lossless regime, by contract
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# The lossy reroute as its OWN contract: gate forced into the lsh regime
+# (zero candidate budget), oracle mirrors the MinHash-LSH candidate set
+# (identical 16-hash/4-band family computed in SQL) + exact full-set
+# Jaccard verify.  This pins the reroute branch scale-independently:
+# the entry is green at any sf because oracle and engine agree on WHICH
+# pairs are candidates, instead of the exact oracle happening to match
+# only while the gate stays exact (the round-7 contract defect).
+# Registered below, after _minhash_oracle() is defined.
+def q_doc_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink: dict = {}
+    pairs = dd.ngram_jaccard_dedup(
+        _docs(spark, sf_dir),
+        JACCARD_TAU,
+        shingles=_shingles(spark, sf_dir),
+        on_blowup="lsh",
+        candidate_budget_per_doc=0,
+        budget_floor=0,
+        path_sink=sink,
+    )
+    assert sink["path"] == "lsh", sink  # the reroute branch, by contract
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -482,6 +509,18 @@ FROM jacc j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b"""
 def q_doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs(spark, sf_dir)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ngram_jaccard_dedup's lsh reroute uses the same 16-hash/4-band MinHash
+# candidate family as minhash_dedup, so the candidate-mirroring oracle is
+# shared; what this entry pins (vs doc_minhash_lsh_dups) is the GATE
+# (budget pricing + reroute branch + path_sink contract) rather than the
+# candidate generator itself.
+register(
+    "doc_ngram_jaccard_lsh",
+    _minhash_oracle(),
+    survey_ids="LLM: n-gram Jaccard near-dup (LSH reroute contract)",
+)(q_doc_ngram_jaccard_lsh)
 
 
 def _simhash_oracle() -> str:
@@ -1325,8 +1364,7 @@ BP_N, BP_MIN_DF = 3, 5
 _BP_CTES = f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT doc_id, array_to_string(t[i:i+{BP_N - 1}], ' ') AS gram
-  FROM toks CROSS JOIN generate_series(1, 2000) s(i)
-  WHERE i <= len(t) - {BP_N - 1}
+  FROM toks, unnest(generate_series(1, len(t) - {BP_N - 1})) s(i)
 ),
 gdf AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM grams GROUP BY 1)"""
 
@@ -1492,7 +1530,7 @@ off AS (
 ),
 flat AS (
   SELECT doc_id, i - 1 AS pos, t[i] AS tok
-  FROM tok CROSS JOIN generate_series(1, 2000) s(i) WHERE i <= len(t)
+  FROM tok, unnest(generate_series(1, len(t))) s(i)
 ),
 g AS (
   SELECT CAST((o.start_off + f.pos) // {SEQ_LEN} AS BIGINT) AS seq_id,

@@ -100,8 +100,8 @@ def _span_oracle() -> str:
     return f"""WITH grams AS (
   SELECT doc_id, i,
          CAST(('0x' || substr(md5(substr(text, i, {ln})), 1, 15)) AS BIGINT) AS h
-  FROM documents CROSS JOIN generate_series(1, 2000) t(i)
-  WHERE length(text) >= {ln} AND i <= length(text) - {ln - 1}
+  FROM documents, unnest(generate_series(1, length(text) - {ln - 1})) t(i)
+  WHERE length(text) >= {ln}
 ),
 dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 pos AS (SELECT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
@@ -150,8 +150,8 @@ def _span_strided_oracle() -> str:
     return f"""WITH grams AS (
   SELECT doc_id, i,
          CAST(('0x' || substr(md5(substr(text, i, {ln})), 1, 15)) AS BIGINT) AS h
-  FROM documents CROSS JOIN generate_series(1, 2000, {st}) t(i)
-  WHERE length(text) >= {ln} AND i <= length(text) - {ln - 1}
+  FROM documents, unnest(generate_series(1, length(text) - {ln - 1}, {st})) t(i)
+  WHERE length(text) >= {ln}
 ),
 dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 pos AS (SELECT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
@@ -204,8 +204,8 @@ def q_doc_dup_spans_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
        CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_pos,
        CAST(length(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
        md5(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_digest
-FROM documents CROSS JOIN generate_series(0, 200) t(i)
-WHERE i <= ceil(greatest(length(text) - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0)""",
+FROM documents, unnest(generate_series(0,
+     CAST(ceil(greatest(length(text) - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0) AS BIGINT))) t(i)""",
     survey_ids="LLM: fixed-size overlap chunking (RAG prep)",
 )
 def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
