@@ -101,3 +101,24 @@ def test_read_jsonl_permissive_quarantine(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert sorted(r.doc_id for r in good) == [1, 2]
     assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record
+
+
+def test_read_jsonl_substring_column_does_not_mask_corrupt_capture(spark, tmp_path):
+    """A user column merely CONTAINING the corrupt-record name as a
+    substring (e.g. `old_corrupt_record_bak`) must not disable
+    malformed-line capture: the field-name check is exact, so the real
+    `_corrupt_record` column is still appended and populated."""
+    from tg_reporting_etl_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "old_corrupt_record_bak": "x"}\n'
+        "BROKEN LINE\n"
+    )
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, old_corrupt_record_bak string"
+    )
+    assert "_corrupt_record" in df.columns
+    rows = df.select("doc_id", "_corrupt_record").collect()
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "BROKEN" in bad[0]._corrupt_record

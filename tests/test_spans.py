@@ -68,16 +68,25 @@ def test_full_duplicate_fraction_one(spark):
 
 
 def test_dup_gram_join_broadcasts(spark):
+    """The dup-gram join must carry NO explicit broadcast hint (an
+    explicit hint overrides the size threshold and would OOM the driver
+    on a corpus whose gram type space outgrows the budget) — yet AQE
+    must still broadcast it at runtime when the table is small.  So:
+    static plan hint-free and Cartesian-free; FINAL adaptive plan a
+    broadcast join."""
     import contextlib
     import io
 
     df = sp.duplicated_span_stats(_docs(spark, [(1, "abcdefgh"), (2, "abcdefgh")]), 4)
+    df.collect()  # materialize so AQE finalizes the plan
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "ResolvedHint" not in plan and "broadcast(" not in plan
+    assert "AdaptiveSparkPlan" in plan
+    assert "BroadcastHashJoin" in plan  # AQE's runtime choice, not a hint
 
 
 def test_stride_is_a_subset_approximation(spark):

@@ -65,15 +65,24 @@ def ingest_batch(
     except AnalysisException:
         existing = None
     new = batch_idx if existing is None else batch_idx.join(existing, "digest", "left_anti")
-    n_new = int(new.count())
-    if n_new > 0:
-        # APPEND, not merge: the anti-join guarantees every written row
-        # is a never-seen key, so appending only the delta costs O(new)
-        # while a MERGE would rewrite O(index).  The anti-join also
-        # makes replay self-healing — after a torn append the re-run
-        # inserts exactly the missing digests and converges.  A
-        # MERGE-capable backend (sources/writers.py registry) upgrades
-        # this to a transactional insert-only MERGE if torn-append
-        # visibility is unacceptable.
-        write_append(new, index_path, partition_cols=["shard"])
+    # Persist before the count/write pair: otherwise the anti-join
+    # against the full index evaluates TWICE (one job for the count,
+    # one for the write), and the returned count would come from a
+    # different evaluation than the rows written — a mismatch risk if
+    # the input frame is ever nondeterministic.
+    new = new.persist()
+    try:
+        n_new = int(new.count())
+        if n_new > 0:
+            # APPEND, not merge: the anti-join guarantees every written
+            # row is a never-seen key, so appending only the delta costs
+            # O(new) while a MERGE would rewrite O(index).  The anti-join
+            # also makes replay self-healing — after a torn append the
+            # re-run inserts exactly the missing digests and converges.
+            # A MERGE-capable backend (sources/writers.py registry)
+            # upgrades this to a transactional insert-only MERGE if
+            # torn-append visibility is unacceptable.
+            write_append(new, index_path, partition_cols=["shard"])
+    finally:
+        new.unpersist()
     return n_new

@@ -100,7 +100,14 @@ def duplicated_span_stats(
         .filter(F.col("ndocs") >= 2)
         .select("h")
     )
-    pos = grams.join(F.broadcast(dup_grams), "h").select("doc_id", "i")
+    # No explicit broadcast hint: an explicit F.broadcast overrides
+    # Spark's size threshold, so on a corpus whose duplicated-gram type
+    # space outgrows the broadcast budget it would OOM the driver
+    # instead of degrading.  Left to AQE, the join broadcasts when the
+    # dup-gram table is small (the common case — it is already an
+    # aggregated, deduplicated 8-byte-key table) and falls back to a
+    # shuffled hash/sort-merge join when it is not.
+    pos = grams.join(dup_grams, "h").select("doc_id", "i")
 
     w = Window.partitionBy("doc_id").orderBy("i")
     prev_end = F.max(F.col("i") + length).over(

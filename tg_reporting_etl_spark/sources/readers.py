@@ -128,7 +128,14 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
     )
     if schema is not None:
-        # the corrupt column must exist in the schema to be populated
-        full = schema if corrupt_col in schema else f"{schema}, {corrupt_col} string"
+        # The corrupt column must exist in the schema to be populated.
+        # Compare parsed FIELD NAMES, not a substring of the DDL text: a
+        # user schema containing the name as a substring (e.g. a column
+        # `old_corrupt_record_bak`) must not silently disable
+        # malformed-line capture.
+        from pyspark.sql.types import StructType
+
+        names = {f.name for f in StructType.fromDDL(schema).fields}
+        full = schema if corrupt_col in names else f"{schema}, {corrupt_col} string"
         reader = reader.schema(full)
     return reader.json(path)
