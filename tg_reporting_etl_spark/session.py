@@ -13,12 +13,29 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "tg_reporting_etl_spark", cpus: int | None = None) -> SparkSession:
+def session_tz() -> str:
+    """The configured session timezone (reference: task_config
+    ``utc_timezone_switch`` flipping the process TZ,
+    task-producer/main.py:26-28).  Default UTC — the tz the testdata
+    oracles assume; deployments serving a local-market reporting day set
+    ``SPARK_GRAFT_SESSION_TZ`` (e.g. ``Asia/Taipei``) and every
+    date-key/hour/minute derivation follows it, exactly as the
+    reference's strftime calls follow the flipped process TZ."""
+    return os.environ.get("SPARK_GRAFT_SESSION_TZ", "UTC")
+
+
+def get_spark(
+    app_name: str = "tg_reporting_etl_spark",
+    cpus: int | None = None,
+    tz: str | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard config.
 
-    - UTC session timezone: testdata timestamps are naive and the DuckDB
-      oracle treats them as UTC-naive; pinning UTC makes hour()/day()
-      derivations agree.
+    - Session timezone from ``tz`` / ``SPARK_GRAFT_SESSION_TZ`` (default
+      UTC): testdata timestamps are naive and the DuckDB oracle treats
+      them as UTC-naive; pinning UTC makes hour()/day() derivations
+      agree.  A non-UTC configured zone shifts every derivation
+      consistently (see :func:`session_tz`).
     - AQE on: runtime coalescing + skew-join splitting (player grain is
       skewed — whales bet orders of magnitude more than the median).
     - partitionOverwriteMode=dynamic: the Spark-native replacement for the
@@ -39,7 +56,7 @@ def get_spark(app_name: str = "tg_reporting_etl_spark", cpus: int | None = None)
         # blocks); 8m keeps such stages wide without fragmenting
         # byte-heavy ones.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", tz or session_tz())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -54,5 +71,8 @@ def get_spark(app_name: str = "tg_reporting_etl_spark", cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     spark = builder.getOrCreate()
+    # getOrCreate may reuse a live session whose builder config is then
+    # ignored; session tz is runtime-settable, so apply it directly too.
+    spark.conf.set("spark.sql.session.timeZone", tz or session_tz())
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -48,13 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's) was not built by session.get_spark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Micros-flavored testdata (tz-naive) must surface as TIMESTAMP (LTZ,
-    # session tz UTC), not TIMESTAMP_NTZ: wall-clock identical, and the
+    # session tz pinned), not TIMESTAMP_NTZ: wall-clock identical, and the
     # streaming watermark path requires LTZ event time.  The session tz
     # pin is what makes "wall-clock identical" true for vanilla caller
     # sessions too — on a non-UTC host, date/hour/minute derivations
     # from LTZ values would otherwise shift relative to NTZ behavior.
+    # The pin follows the CONFIGURED zone (session.session_tz — default
+    # UTC, overridable via SPARK_GRAFT_SESSION_TZ like the reference's
+    # utc_timezone_switch), so a deployment reporting in a local market
+    # day gets consistent derivations here and in the oracles, which set
+    # DuckDB to the same zone.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from tg_reporting_etl_spark.session import session_tz
+
+    spark.conf.set("spark.sql.session.timeZone", session_tz())
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
