@@ -960,3 +960,60 @@ def test_leakage_safe_split_co_travel(spark, sf_dir):
     by = {r.split: r.c for r in split.groupBy("split").agg(F.count("*").alias("c")).collect()}
     assert n == 500 and set(by) <= {"train", "validation", "test"}
     assert by["train"] / n > 0.6  # md5 bucket split is ~80/10/10
+
+
+def test_decoder_registry_selects_stub_here():
+    """This container has no image libs: the registry must pick the
+    stub and decode_image keeps its honest NotImplementedError."""
+    if mm._pillow_available():
+        pytest.skip("Pillow present — the pillow-path test covers this env")
+    assert mm.selected_image_decoder_name() == "stub"
+
+
+def test_registered_decoder_activates_resize_without_code_change(docs, spark):
+    """register_image_decoder mirrors the merge-backend registry: a
+    custom decoder (here a deterministic fake 'codec') wins the probe
+    and resize_images decodes + resamples through it — zero changes to
+    the operator call."""
+
+    def fake_decode(data: bytes) -> dict:
+        # 2x2 RGB 'image': 4 pixels derived from the payload bytes
+        px = bytes((data * 12)[:12])
+        return {"width": 2, "height": 2, "mode": "RGB", "pixels": px}
+
+    mm.register_image_decoder("fake", lambda: True, fake_decode)
+    try:
+        assert mm.selected_image_decoder_name() == "fake"
+        media = mm.attach_fake_media(docs.limit(30))
+        out = {r.doc_id: r for r in mm.resize_images(media, 2, 2).collect()}
+        assert out  # image rows exist (doc_id % 3 == 0)
+        for r in out.values():
+            raw = bytes((bytes(media.filter(F.col("doc_id") == r.doc_id).collect()[0].media) * 12)[:12])
+            assert bytes(r.thumb) == raw  # identity resample at native 2x2
+            assert (r.width, r.height) == (2, 2)
+    finally:
+        mm._IMAGE_DECODERS[:] = [e for e in mm._IMAGE_DECODERS if e[0] != "fake"]
+
+
+@pytest.mark.skipif(not mm._pillow_available(), reason="Pillow not installed in this container")
+def test_pillow_decoder_end_to_end(docs, spark):
+    """Activates automatically in environments that ship Pillow: a real
+    PNG decodes and resamples to an RGB thumb of exactly 3*w*h bytes."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("RGB", (8, 8), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    decoded = mm.decode_image(buf.getvalue())
+    assert (decoded["width"], decoded["height"]) == (8, 8)
+    assert len(decoded["pixels"]) == 8 * 8 * 3
+
+    media = spark.createDataFrame(
+        [(0, bytearray(buf.getvalue()), "image/png")],
+        "doc_id long, media binary, media_type string",
+    )
+    row = mm.resize_images(media, 4, 4).collect()[0]
+    assert len(bytes(row.thumb)) == 4 * 4 * 3
+    assert bytes(row.thumb)[:3] == bytes((10, 20, 30))
