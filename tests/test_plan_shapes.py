@@ -105,6 +105,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     "doc_ngram_jaccard_dups": {"bhj_min": 12, "smj_max": 0, "pushdown_min": 1},
     "doc_ngram_jaccard_exact": {"bhj_min": 13, "smj_max": 0, "pushdown_min": 1},
     "doc_minhash_lsh_dups": {"bhj_min": 7, "smj_max": 2, "pushdown_min": 1},
+    # same banded self-join shape as doc_minhash_lsh_dups (the gate's
+    # lsh reroute uses the identical candidate generator)
+    "doc_ngram_jaccard_lsh": {"bhj_min": 7, "smj_max": 2, "pushdown_min": 1},
     "doc_simhash_dups": {"bhj_min": 2, "smj_max": 0},
     "embedding_topk": {"smj_max": 0, "pushdown_min": 2},
     "ann_sign_lsh_topk": {"bhj_min": 6, "smj_max": 0, "pushdown_min": 10},

@@ -60,6 +60,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,6 +69,12 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:34s} rows={len(sdf):7d}  (rows-only, no oracle)  spark={t_spark:.1f}s")
+            records[name] = {
+                "mode": "rows_only",
+                "ok": len(sdf) > 0,
+                "spark_rows": len(sdf),
+                "spark_s": round(t_spark, 2),
+            }
             if len(sdf) == 0:
                 failures.append((name, "0 rows (rows-only check)"))
             continue
@@ -79,12 +86,41 @@ def main() -> int:
         ok = (sn == on) and (scols == ocols) and (shash == ohash)
         status = "OK " if ok else "FAIL"
         print(f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+        records[name] = {
+            "mode": "oracle",
+            "ok": ok,
+            "rows_match": sn == on,
+            "schema_match": scols == ocols,
+            "hash_match": shash == ohash,
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "spark_s": round(t_spark, 2),
+            "duck_s": round(t_duck, 2),
+        }
         if not ok:
             failures.append((name, f"rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
             if scols == ocols and sn and on:
                 merged = _diff_sample(sdf, odf)
                 if merged is not None:
                     print(merged)
+    # full-run auditable artifact (the driver's correctness run samples
+    # the catalog; this file carries the repo's own green signal)
+    out_json = os.environ.get("VERIFY_LOCAL_JSON")
+    if out_json and not only:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(records),
+                    "n_ok": sum(1 for r in records.values() if r["ok"]),
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     if failures:
         print("\nFAILURES:")
         for name, why in failures:
