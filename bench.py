@@ -47,6 +47,7 @@ _EXC_RE = re.compile(
 # true anomaly channel — empty on a clean run.
 _PROBE_RE = re.compile(
     r"FileNotFoundException.*(?:_merge_tmp|journal|does not exist)"
+    r"|AnalysisException.*PATH_NOT_FOUND.*(?:_merge_tmp|journal|digest_index)"
     r"|ClassNotFoundException.*(?:delta|DeltaTable)",
     re.IGNORECASE,
 )
@@ -103,8 +104,16 @@ def main() -> None:
     # total bench wall-clock without adding signal.
     adversarial = {"doc_ngram_jaccard_exact"}
 
+    # Run adversarial queries LAST: round 8 showed the four queries
+    # registered immediately after the 31 s worst-case prefix join
+    # regressing 1.3-2.2x with no code change — GC/memory pressure from
+    # its 150M-row candidate state polluted their min-of-3 windows.
+    # Ordering them last means every normal query is measured against a
+    # steady-state JVM and the worst case can only pollute itself.
+    ordered = [n for n in qs if n not in adversarial] + [n for n in qs if n in adversarial]
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name in ordered:
+        fn = qs[name]
         best = float("inf")
         for _ in range(1 if name in adversarial else repeats):
             t0 = time.perf_counter()

@@ -21,7 +21,7 @@ MERGE with no change to the dedup logic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -64,19 +64,17 @@ def ingest_batch(
     batch_idx = batch_digest_index(docs, batch_id)
     try:
         existing = spark.read.parquet(index_path).select("digest")
-        # count(*) over parquet resolves from footer row counts — a
-        # column-less scan, cheap at any index size
-        n_before = existing.count()
+        existing.schema  # force resolution so a missing index raises here
     except AnalysisException:
         existing = None
-        n_before = 0
     new = batch_idx if existing is None else batch_idx.join(existing, "digest", "left_anti")
-    # WRITE first, count the written delta from the index itself: the
-    # anti-join evaluates exactly once (persisting it for a count/write
-    # pair measured 2x slower — caching materializes full rows and
-    # defeats column pruning), and the returned count is derived from
-    # the very rows the append landed, so a nondeterministic input can
-    # never make count and contents disagree.
+    # The returned count comes from an Observation riding the WRITE job
+    # itself: the anti-join evaluates exactly once (persisting it for a
+    # count/write pair measured 2x slower — caching materializes full
+    # rows and defeats column pruning; round 8's before/after footer
+    # counts added two whole jobs per ingest), and the observed count is
+    # accumulated over the very rows the append landed, so even a
+    # nondeterministic input can never make count and contents disagree.
     #
     # APPEND, not merge: the anti-join guarantees every written row is
     # a never-seen key, so appending only the delta costs O(new) while
@@ -85,5 +83,20 @@ def ingest_batch(
     # missing digests and converges.  A MERGE-capable backend
     # (sources/writers.py registry) upgrades this to a transactional
     # insert-only MERGE if torn-append visibility is unacceptable.
-    write_append(new, index_path, partition_cols=["shard"])
-    return spark.read.parquet(index_path).select("digest").count() - n_before
+    obs = Observation()
+    # repartition on the shard key before the partitioned append: each
+    # writer task then owns whole shard directories, so a batch lands
+    # ONE file per shard instead of (tasks x shards) fragments — the
+    # index's scan/anti-join cost tracks data volume, not append count.
+    # At scale this is also the right layout: shard-aligned files keep
+    # the per-shard listing bounded as thousands of batches accumulate.
+    # observe ABOVE the repartition exchange: with the CollectMetrics
+    # node below it, AQE folds an all-duplicates (empty) delta into a
+    # local empty relation and the metrics row is never produced —
+    # obs.get then fails on the replay-is-a-no-op path.
+    write_append(
+        new.repartition("shard").observe(obs, F.count(F.lit(1)).alias("n_new")),
+        index_path,
+        partition_cols=["shard"],
+    )
+    return int(obs.get["n_new"])

@@ -56,7 +56,7 @@ def q_corpus_ingest_dedup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
         n_replay = ig.ingest_batch(spark, path, docs, 3)
         if n_replay != 0:
             raise AssertionError(f"replayed batch added {n_replay} digests")
-        rows = (
+        pdf = (
             spark.read.parquet(path)
             .select(
                 "digest",
@@ -64,10 +64,12 @@ def q_corpus_ingest_dedup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
                 "first_doc_id",
                 F.col("first_batch").cast("int").alias("first_batch"),
             )
-            .collect()
+            .toPandas()
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # pandas input -> Arrow LocalRelation: a row-list would parallelize
+    # across defaultParallelism and cost 32 tasks per downstream count
     return spark.createDataFrame(
-        rows, "digest string, shard string, first_doc_id long, first_batch int"
+        pdf, "digest string, shard string, first_doc_id long, first_batch int"
     )

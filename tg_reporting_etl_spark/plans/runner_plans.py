@@ -7,6 +7,7 @@ when their month-end falls inside [gte, lt-1day].
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from tg_reporting_etl_spark.plans.catalog import register
@@ -393,6 +394,10 @@ _RJ_REQS = {
     "R2": ("P1", "S1", "ALL", "player_summary", "2024-01-03 00:00:00", "2024-01-04 00:00:00", 0, 0, 1, 0),
     "R3": ("P2", "TG", "ALL", "trans_summary", "2024-01-05 00:00:00", "2024-01-05 02:00:00", 0, 1, 0, 0),
 }
+_RJ_COLS = [
+    "platform", "site_code", "game_code", "report_class",
+    "gte_time", "lt_time", "5min", "1h", "1d", "1m",
+]
 _RJ_EVENTS = [  # (seq, kind, payload)
     (1, "submit", ("R1", "R2")),
     (2, "consume", "2024-02-01 00:00:00"),
@@ -452,7 +457,12 @@ def q_rerun_journal_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reqs(names):
-        df = spark.createDataFrame([_RJ_REQS[n] for n in names], schema)
+        # pandas input -> Arrow LocalRelation: a list input parallelizes
+        # even a 2-row batch across defaultParallelism (32 tasks on the
+        # bench box) and coalesce(1) on that stalls ~4 s in scheduler
+        # locality wait; the LocalRelation write is a single fast task
+        pdf = pd.DataFrame([_RJ_REQS[n] for n in names], columns=_RJ_COLS)
+        df = spark.createDataFrame(pdf, schema)
         return df.withColumn("gte_time", df.gte_time.cast("timestamp")).withColumn(
             "lt_time", df.lt_time.cast("timestamp")
         )
@@ -464,10 +474,10 @@ def q_rerun_journal_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             if kind == "submit":
                 submit_rerun_requests(spark, path, reqs(payload))
             else:
-                # consume eagerly checkpoints the expanded tasks before
-                # journaling them applied — no extra action needed here
+                # consume snapshots the journal driver-side, so the
+                # returned cascade needs no materialization here
                 consume_rerun_requests(spark, path, payload)
-        rows = spark.read.parquet(path).collect()
+        pdf = spark.read.parquet(path).toPandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     out_schema = (
@@ -475,7 +485,8 @@ def q_rerun_journal_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gte_time timestamp, lt_time timestamp, `5min` int, `1h` int, `1d` int, `1m` int, "
         "done int, apply_time timestamp"
     )
-    return spark.createDataFrame(rows, out_schema)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(pdf, out_schema)
 
 
 # ---------------------------------------------------------------- window sink

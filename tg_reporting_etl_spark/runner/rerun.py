@@ -13,7 +13,8 @@ in tests/test_rerun_journal.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tg_reporting_etl_spark.runner.board import rerun_cascade
@@ -55,18 +56,23 @@ def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: Data
     except Exception:
         batch.write.mode("overwrite").parquet(journal_path)
         return
-    # drop only duplicates of still-pending requests; applied rows get
-    # replaced and become pending again.  The replacement is built as
-    # ONE plan (kept rows + fresh rows) and swap-written once — not a
-    # separate anti-join pass followed by a generic merge, which would
-    # re-read the journal and double the fixed per-job cost of this
-    # metadata-sized table.
-    pending = existing.filter(F.col("done") == 0)
-    fresh = batch.join(pending.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
-    kept = existing.join(fresh.select(*REQUEST_KEYS), REQUEST_KEYS, "left_anti")
-    overwrite_small_table(
-        spark, journal_path, kept.select(*batch.columns).unionByName(fresh)
+    # Merge semantics via ONE window over the union — no joins at all:
+    # a still-PENDING journal row and its resubmission are bit-identical
+    # (done=0, apply_time NULL), so "duplicate of pending is a no-op"
+    # and "resubmit of applied re-activates" both reduce to keeping,
+    # per request key, the row with the smallest ``done`` (0 = pending
+    # beats 1 = applied; ties are identical rows).  One metadata-sized
+    # shuffle + swap-write replaces round 8's two anti-join stages —
+    # the journal is one row per operator request by contract, so the
+    # window partition count is trivially bounded.
+    merged = existing.select(*batch.columns).unionByName(batch)
+    w = Window.partitionBy(*REQUEST_KEYS).orderBy(F.col("done").asc())
+    keep = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
+    overwrite_small_table(spark, journal_path, keep, presized=True)
 
 
 def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> DataFrame:
@@ -79,24 +85,37 @@ def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> 
     """
     try:
         journal = spark.read.parquet(journal_path)
-        journal.schema
+        snap = journal.toPandas()
     except Exception:
         return _empty_tasks(spark)
-    pending = journal.filter(F.col("done") == 0).select(*REQUEST_KEYS)
-    if pending.limit(1).isEmpty():
+    # The journal is metadata-sized BY CONTRACT (one row per operator
+    # request — the same class of bounded orchestration metadata as the
+    # board rows the executor collects), so consume snapshots it to the
+    # driver in ONE job and roots everything else on that LocalRelation:
+    # the pending-emptiness probe is a driver-side check (no extra job),
+    # the returned cascade needs NO eager checkpoint (its lineage no
+    # longer touches the files the overwrite below replaces), and the
+    # applied rewrite is a second, final job.  Two jobs total, down from
+    # four (probe + checkpoint + rewrite + ...) in the join-era shape.
+    if snap[snap["done"] == 0].empty:
         return _empty_tasks(spark)
-    tasks = rerun_cascade(pending).localCheckpoint(eager=True)
-    # consume applies EVERY pending row, so the post-consume journal is
-    # a one-pass column rewrite of the live table (done 0 -> 1, stamp
-    # apply_time), swap-written once — no keyed merge needed.
-    applied = journal.select(
-        *REQUEST_KEYS,
-        F.lit(1).alias("done"),
-        F.when(F.col("done") == 0, F.lit(now).cast("timestamp"))
-        .otherwise(F.col("apply_time"))
-        .alias("apply_time"),
+    pending = spark.createDataFrame(
+        snap.loc[snap["done"] == 0, [k for k in REQUEST_KEYS]],
+        journal.select(*REQUEST_KEYS).schema,
     )
-    overwrite_small_table(spark, journal_path, applied)
+    tasks = rerun_cascade(pending)
+    # consume applies EVERY pending row, so the post-consume journal is
+    # a one-pass column rewrite of the snapshot (done 0 -> 1, stamp
+    # apply_time), swap-written once — no keyed merge needed.
+    applied = snap.copy()
+    applied.loc[applied["done"] == 0, "apply_time"] = pd.Timestamp(now)
+    applied["done"] = 1
+    overwrite_small_table(
+        spark,
+        journal_path,
+        spark.createDataFrame(applied, journal.schema),
+        presized=True,
+    )
     return tasks
 
 

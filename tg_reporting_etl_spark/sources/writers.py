@@ -92,18 +92,23 @@ def _swap_write(spark, target_path: str, tmp_path: str, df: DataFrame) -> None:
     fs.rename(jtmp, jtarget)
 
 
-def overwrite_small_table(spark, target_path: str, df: DataFrame) -> None:
+def overwrite_small_table(spark, target_path: str, df: DataFrame, *, presized: bool = False) -> None:
     """Atomically replace a SMALL unpartitioned control table (rerun
     journal, alert state) with ``df`` — which may be derived from the
     live table itself.  One distributed write + two FS metadata ops;
     repartition(1) (NOT coalesce — coalesce(1) pulls the 1-partition
     constraint up through the plan and serializes every upstream join
-    into a single task; measured 4x slower on the journal lifecycle)
-    lands one file, because control tables are metadata-sized and
-    per-file open cost dominates their reads."""
+    into a single task, and on a parallelized tiny frame stalls ~4 s in
+    scheduler locality wait) lands one file, because control tables are
+    metadata-sized and per-file open cost dominates their reads.
+
+    ``presized=True`` skips that repartition: callers whose plan already
+    lands in one-or-few partitions (a projection of the single-file live
+    table, or an AQE-coalesced tiny shuffle) save a whole shuffle stage
+    per write — half the fixed cost of a journal update."""
     tmp_path = target_path.rstrip("/") + "._merge_tmp"
     _heal_swap(spark, target_path, tmp_path)
-    _swap_write(spark, target_path, tmp_path, df.repartition(1))
+    _swap_write(spark, target_path, tmp_path, df if presized else df.repartition(1))
 
 
 def merge_into(
