@@ -179,3 +179,41 @@ def test_failure_routes_to_error_log_and_notifier(spark, sf_dir, tmp_path):
     assert any("boom" in m for m in notifier.messages)
     # board untouched: the failed window stays pending for the next tick
     assert d.read_board().filter(F.col("done") == 0).count() > 0
+
+
+def test_completion_merge_marks_all_game_scoped_rows(spark, sf_dir, tmp_path):
+    """Pin the executor-tick completion-merge invariant
+    (runner/daemon.py executor_tick): completions merge back on
+    TASK_KEYS MINUS game_code, so when a family/window carries several
+    game-scoped board rows, ONE all-games run marks every one of them
+    done.  That is correct under the current set-oriented dispatch —
+    ``execute_board`` groups pending rows by (family, freq, platform,
+    site) only and each ``run_tier`` computes every game at once — but
+    it is an implicit contract: if a family ever gains game-scoped
+    ``run_tier`` dispatch, this test is the tripwire that forces
+    game_code into the merge-back key."""
+    board_path = str(tmp_path / "board")
+    meta = spark.createDataFrame(
+        [
+            (G0, "2024-01-02 00:05:00", "ALL", "ALL", g, "trans_summary",
+             "trans_summary_5min", "5min", LEVELS["5min"])
+            for g in ("game_a", "game_b")
+        ],
+        "gte_time string, lt_time string, platform string, site_code string, "
+        "game_code string, report_class string, assignee string, freq_type string, level int",
+    )
+    meta = meta.withColumn("gte_time", F.col("gte_time").cast("timestamp")).withColumn(
+        "lt_time", F.col("lt_time").cast("timestamp")
+    )
+    expand_timeslices(meta).withColumn("done", F.lit(0)).write.parquet(board_path)
+
+    family = TransSummaryFamily(td.player_value_log(spark, sf_dir), str(tmp_path / "t"))
+    d = Daemon(spark, board_path, [family], error_log_path=str(tmp_path / "error_log"))
+    d.executor_tick(_dt("2024-01-02 00:20:00"))
+
+    board = d.read_board().select("game_code", "done").collect()
+    done_by_game = {r.game_code: r.done for r in board}
+    # both game-scoped rows of the one window exist and BOTH are done
+    assert done_by_game == {"game_a": 1, "game_b": 1}
+    # no rows duplicated or dropped by the merge-back
+    assert len(board) == 2

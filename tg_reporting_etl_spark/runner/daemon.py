@@ -256,11 +256,21 @@ class Daemon:
                     "report_class string, freq_type string, platform string, "
                     "site_code string, gte_time timestamp, lt_time timestamp, done int",
                 )
-                # carry the board's non-key columns through the merge
+                # Completions merge back on TASK_KEYS minus game_code:
+                # execute_board dispatches set-oriented (each run_tier
+                # computes EVERY game of a family/window at once), so
+                # one all-games run closes all game-scoped rows of the
+                # window.  The dropDuplicates is load-bearing: a window
+                # carrying N game-scoped board rows yields N completion
+                # records that are identical once game_code is dropped,
+                # and joining them un-deduped fans the board out N-fold
+                # (pinned by test_completion_merge_marks_all_game_scoped
+                # _rows).  If a family ever gains game-scoped run_tier
+                # dispatch, game_code must join the merge-back key.
                 keep = board.drop("done").join(
                     rows.select(
                         *[c for c in TASK_KEYS if c != "game_code"], "done"
-                    ),
+                    ).dropDuplicates(),
                     [c for c in TASK_KEYS if c != "game_code"],
                 )
                 self._merge_board(keep)
