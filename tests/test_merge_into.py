@@ -8,6 +8,7 @@ same signature becomes a native MERGE INTO.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from tg_reporting_etl_spark.sources.writers import merge_into
 
@@ -419,3 +420,73 @@ def test_write_clustered_narrows_rowgroup_stats(spark, tmp_path):
         assert hi_a <= lo_b
     # data survives intact
     assert spark.read.parquet(clustered).agg(F.sum("v")).first()[0] == sum(range(40_000))
+
+
+# ------------------------------------------- real-Delta activation (env-gated)
+
+
+def _delta_probe_spark():
+    """Build a Delta-enabled session ONLY when the environment ships
+    delta-spark (python pkg + jar); None otherwise.  Mirrors the Pillow
+    pattern in test_llm_layer.py: the test self-activates in richer
+    environments and skips honestly here."""
+    try:
+        import delta  # noqa: F401
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+
+        builder = (
+            SparkSession.builder.master("local[2]")
+            .appName("delta-probe")
+            .config("spark.ui.enabled", "false")
+            .config(
+                "spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension",
+            )
+            .config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        )
+        s = configure_spark_with_delta_pip(builder).getOrCreate()
+        s._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return s
+    except Exception:
+        return None
+
+
+_HAS_DELTA = False
+try:
+    import delta  # noqa: F401
+
+    _HAS_DELTA = True
+except Exception:
+    pass
+
+
+@pytest.mark.skipif(not _HAS_DELTA, reason="delta-spark not installed in this container")
+def test_merge_into_activates_real_delta_backend(tmp_path):
+    """Integration twin of the fake-module tests above: with delta-spark
+    actually installed, the registry must select the delta backend and a
+    merge_into round-trip must land a transactional MERGE INTO (upsert +
+    insert, untouched rows kept) on a real Delta table."""
+    from tg_reporting_etl_spark.sources import writers as w
+
+    s = _delta_probe_spark()
+    if s is None:
+        pytest.skip("delta python pkg present but jar not loadable")
+    try:
+        assert w.selected_merge_backend_name(s) == "delta"
+        path = str(tmp_path / "delta_target")
+        base = s.createDataFrame(
+            [("k1", 1), ("k2", 2)], "k string, v int"
+        )
+        w.merge_into(s, path, base, keys=["k"])  # bootstrap write
+        batch = s.createDataFrame(
+            [("k2", 20), ("k3", 30)], "k string, v int"
+        )
+        w.merge_into(s, path, batch, keys=["k"])  # MERGE: update k2, insert k3
+        got = {r.k: r.v for r in s.read.format("delta").load(path).collect()}
+        assert got == {"k1": 1, "k2": 20, "k3": 30}
+    finally:
+        s.stop()

@@ -80,3 +80,80 @@ def test_alert_format_mirrors_reference():
     msg = format_alert("title", rec)
     assert msg.startswith("***** title Error *****\n")
     assert "content: repr" in msg and msg.endswith("tb")
+
+
+# ------------------------------------------------------------- webhook
+
+
+def test_webhook_posts_json_payload_once_on_success():
+    from tg_reporting_etl_spark.runner.monitor import WebhookNotifier
+
+    calls = []
+
+    def transport(url, body, headers):
+        calls.append((url, body, headers))
+        return 200
+
+    n = WebhookNotifier(url="https://example.invalid/hook", transport=transport)
+    n.send("hello alert")
+
+    assert len(calls) == 1
+    url, body, headers = calls[0]
+    assert url == "https://example.invalid/hook"
+    import json
+
+    assert json.loads(body) == {"text": "hello alert"}
+    assert headers["Content-Type"] == "application/json"
+
+
+def test_webhook_retries_on_error_then_succeeds():
+    from tg_reporting_etl_spark.runner.monitor import WebhookNotifier
+
+    attempts = []
+
+    def flaky(url, body, headers):
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise ConnectionError("net down")
+        return 204
+
+    failed = []
+    n = WebhookNotifier(
+        url="u", transport=flaky, tries=3, on_failure=lambda m, e: failed.append(m)
+    )
+    n.send("msg")
+    assert len(attempts) == 3
+    assert failed == []  # third attempt succeeded
+
+
+def test_webhook_exhausted_retries_swallow_and_report():
+    from tg_reporting_etl_spark.runner.monitor import WebhookNotifier
+
+    failed = []
+
+    def always_500(url, body, headers):
+        return 500
+
+    n = WebhookNotifier(
+        url="u",
+        transport=always_500,
+        tries=2,
+        on_failure=lambda m, e: failed.append((m, str(e))),
+    )
+    n.send("msg")  # must NOT raise — alerting never takes down the pipeline
+    assert failed == [("msg", "webhook returned HTTP 500")]
+
+
+def test_webhook_satisfies_notifier_protocol_in_pipeline(spark, tmp_path):
+    """A failing pipeline step alerts through the webhook transport."""
+    from tg_reporting_etl_spark.runner.monitor import WebhookNotifier, run_pipeline
+
+    posts = []
+    n = WebhookNotifier(url="u", transport=lambda u, b, h: (posts.append(b), 200)[1])
+
+    def boom(data, ctx):
+        raise ValueError("kaput")
+
+    run_pipeline([boom], {"pipeline": "p"}, notifier=n, tries=1)
+    assert len(posts) == 1
+    assert b"kaput" in posts[0]

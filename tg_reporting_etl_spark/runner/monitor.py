@@ -66,6 +66,65 @@ class CollectingNotifier:
         self.messages.append(message)
 
 
+@dataclass
+class WebhookNotifier:
+    """Generic HTTP-POST alert transport — the engine-side equivalent of
+    the reference's bot-HTTP push (monitor/TGMessage.py:12-20, which
+    GETs a chat-bot sendMessage endpoint with the alert text).
+
+    Deliberately provider-agnostic: the deployment supplies ``url`` (and
+    any auth headers) from ITS config — no endpoint, token, or chat id
+    lives in this repo.  The message is POSTed as JSON ``{text_key:
+    message}``, the shape most chat-webhook APIs accept.
+
+    Delivery is retried ``tries`` times with ``delay_s`` between
+    attempts, then the failure is SWALLOWED (after invoking
+    ``on_failure`` if given): alerting is a side channel and must never
+    take down the pipeline it reports on — the reference has the same
+    posture, its send is fire-and-forget.
+
+    ``transport(url, body_bytes, headers) -> status_code`` is injectable
+    so tests (and exotic deployments) never open a socket; the default
+    uses urllib from the standard library.
+    """
+
+    url: str
+    headers: dict[str, str] = field(default_factory=dict)
+    text_key: str = "text"
+    tries: int = 3
+    delay_s: float = 0.0
+    timeout_s: float = 10.0
+    transport: Callable[[str, bytes, dict[str, str]], int] | None = None
+    on_failure: Callable[[str, Exception | None], None] | None = None
+
+    def _default_transport(self, url: str, body: bytes, headers: dict[str, str]) -> int:
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return int(resp.status)
+
+    def send(self, message: str) -> None:
+        import json as _json
+
+        body = _json.dumps({self.text_key: message}).encode("utf-8")
+        headers = {"Content-Type": "application/json", **self.headers}
+        post = self.transport or self._default_transport
+        last_exc: Exception | None = None
+        for attempt in range(self.tries):
+            try:
+                status = post(self.url, body, headers)
+                if 200 <= status < 300:
+                    return
+                last_exc = RuntimeError(f"webhook returned HTTP {status}")
+            except Exception as exc:  # noqa: BLE001 — alert transport is a boundary
+                last_exc = exc
+            if attempt + 1 < self.tries and self.delay_s:
+                time.sleep(self.delay_s)
+        if self.on_failure is not None:
+            self.on_failure(message, last_exc)
+
+
 def format_alert(title: str, record: dict[str, str]) -> str:
     """The reference's alert body (ErrorHandler.send_alert_msg:22-29)."""
     return (
