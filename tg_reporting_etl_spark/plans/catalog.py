@@ -71,6 +71,7 @@ def _load_all() -> None:
         runner_plans,
         scrub_plans,
         session_plans,
+        streaming_plans,
         trans_plans,
     )
 
