@@ -44,13 +44,50 @@ def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # one sf dir, or several comma-separated (the per-round artifact
+    # carries sf0.01 AND sf0.1 rows so the scale-factor proof of every
+    # contract lives in the repo, not just a judge session)
+    sf_arg = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
     from tg_reporting_etl_spark.session import get_spark
 
     spark = get_spark("verify_local")
+    all_failures: list[tuple[str, str]] = []
+    per_sf: dict[str, dict] = {}
+    for sf_dir in sf_arg.split(","):
+        print(f"== {sf_dir}")
+        failures, records = _run_sf(spark, entry_mod, sf_dir, only)
+        all_failures.extend((f"{sf_dir}:{n}", why) for n, why in failures)
+        per_sf[sf_dir] = {
+            "n_queries": len(records),
+            "n_ok": sum(1 for r in records.values() if r["ok"]),
+            "queries": records,
+        }
+
+    out_json = os.environ.get("VERIFY_LOCAL_JSON")
+    if out_json and not only:
+        import json
+
+        payload: dict = {"sfs": per_sf}
+        if len(per_sf) == 1:
+            # keep the single-sf shape older tooling reads
+            (sf_dir, rec), = per_sf.items()
+            payload.update({"sf_dir": sf_dir, **rec})
+        with open(out_json, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    if all_failures:
+        print("\nFAILURES:")
+        for name, why in all_failures:
+            print(f"  {name}: {why}")
+        return 1
+    print("all green")
+    return 0
+
+
+def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -103,31 +140,8 @@ def main() -> int:
                 merged = _diff_sample(sdf, odf)
                 if merged is not None:
                     print(merged)
-    # full-run auditable artifact (the driver's correctness run samples
-    # the catalog; this file carries the repo's own green signal)
-    out_json = os.environ.get("VERIFY_LOCAL_JSON")
-    if out_json and not only:
-        import json
-
-        with open(out_json, "w") as fh:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "n_queries": len(records),
-                    "n_ok": sum(1 for r in records.values() if r["ok"]),
-                    "queries": records,
-                },
-                fh,
-                indent=1,
-            )
-            fh.write("\n")
-    if failures:
-        print("\nFAILURES:")
-        for name, why in failures:
-            print(f"  {name}: {why}")
-        return 1
-    print("all green")
-    return 0
+    con.close()
+    return failures, records
 
 
 def _diff_sample(sdf: pd.DataFrame, odf: pd.DataFrame, n: int = 5):
