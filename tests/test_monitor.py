@@ -157,3 +157,37 @@ def test_webhook_satisfies_notifier_protocol_in_pipeline(spark, tmp_path):
     run_pipeline([boom], {"pipeline": "p"}, notifier=n, tries=1)
     assert len(posts) == 1
     assert b"kaput" in posts[0]
+
+
+# ------------------------------------------------------------- app logs
+
+
+def test_report_logger_two_rotating_files(tmp_path):
+    """INFO lands only in the normal log; ERROR lands in both — the
+    reference's two-handler split (TaskUtils.get_report_logger)."""
+    from tg_reporting_etl_spark.runner.applog import get_report_logger
+
+    lg = get_report_logger("t_report_app", log_dir=str(tmp_path), base="T")
+    lg.info("routine tick")
+    lg.error("kaboom")
+    for h in lg.handlers:
+        h.flush()
+
+    normal = (tmp_path / "T_normal.log").read_text()
+    error = (tmp_path / "T_error.log").read_text()
+    assert "routine tick" in normal and "kaboom" in normal
+    assert "kaboom" in error and "routine tick" not in error
+
+
+def test_report_logger_idempotent_no_duplicate_handlers(tmp_path):
+    from tg_reporting_etl_spark.runner.applog import get_report_logger
+
+    lg1 = get_report_logger("t_report_app2", log_dir=str(tmp_path), base="U")
+    n = len(lg1.handlers)
+    lg2 = get_report_logger("t_report_app2", log_dir=str(tmp_path), base="U")
+    assert lg2 is lg1 and len(lg2.handlers) == n  # no stacking
+
+    lg2.info("once")
+    for h in lg2.handlers:
+        h.flush()
+    assert (tmp_path / "U_normal.log").read_text().count("once") == 1

@@ -1,0 +1,272 @@
+"""sf1.0 scale probe: derive a 10x replica of the sf0.1 testdata and
+re-certify the engine's scale claims at that volume.
+
+The driver ships sf{0.001,0.01,0.1} only, so the probe DERIVES a
+sf1.0-equivalent dataset (clearly synthetic, probe-only — never an
+input to the driver's own correctness gate): every fact table is
+replicated ``REPLICAS`` times with key-shifted ids, the shared dims
+(region/nation) are copied as-is, timestamps are NOT shifted so each
+report window carries 10x the rows (the scale axis that stresses
+shuffles), document text is kept byte-identical across replicas (a
+dup-heavy crawl corpus — the worst realistic case for the dedup
+family), and embeddings get a small deterministic per-replica
+perturbation so distance ties cannot make top-k comparisons flaky.
+
+For each probe query it records wall seconds, result rows, a DuckDB
+oracle comparison (same machinery as verify_local) and — for the
+scale-claim queries — the chosen gate path / join-strategy evidence.
+Output artifact: VERIFY_LOCAL_sf1_r{N}.json (pass the round as argv).
+
+Usage: python tools/scale_probe.py [out_json] [query ...]
+Env: SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1.0),
+     SPARK_GRAFT_SF1_SRC (default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.verify_local import TABLES, _canon  # noqa: E402
+
+REPLICAS = 10
+#: per-replica id offset — far above any key in the source tables
+OFFSET = 10_000_000_000
+
+#: (table, [bigint id columns to shift]) — dims without entries copy as-is
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: the data-path-heavy queries + every scale-claim surface from the
+#: round-8 verdict (gate pricing, spans AQE fallback, IVF pruning,
+#: report spine, dedup/ANN bucketing).  doc_ngram_jaccard_exact is
+#: deliberately absent: it FORCES the lossless prefix join whose cost
+#: on a 10x-dup corpus is the very blow-up the gate exists to refuse —
+#: the gate's verdict on this corpus is recorded separately below.
+PROBE_QUERIES = [
+    "trans_summary_1d",
+    "player_summary_1d",
+    "risk_ctrl_player_1d",
+    "risk_ctrl_rtp_1d",
+    "player_ranking_1d_leaderboard",
+    "sessionize_events",
+    "trailing_active_users",
+    "events_user_salted_agg",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_dups",
+    "doc_simhash_dups",
+    "doc_ngram_jaccard_dups",
+    "doc_ngram_jaccard_lsh",
+    "doc_dup_components",
+    "embedding_dup_pairs",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "doc_dup_spans",
+    "doc_tfidf_topterms",
+    "doc_sequence_packing",
+]
+
+#: record join/scan plan evidence for these (initial formatted plan)
+PLAN_EVIDENCE = {"doc_dup_spans", "ann_ivf_topk", "ann_ivfpq_topk"}
+
+
+def build(spark, src: str, out: str) -> None:
+    """Materialize the derived dataset once; a marker file makes the
+    build idempotent across probe runs."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out, "_DERIVED")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        shift = SHIFT_COLS.get(t)
+        if shift:
+            df = df.withColumn(
+                "_r", F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)]))
+            )
+            for c in shift:
+                df = df.withColumn(c, F.col(c) + F.col("_r") * F.lit(OFFSET))
+            if t == "embeddings":
+                # deterministic per-replica, per-dimension jitter: breaks
+                # distance ties between replicas (cosine is invariant to
+                # uniform scaling, so the jitter must be non-uniform)
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            + (F.col("_r") * 0.01)
+                            * (((i * 7 + F.col("_r") * 3) % 11) - 5)
+                            / 5.0
+                        ).cast("float"),
+                    ),
+                )
+            df = df.drop("_r")
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(f"derived from {src} x{REPLICAS}, key offset {OFFSET}\n")
+
+
+def _plan_excerpt(df) -> list[str]:
+    txt = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    keep = []
+    for line in txt.splitlines():
+        if any(k in line for k in ("Join", "PartitionFilters", "PushedFilters")):
+            keep.append(line.strip()[:160])
+    return keep[:20]
+
+
+def gate_verdict(spark, sf_dir: str) -> dict:
+    """The self-pricing gate's own verdict on this corpus — the claim
+    'the one quadratic path is priced before execution and refuses or
+    reroutes' certified at the probe scale."""
+    from tg_reporting_etl_spark.functions import dedup as dd
+    from tg_reporting_etl_spark.plans import llm_plans as lp
+
+    sink: dict = {}
+    t0 = time.time()
+    try:
+        dd.ngram_jaccard_dedup(
+            lp._docs(spark, sf_dir),  # noqa: SLF001 — probe shares fixtures
+            lp.JACCARD_TAU,
+            shingles=lp._shingles(spark, sf_dir),  # noqa: SLF001
+            on_blowup="error",
+        )
+        outcome = "ran"
+    except Exception as exc:
+        outcome = f"refused: {type(exc).__name__}"
+    # price again with a sink (cheap: shingle frame is shared/persisted)
+    try:
+        dd.ngram_jaccard_dedup(
+            lp._docs(spark, sf_dir),  # noqa: SLF001
+            lp.JACCARD_TAU,
+            shingles=lp._shingles(spark, sf_dir),  # noqa: SLF001
+            on_blowup="lsh",
+            path_sink=sink,
+        ).limit(1).count()
+    except Exception as exc:  # pragma: no cover — recorded, not fatal
+        sink["error"] = repr(exc)
+    return {
+        "default_on_blowup_outcome": outcome,
+        "gate": {k: sink.get(k) for k in ("path", "est", "n_docs", "budget", "error")},
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "VERIFY_LOCAL_sf1_probe.json"
+    only = set(sys.argv[2:])
+    src = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
+
+    import __spark_entry__ as entry_mod
+    from tg_reporting_etl_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    t0 = time.time()
+    build(spark, src, out)
+    build_s = round(time.time() - t0, 2)
+    print(f"derived dataset at {out} ({build_s}s)")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    records: dict[str, dict] = {}
+    failures = []
+    for name in PROBE_QUERIES:
+        if only and name not in only:
+            continue
+        rec: dict = {}
+        try:
+            t0 = time.time()
+            df = qs[name](spark, out)
+            if name in PLAN_EVIDENCE:
+                rec["plan"] = _plan_excerpt(df)
+            sdf = df.toPandas()
+            rec["spark_s"] = round(time.time() - t0, 2)
+            rec["spark_rows"] = len(sdf)
+        except Exception as exc:
+            rec["error"] = repr(exc)[:300]
+            failures.append((name, rec["error"]))
+            records[name] = rec
+            print(f"  {name:34s} ERROR {rec['error'][:80]}")
+            continue
+        if name in oracles:
+            try:
+                t0 = time.time()
+                odf = con.execute(oracles[name]).df()
+                rec["duck_s"] = round(time.time() - t0, 2)
+                sn, scols, shash = _canon(sdf)
+                on, ocols, ohash = _canon(odf)
+                rec.update(
+                    mode="oracle",
+                    ok=(sn == on) and (scols == ocols) and (shash == ohash),
+                    rows_match=sn == on,
+                    schema_match=scols == ocols,
+                    hash_match=shash == ohash,
+                    oracle_rows=on,
+                )
+            except Exception as exc:
+                rec.update(mode="oracle_error", ok=False, error=repr(exc)[:300])
+        else:
+            rec.update(mode="rows_only", ok=rec["spark_rows"] > 0)
+        if not rec["ok"]:
+            failures.append((name, json.dumps({k: rec[k] for k in rec if k != "plan"})[:200]))
+        status = "OK " if rec["ok"] else "FAIL"
+        print(
+            f"  {name:34s} {status} rows={rec.get('spark_rows')} "
+            f"spark={rec.get('spark_s')}s duck={rec.get('duck_s', '-')}s"
+        )
+        records[name] = rec
+
+    gate = gate_verdict(spark, out)
+    print(f"  gate verdict: {gate}")
+
+    payload = {
+        "probe": "sf1.0 (derived)",
+        "derived_from": src,
+        "replicas": REPLICAS,
+        "build_s": build_s,
+        "n_queries": len(records),
+        "n_ok": sum(1 for r in records.values() if r.get("ok")),
+        "gate_verdict": gate,
+        "queries": records,
+    }
+    with open(out_json, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    if failures:
+        print("\nFAILURES:")
+        for n, why in failures:
+            print(f"  {n}: {why}")
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
