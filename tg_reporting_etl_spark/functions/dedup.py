@@ -543,6 +543,16 @@ def ngram_jaccard_dedup_capped(
     tightening the divisor loses more).  Throughput-optimal on
     low-entropy corpora where the lossless prefix filter
     (:func:`ngram_jaccard_dedup`) has no rare shingles to exploit.
+
+    Scale posture: because the cap GROWS with the corpus (n/divisor),
+    worst-case candidates are sum_h C(min(df_h, n/20), 2) — on a
+    dup-heavy corpus that is ~quadratic in the duplication factor (the
+    sf1.0 derived probe measured 50 s at 10x-replicated sf0.1, vs 5.8 s
+    for the LSH reroute on the same corpus).  For unbounded-scale
+    ingest prefer :func:`ngram_jaccard_dedup` (self-pricing gate) or a
+    CONSTANT max_df: pass ``max_df_divisor=n_docs // K`` to pin the cap
+    at K regardless of corpus size, which bounds candidates at
+    #shingles * C(K,2).
     """
     n_docs = docs.count()
     sh = char_shingles(docs, k) if shingles is None else shingles
