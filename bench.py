@@ -133,10 +133,11 @@ def main() -> None:
         "init_board_seed",
         "board_scan_priority",
         "corpus_ingest_dedup_lifecycle",
-        # streaming lifecycle sim: cost is micro-batch scheduling +
+        # streaming lifecycle sims: cost is micro-batch scheduling +
         # state store churn on a fixed batch count, not operator
         # throughput — same bucket as the other lifecycle queries
         "streaming_exact_dedup_index",
+        "streaming_trans_summary_5min",
     }
     orch_total = round(sum(t for n, t in timings.items() if n in orch), 3)
     # (adversarial set defined above the timing loop) — bucketed apart so

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tg_reporting_etl_spark.plans.catalog import register
+from tg_reporting_etl_spark.adapters import oracle as orc
+from tg_reporting_etl_spark.adapters import testdata as td
+from tg_reporting_etl_spark.plans.catalog import EVENTS_GTE, EVENTS_LT, register
+from tg_reporting_etl_spark.plans.util import round_doubles
 from tg_reporting_etl_spark.sources.readers import load_table
 
 # The stream's emitted rows are exactly one per distinct digest seen
@@ -84,3 +87,99 @@ def q_streaming_exact_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
     return spark.createDataFrame(pdf, "digest string")
+
+
+# ---------------------------------------------------------- trans 5min parity
+
+# The report spine's streaming twin (ST1): identical measure
+# expressions to the batch operator, aggregated BY THE STREAMING
+# RUNTIME across several micro-batches in complete output mode — the
+# final state table must equal the batch closed form over the union of
+# all waves.  Oracle = the same t5 aggregation the batch tier uses,
+# without the tier's derived date-key columns (the streaming plan emits
+# the raw window).
+_STREAM_T5_ORACLE = orc.with_ctes(
+    f"""SELECT platform, site_code, player_name, country,
+       ROUND(trans_in_amount, 6) + 0.0 AS trans_in_amount,
+       ROUND(trans_out_amount, 6) + 0.0 AS trans_out_amount,
+       trans_in_count, trans_out_count,
+       ROUND(trans_out_lost_amount, 6) + 0.0 AS trans_out_lost_amount,
+       start_time
+FROM (
+  SELECT platform, site_code, player_name, country,
+         time_bucket(INTERVAL '5 minutes', trade_time) AS start_time,
+         SUM(CASE WHEN trade_type = 'IN' THEN value ELSE 0.0 END) AS trans_in_amount,
+         SUM(CASE WHEN trade_type = 'OUT' THEN value ELSE 0.0 END) AS trans_out_amount,
+         CAST(SUM(CASE WHEN trade_type = 'IN' THEN 1 ELSE 0 END) AS BIGINT) AS trans_in_count,
+         CAST(SUM(CASE WHEN trade_type = 'OUT' THEN 1 ELSE 0 END) AS BIGINT) AS trans_out_count,
+         SUM(CASE WHEN trade_type = 'OUT' THEN before_value ELSE 0.0 END)
+           - SUM(CASE WHEN trade_type = 'OUT' THEN after_value ELSE 0.0 END)
+           - SUM(CASE WHEN trade_type = 'OUT' THEN value ELSE 0.0 END) AS trans_out_lost_amount
+  FROM player_value_log
+  WHERE trade_status = 'SUCCESS'
+    AND trade_time >= TIMESTAMP '{EVENTS_GTE}' AND trade_time < TIMESTAMP '{EVENTS_LT}'
+  GROUP BY 1, 2, 3, 4, 5
+)""",
+    "player_value_log",
+)
+
+
+@register(
+    "streaming_trans_summary_5min",
+    _STREAM_T5_ORACLE,
+    survey_ids="ST1 ST2 A1 A2 A3 (streaming/pipeline.py streaming_trans_summary_5min)",
+)
+def q_streaming_trans_summary_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed the wallet log through the STREAMING 5-min aggregation in
+    three time-ordered micro-batch waves (days 1-10 / 11-20 / rest of
+    the month); complete-mode state must merge the waves' partial
+    aggregates into exactly the batch answer.  Cross-batch partial-agg
+    merge is the semantics under test: every window that spans a wave
+    boundary day is first emitted partial and then revised."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        start_memory_sink,
+        streaming_trans_summary_5min,
+    )
+
+    pvl = td.player_value_log(spark, sf_dir).filter(
+        (F.col("trade_time") >= F.lit(EVENTS_GTE).cast("timestamp"))
+        & (F.col("trade_time") < F.lit(EVENTS_LT).cast("timestamp"))
+    )
+    waves = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    tmp = tempfile.mkdtemp(prefix="stream_t5_")
+    src = f"{tmp}/src"
+    sink = "streaming_trans_summary_5min_sink"
+    try:
+        lo = F.lit(EVENTS_GTE).cast("timestamp")
+        for hi_s in [*waves, EVENTS_LT]:
+            hi = F.lit(hi_s).cast("timestamp")
+            pvl.filter((F.col("trade_time") >= lo) & (F.col("trade_time") < hi)).write.mode(
+                "append"
+            ).parquet(src)
+            lo = hi
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", "8").parquet(src)
+        q = start_memory_sink(streaming_trans_summary_5min(stream), sink, mode="complete")
+        try:
+            q.processAllAvailable()
+            pdf = (
+                round_doubles(
+                    spark.table(sink).drop("end_time")
+                ).toPandas()
+            )
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf,
+        "platform string, site_code string, player_name string, country string, "
+        "trans_in_amount double, trans_out_amount double, trans_in_count long, "
+        "trans_out_count long, trans_out_lost_amount double, start_time timestamp",
+    )
