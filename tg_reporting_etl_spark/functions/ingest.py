@@ -10,8 +10,8 @@ ingested, not just the current batch.
 Scale posture: the index holds one row per distinct digest —
 (digest, shard, first_doc_id, first_batch), ~50 bytes — partitioned by
 a hex-prefix shard so a 1e10-digest index splits into balanced
-partitions and the anti-join shuffles 16-byte digests, never document
-bodies.  Writes are APPEND-only deltas (each ingest writes exactly the
+partitions, and each ingest shuffles only (doc_id, digest, shard)
+rows, never document bodies.  Writes are APPEND-only deltas (each ingest writes exactly the
 never-seen digests, O(new) not O(index)); idempotency comes from the
 anti-join, which makes replay after any partial write self-healing.
 A MERGE-capable table format (Delta, via the sources/writers.py
@@ -23,32 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
+from tg_reporting_etl_spark.sources.readers import fs_path_exists
 from tg_reporting_etl_spark.sources.writers import write_append
 
 #: hex-prefix length of the shard partition key (1 -> 16 shards; a real
 #: deployment sizes this to target partition row counts)
 SHARD_PREFIX = 1
-
-
-def batch_digest_index(docs: DataFrame, batch_id: int, text_col: str = "text") -> DataFrame:
-    """Within-batch dedup to index grain: (digest, shard, first_doc_id,
-    first_batch).  NULL text drops (text family contract)."""
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select("doc_id", F.md5(text_col).alias("digest"))
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("first_doc_id"))
-        .select(
-            "digest",
-            # letter-prefixed so parquet partition-value type inference
-            # can never read an all-numeric shard back as an int
-            F.concat(F.lit("s"), F.substring("digest", 1, SHARD_PREFIX)).alias("shard"),
-            "first_doc_id",
-            F.lit(int(batch_id)).alias("first_batch"),
-        )
-    )
 
 
 def ingest_batch(
@@ -60,14 +41,47 @@ def ingest_batch(
 
     Re-ingesting the same batch is a no-op (returns 0).  Single-writer
     contract (matching the reference's serial producer): the returned
-    count is the index growth across THIS call's append."""
-    batch_idx = batch_digest_index(docs, batch_id)
-    try:
-        existing = spark.read.parquet(index_path).select("digest")
-        existing.schema  # force resolution so a missing index raises here
-    except AnalysisException:
-        existing = None
-    new = batch_idx if existing is None else batch_idx.join(existing, "digest", "left_anti")
+    count is the index growth across THIS call's append.
+
+    Index grain: (digest, shard, first_doc_id, first_batch), first-seen
+    wins within a batch via min(doc_id); NULL text drops (text family
+    contract)."""
+    existing = (
+        spark.read.parquet(index_path).select("digest")
+        if fs_path_exists(spark, index_path)
+        else None
+    )
+    # ONE exchange per ingest: repartition on the shard key FIRST (16-byte
+    # digest + doc_id rows, never document bodies), then dedup with
+    # groupBy(shard, digest) — hash(shard) already satisfies the
+    # aggregate's clustered-distribution requirement because shard is a
+    # digest prefix, so the dedup adds NO second exchange, and the write
+    # inherits the shard partitioning so each task owns whole shard
+    # directories (one file per shard per batch, not tasks x shards
+    # fragments).  The previous digest-grain-groupBy-then-repartition
+    # layout cost two exchanges; the trade is that this shuffle carries
+    # the batch at document grain rather than digest grain — for ingest
+    # batches, where duplicates are the minority, the row counts are
+    # within a small constant, and a dup-heavy batch still dedups in the
+    # aggregate before any write.  The one-file-per-shard layout holds in
+    # the broadcast-join regime (index side under the AQE threshold);
+    # once the index outgrows broadcast, SMJ re-keys the probe on digest
+    # and appends fragment per batch — at that scale the layout owner is
+    # periodic shard compaction or the MERGE backend, not this append.
+    batch = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("digest"))
+        # letter-prefixed so parquet partition-value type inference can
+        # never read an all-numeric shard back as an int
+        .withColumn("shard", F.concat(F.lit("s"), F.substring("digest", 1, SHARD_PREFIX)))
+        .repartition("shard")
+    )
+    probed = batch if existing is None else batch.join(existing, "digest", "left_anti")
+    new = (
+        probed.groupBy("shard", "digest")
+        .agg(F.min("doc_id").alias("first_doc_id"))
+        .select("digest", "shard", "first_doc_id", F.lit(int(batch_id)).alias("first_batch"))
+    )
     # The returned count comes from an Observation riding the WRITE job
     # itself: the anti-join evaluates exactly once (persisting it for a
     # count/write pair measured 2x slower — caching materializes full
@@ -75,6 +89,10 @@ def ingest_batch(
     # counts added two whole jobs per ingest), and the observed count is
     # accumulated over the very rows the append landed, so even a
     # nondeterministic input can never make count and contents disagree.
+    # CollectMetrics sits ABOVE the plan's only exchange (the shard
+    # repartition at the bottom), whose input is the raw batch — never
+    # empty even on replay — so AQE's empty-relation folding cannot
+    # swallow the metrics row on the all-duplicates path.
     #
     # APPEND, not merge: the anti-join guarantees every written row is
     # a never-seen key, so appending only the delta costs O(new) while
@@ -84,18 +102,8 @@ def ingest_batch(
     # (sources/writers.py registry) upgrades this to a transactional
     # insert-only MERGE if torn-append visibility is unacceptable.
     obs = Observation()
-    # repartition on the shard key before the partitioned append: each
-    # writer task then owns whole shard directories, so a batch lands
-    # ONE file per shard instead of (tasks x shards) fragments — the
-    # index's scan/anti-join cost tracks data volume, not append count.
-    # At scale this is also the right layout: shard-aligned files keep
-    # the per-shard listing bounded as thousands of batches accumulate.
-    # observe ABOVE the repartition exchange: with the CollectMetrics
-    # node below it, AQE folds an all-duplicates (empty) delta into a
-    # local empty relation and the metrics row is never produced —
-    # obs.get then fails on the replay-is-a-no-op path.
     write_append(
-        new.repartition("shard").observe(obs, F.count(F.lit(1)).alias("n_new")),
+        new.observe(obs, F.count(F.lit(1)).alias("n_new")),
         index_path,
         partition_cols=["shard"],
     )

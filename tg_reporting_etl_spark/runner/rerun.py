@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tg_reporting_etl_spark.runner.board import rerun_cascade
+from tg_reporting_etl_spark.sources.readers import fs_path_exists
 from tg_reporting_etl_spark.sources.writers import overwrite_small_table
 
 #: Identity of one request row — the full WHERE clause of the
@@ -50,12 +51,10 @@ def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: Data
     batch = requests.withColumn("done", F.lit(0)).withColumn(
         "apply_time", F.lit(None).cast("timestamp")
     )
-    try:
-        existing = spark.read.parquet(journal_path)
-        existing.schema
-    except Exception:
+    if not fs_path_exists(spark, journal_path):
         batch.write.mode("overwrite").parquet(journal_path)
         return
+    existing = spark.read.parquet(journal_path)
     # Merge semantics via ONE window over the union — no joins at all:
     # a still-PENDING journal row and its resubmission are bit-identical
     # (done=0, apply_time NULL), so "duplicate of pending is a no-op"
@@ -83,11 +82,10 @@ def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> 
     update-inside-the-loop).  A second call with no new submissions
     returns an empty frame.
     """
-    try:
-        journal = spark.read.parquet(journal_path)
-        snap = journal.toPandas()
-    except Exception:
+    if not fs_path_exists(spark, journal_path):
         return _empty_tasks(spark)
+    journal = spark.read.parquet(journal_path)
+    snap = journal.toPandas()
     # The journal is metadata-sized BY CONTRACT (one row per operator
     # request — the same class of bounded orchestration metadata as the
     # board rows the executor collects), so consume snapshots it to the

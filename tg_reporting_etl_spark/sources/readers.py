@@ -42,6 +42,18 @@ _TS_COLS = {
 }
 
 
+def fs_path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe for a sink/index/journal path.
+
+    Cheaper and quieter than read-and-catch-AnalysisException (which
+    costs an analyzer pass and prints a FileNotFound stack trace to
+    stderr on every bootstrap); resolves any Hadoop-supported scheme
+    (local, HDFS, s3a) exactly as a read of the same path would."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table as a DataFrame (columnar, pushdown-capable)."""
     # Runtime-settable; needed even when the caller's session (e.g. the
