@@ -1,4 +1,4 @@
-"""Skew-resilient aggregation: two-stage salted group-by.
+"""Skew tooling: heavy-hitter profiling + two-stage salted group-by.
 
 The player grain is skewed (whales bet orders of magnitude more rows
 than the median player).  AQE's skew-join splitting covers joins; for
@@ -12,6 +12,50 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
+    """Heavy-hitter skew diagnostics for a prospective shuffle key.
+
+    Before committing a 100 TB job to ``groupBy(keys)`` / ``join(keys)``,
+    the operational question is "how hot is the hottest key?" — one whale
+    key pins one reducer no matter how many executors exist.  This
+    returns the ``top_n`` keys by row count with
+
+    - ``share``      fraction of ALL rows owned by the key, and
+    - ``skew_ratio`` key count over the mean per-key count (1.0 = flat;
+      the classic trigger for salting / AQE skew split is >> 1).
+
+    Plan shape: ONE data-sized shuffle (the per-key partial-aggregated
+    count); everything after runs on the key-cardinality-sized count
+    table — the scalar totals reduce to a single row that joins back via
+    a broadcast nested loop, and the top-N is a TakeOrdered, never a
+    global sort materialization.  NULL key rows are excluded (they hash
+    to one reducer but are a data-quality issue, not a skew one — the
+    quality gate counts them).
+    """
+    counts = (
+        df.na.drop(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "cnt",
+            (F.round(F.col("cnt") / F.col("_total"), 6) + F.lit(0.0)).alias("share"),
+            (
+                F.round(F.col("cnt") * F.col("_n_keys") / F.col("_total"), 6)
+                + F.lit(0.0)
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), *keys)
+        .limit(top_n)
+    )
 
 
 def salted_agg(

@@ -134,6 +134,35 @@ def q_events_user_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_PROFILE_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
+SELECT c.user_id, c.cnt,
+       ROUND(c.cnt / t.total, 6) + 0.0 AS share,
+       ROUND(c.cnt * t.n_keys / t.total, 6) + 0.0 AS skew_ratio
+FROM c, t
+ORDER BY c.cnt DESC, c.user_id
+LIMIT 20"""
+
+
+@register(
+    "events_key_skew_profile",
+    _SKEW_PROFILE_ORACLE,
+    survey_ids="skew diagnostics: heavy-hitter profile for a prospective shuffle key (functions/skew.py)",
+)
+def q_events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest user_id keys with row share and skew ratio — the
+    pre-flight answer to "does this shuffle key need salting?".  One
+    data-sized shuffle; totals broadcast back; top-N via TakeOrdered."""
+    from tg_reporting_etl_spark.functions.skew import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return key_skew_profile(ev, ["user_id"], top_n=20)
+
+
 _ASOF_ORACLE = """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id, ts, max(event_id) AS event_id
