@@ -130,6 +130,12 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     "corpus_length_quantiles": {"smj_max": 0},
     "doc_packed_token_ids": {"bhj_min": 2, "smj_max": 0},
     "events_quality_report": {"smj_max": 0, "pushdown_min": 0},
+    # ONE data-sized shuffle (per-key count, persisted); totals
+    # broadcast back, top-N is a TakeOrdered — never a global sort.
+    # No pushdown floor: the scan sits inside the cached count subtree,
+    # which formatted-explain does not expand (the dedicated
+    # single-shuffle test below pins the shape instead)
+    "events_key_skew_profile": {"smj_max": 0},
     # the SMJ is the full-outer channel join itself (Spark cannot
     # broadcast a full outer join); both sides are bounded pair tables.
     # Ceiling 2: under a warm shared-cache session AQE occasionally
@@ -198,6 +204,8 @@ _BNLJ_ALLOWED = {
     # tfidf cross-joins the ONE-ROW corpus-size aggregate (scalar
     # broadcast shape)
     "doc_tfidf_topterms",
+    # skew profile cross-joins the ONE-ROW (total, n_keys) aggregate
+    "events_key_skew_profile",
 }
 
 import pytest as _pytest
@@ -227,3 +235,22 @@ def test_catalog_plan_shapes(spark, sf_dir, name):
     assert len(pushed) >= exp.get("pushdown_min", 0), (
         f"{name}: pushed-filter scans dropped to {len(pushed)}"
     )
+
+
+def test_key_skew_profile_single_shuffle_takeordered(spark, sf_dir):
+    """The skew profiler must stay one data-sized shuffle: per-key count
+    exchange, scalar totals broadcast back, top-N via TakeOrdered (a
+    global Sort materialization here would defeat its purpose — the
+    profile is a pre-flight probe, not a report)."""
+    from tg_reporting_etl_spark.functions.skew import key_skew_profile
+    from tg_reporting_etl_spark.sources.readers import load_table
+
+    df = key_skew_profile(load_table(spark, sf_dir, "events").select("user_id"), ["user_id"])
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # exactly one hashpartitioning exchange on the key (the persisted
+    # per-key count — both consumers read the cache, so the data-sized
+    # subtree is planned once); the totals side's SinglePartition
+    # exchange runs on the key-cardinality table, allowed
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "InMemoryTableScan" in plan

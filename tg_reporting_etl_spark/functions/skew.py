@@ -26,15 +26,21 @@ def key_skew_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFra
     - ``skew_ratio`` key count over the mean per-key count (1.0 = flat;
       the classic trigger for salting / AQE skew split is >> 1).
 
-    Plan shape: ONE data-sized shuffle (the per-key partial-aggregated
-    count); everything after runs on the key-cardinality-sized count
-    table — the scalar totals reduce to a single row that joins back via
-    a broadcast nested loop, and the top-N is a TakeOrdered, never a
-    global sort materialization.  NULL key rows are excluded (they hash
-    to one reducer but are a data-quality issue, not a skew one — the
+    Plan shape: ONE data-sized scan+shuffle (the per-key partial-
+    aggregated count), persisted because BOTH consumers need it — the
+    scalar totals reduce it to a single row that joins back via a
+    broadcast nested loop, and the top-N is a TakeOrdered, never a
+    global sort materialization.  Without the persist Spark plans the
+    count subtree twice (no cross-branch CSE), doubling the scan; the
+    cached table is key-cardinality-sized (two longs + the key per
+    row), spillable, and released by the engine's one bulk valve
+    (functions/persist.py).  NULL key rows are excluded (they hash to
+    one reducer but are a data-quality issue, not a skew one — the
     quality gate counts them).
     """
-    counts = (
+    from tg_reporting_etl_spark.functions.persist import tracked_persist
+
+    counts = tracked_persist(
         df.na.drop(subset=keys)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
