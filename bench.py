@@ -133,6 +133,7 @@ def main() -> None:
         "init_board_seed",
         "board_scan_priority",
         "corpus_ingest_dedup_lifecycle",
+        "corpus_index_compaction_lifecycle",
         # streaming lifecycle sims: cost is micro-batch scheduling +
         # state store churn on a fixed batch count, not operator
         # throughput — same bucket as the other lifecycle queries

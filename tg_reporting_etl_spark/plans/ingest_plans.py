@@ -31,6 +31,65 @@ WHERE b1.digest IS NULL"""
 
 
 @register(
+    "corpus_index_compaction_lifecycle",
+    _INGEST_ORACLE,
+    survey_ids="maintenance: small-file compaction of the ingest index is content-invariant (sources/writers.py compact_table)",
+)
+def q_corpus_index_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle: two ingest batches append one file per shard each,
+    then :func:`compact_table` rewrites every shard to ONE file — the
+    maintenance pass that keeps index scan cost tracking data volume,
+    not append count, as thousands of batches accumulate.  In-query
+    invariants: compaction really reduced the file count to <= one per
+    shard, and the oracle hash proves the rewrite changed NO content
+    (same first-seen-wins closed form as the ingest lifecycle).  File
+    counts come from input_file_name() over the index itself — bounded
+    by shard count, engine-side, no directory walking."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.functions import ingest as ig
+    from tg_reporting_etl_spark.sources.writers import compact_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="compact_idx_")
+    path = f"{tmp}/digest_index"
+    try:
+        ig.ingest_batch(spark, path, docs.filter(F.col("doc_id") % 3 != 2), 1)
+        ig.ingest_batch(spark, path, docs, 2)
+        files_before = (
+            spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+        )
+        compact_table(spark, path, partition_cols=["shard"])
+        # ONE read job: contents + provenance file ride the same scan,
+        # and the layout invariant is checked on the (already driver-
+        # sized, by catalog contract) result frame
+        pdf = (
+            spark.read.parquet(path)
+            .select(
+                "digest",
+                F.col("shard").cast("string").alias("shard"),
+                "first_doc_id",
+                F.col("first_batch").cast("int").alias("first_batch"),
+                F.input_file_name().alias("_file"),
+            )
+            .toPandas()
+        )
+        files_after, n_shards = pdf["_file"].nunique(), pdf["shard"].nunique()
+        if not (files_after <= n_shards < files_before):
+            raise AssertionError(
+                f"compaction layout: {files_before} files -> {files_after} "
+                f"over {n_shards} shards"
+            )
+        pdf = pdf.drop(columns=["_file"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "digest string, shard string, first_doc_id long, first_batch int"
+    )
+
+
+@register(
     "corpus_ingest_dedup_lifecycle",
     _INGEST_ORACLE,
     survey_ids="LLM: incremental ingest dedup vs persistent digest index (batch twin of streaming exact dedup); T1 S2",
