@@ -122,3 +122,18 @@ def test_read_jsonl_substring_column_does_not_mask_corrupt_capture(spark, tmp_pa
     rows = df.select("doc_id", "_corrupt_record").collect()
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(bad) == 1 and "BROKEN" in bad[0]._corrupt_record
+
+
+def test_fs_path_exists_probe(spark, tmp_path):
+    """The bootstrap probe must track real FS state through any Hadoop
+    scheme — and stay quiet (no analyzer pass, no stack trace)."""
+    from tg_reporting_etl_spark.sources.readers import fs_path_exists
+
+    p = str(tmp_path / "probe_target")
+    assert not fs_path_exists(spark, p)
+    spark.range(3).write.parquet(p)
+    assert fs_path_exists(spark, p)
+    # a plain file (not a dir) counts too — exists(), not isDirectory()
+    f = tmp_path / "probe_file.txt"
+    f.write_text("x")
+    assert fs_path_exists(spark, str(f))

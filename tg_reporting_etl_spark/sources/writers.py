@@ -178,10 +178,21 @@ def _merge_parquet(
     if not partition_cols:
         _heal_swap(spark, target_path, tmp_path)
 
-    try:
-        target = spark.read.parquet(target_path)
-        target.schema  # force resolution
-    except Exception:
+    from tg_reporting_etl_spark.sources.readers import fs_path_exists
+
+    # FS-probe first: the common bootstrap (no target yet) costs one
+    # metadata call and prints no stack trace.  The read-and-catch stays
+    # for the one case existence can't distinguish — a target dir
+    # holding only empty marker partitions has no files to infer a
+    # schema from and must also take the bootstrap branch.
+    target = None
+    if fs_path_exists(spark, target_path):
+        try:
+            target = spark.read.parquet(target_path)
+            target.schema  # force resolution
+        except Exception:
+            target = None
+    if target is None:
         writer = batch.write.mode("overwrite")
         if partition_cols:
             # dynamic even on bootstrap: a target dir holding only empty
