@@ -30,9 +30,34 @@ FROM all_d a LEFT JOIN b1 ON a.digest = b1.digest
 WHERE b1.digest IS NULL"""
 
 
+# Compaction lifecycle's batch split is keyed on CONTENT, not doc_id:
+# an id-keyed split breaks down on a dup-heavy corpus (the sf1.0 probe's
+# replicated texts put every digest into batch 1 via SOME replica, so
+# batch 2 appended nothing and there was no small-file problem to
+# compact).  Splitting on a digest hex char guarantees batch 2 carries
+# never-seen digests — ~1/4 of every shard's digest space — whatever
+# the duplication structure.
+_COMPACT_ORACLE = """WITH d AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+),
+b1 AS (
+  SELECT digest, min(doc_id) AS first_doc_id
+  FROM d WHERE substr(digest, 2, 1) < 'c' GROUP BY 1
+),
+all_d AS (SELECT digest, min(doc_id) AS first_doc_id FROM d GROUP BY 1)
+SELECT digest, 's' || substr(digest, 1, 1) AS shard, first_doc_id,
+       CAST(1 AS INTEGER) AS first_batch
+FROM b1
+UNION ALL
+SELECT a.digest, 's' || substr(a.digest, 1, 1) AS shard, a.first_doc_id,
+       CAST(2 AS INTEGER) AS first_batch
+FROM all_d a LEFT JOIN b1 ON a.digest = b1.digest
+WHERE b1.digest IS NULL"""
+
+
 @register(
     "corpus_index_compaction_lifecycle",
-    _INGEST_ORACLE,
+    _COMPACT_ORACLE,
     survey_ids="maintenance: small-file compaction of the ingest index is content-invariant (sources/writers.py compact_table)",
 )
 def q_corpus_index_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,9 +67,10 @@ def q_corpus_index_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> Dat
     not append count, as thousands of batches accumulate.  In-query
     invariants: compaction really reduced the file count to <= one per
     shard, and the oracle hash proves the rewrite changed NO content
-    (same first-seen-wins closed form as the ingest lifecycle).  File
-    counts come from input_file_name() over the index itself — bounded
-    by shard count, engine-side, no directory walking."""
+    (first-seen-wins closed form over a content-keyed batch split —
+    dup-robust, see _COMPACT_ORACLE comment).  File counts come from
+    input_file_name() over the index itself — bounded by shard count,
+    engine-side, no directory walking."""
     import shutil
     import tempfile
 
@@ -55,7 +81,9 @@ def q_corpus_index_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> Dat
     tmp = tempfile.mkdtemp(prefix="compact_idx_")
     path = f"{tmp}/digest_index"
     try:
-        ig.ingest_batch(spark, path, docs.filter(F.col("doc_id") % 3 != 2), 1)
+        ig.ingest_batch(
+            spark, path, docs.filter(F.substring(F.md5("text"), 2, 1) < "c"), 1
+        )
         ig.ingest_batch(spark, path, docs, 2)
         files_before = (
             spark.read.parquet(path).select(F.input_file_name()).distinct().count()

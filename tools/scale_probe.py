@@ -78,6 +78,13 @@ PROBE_QUERIES = [
     "doc_dup_spans",
     "doc_tfidf_topterms",
     "doc_sequence_packing",
+    # round-9 additions: skew diagnostics on the 10x events table, and
+    # the ingest/compaction lifecycles against a 10x dup-heavy corpus
+    # (byte-identical replica text = digest collisions across replicas,
+    # the first-seen-wins worst case)
+    "events_key_skew_profile",
+    "corpus_ingest_dedup_lifecycle",
+    "corpus_index_compaction_lifecycle",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan)
