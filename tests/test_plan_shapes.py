@@ -121,7 +121,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     "risk_ctrl_game_1d": {"bhj_min": 5, "smj_max": 0, "pushdown_min": 1},
     "tiered_rollup_grouping_sets": {"smj_max": 0, "pushdown_min": 1},
     "doc_boilerplate_ngrams": {"smj_max": 0},
-    "doc_boilerplate_fraction": {"bhj_min": 1, "smj_max": 0},
+    # the SMJ is the final per-doc LeftOuter (two row-scale per-doc
+    # sides — correct shape); the boiler set broadcasts onto instances
+    "doc_boilerplate_fraction": {"bhj_min": 1, "smj_max": 2},
     "doc_dedup_best_rep": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 1},
     "corpus_curation": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 2},
     "doc_sequence_packing": {"bhj_min": 1, "smj_max": 0},

@@ -188,22 +188,33 @@ def boilerplate_fraction(
     (df >= ``min_df``) — the Gopher-style cross-document duplication
     signal (within-doc repetition is :func:`repetition_stats`).
 
-    Plan shape (verified via explain): the df table — bounded by the
-    gram-TYPE space, not corpus rows — builds with one gram shuffle and
-    broadcasts to the instance side, so the big exploded frame never
-    shuffles on gram; only the final doc_id agg shuffles it.  If a real
-    corpus's type space outgrows the broadcast threshold, Catalyst
-    degrades to a sort-merge join on gram — correct, one extra shuffle.
-    Docs with < n words have no gram instances and are absent, as in
-    the oracle.  Pass a precomputed ``gram_df`` to skip the df agg."""
+    Plan shape (verified via explain): only the FILTERED boiler set —
+    grams with df >= ``min_df``, a strict subset of the already
+    type-bounded df table — ships to the instance side, as a broadcast
+    semi-ish inner join; instances of non-boilerplate grams (the vast
+    majority of a healthy corpus) die at the join instead of riding
+    into the aggregate.  ``n_grams`` never touches the join at all: it
+    is ``size(tokens) - n + 1``, a narrow per-doc expression.  The two
+    per-doc frames meet with one left join on doc_id (n_boiler = 0
+    where no instance survived).  If a real corpus's boiler-type space
+    outgrows the broadcast threshold, Catalyst degrades to a sort-merge
+    join on gram — correct, one extra shuffle.  Docs with < n words
+    have no gram instances and are absent, as in the oracle.  Pass a
+    precomputed ``gram_df`` to skip the df agg."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.filter(F.size(toks) >= n).select(
+        "doc_id", (F.size(toks) - n + 1).cast("long").alias("n_grams")
+    )
     rows = word_ngram_rows(docs, n)
     df_tbl = gram_doc_frequency(rows) if gram_df is None else gram_df
-    return (
-        rows.join(df_tbl, "gram")
+    boiler = df_tbl.filter(F.col("df") >= min_df).select("gram")
+    boiler_counts = (
+        rows.join(boiler, "gram")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).cast("long").alias("n_boiler"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+    )
+    return (
+        base.join(boiler_counts, "doc_id", "left")
+        .withColumn("n_boiler", F.coalesce("n_boiler", F.lit(0)).cast("long"))
         .withColumn("boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 6))
     )
