@@ -881,6 +881,51 @@ def cross_source_contamination(
     return exact.unionByName(near)
 
 
+def eval_overlap_report(
+    docs: DataFrame, hashed: DataFrame, eval_sources: list[str]
+) -> DataFrame:
+    """Per-eval-doc contamination REPORT: the fraction of the doc's
+    distinct k-gram shingles that appear anywhere in the train split —
+    the GPT-3-style n-gram overlap metric.  Where
+    :func:`cross_source_contamination` flags pairs for REMOVAL, this
+    measures HOW contaminated each benchmark document is, the number an
+    eval card reports.
+
+    ``hashed`` is the shared (doc_id, h, mh) shingle-hash table
+    (:func:`shingle_hashes` — distinct per doc by construction).
+    Scale shape: the two doc_id semi-joins carry only the metadata
+    side; the one unavoidable corpus-scale shuffle is the h-key join of
+    eval shingles against the train DISTINCT-gram set (both sides
+    row-scale — SMJ on a long key is the correct 100 TB shape); per-doc
+    counts then aggregate the small eval side only.  Output:
+    (doc_id, n_shingles, n_overlap, overlap_frac), one row per eval
+    doc that has at least one shingle.
+    """
+    meta = docs.select("doc_id", "source")
+    is_eval = F.col("source").isin(list(eval_sources))
+    ev_sh = hashed.join(meta.filter(is_eval).select("doc_id"), "doc_id", "left_semi")
+    train_grams = (
+        hashed.join(meta.filter(~is_eval).select("doc_id"), "doc_id", "left_semi")
+        .select("h")
+        .distinct()
+    )
+    sizes = ev_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    hits = (
+        ev_sh.join(train_grams, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long"))
+        .withColumn(
+            "overlap_frac", F.round(F.col("n_overlap") / F.col("n_shingles"), 6) + F.lit(0.0)
+        )
+    )
+
+
 def dedup_keepers(pairs: DataFrame) -> DataFrame:
     """Component membership + keeper flag: one kept doc per component
     (the min doc_id, matching :func:`exact_dedup`'s keeper rule)."""

@@ -810,6 +810,38 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out)
 
 
+_EVAL_OVERLAP_ORACLE = f"""WITH {_SHINGLES.strip()},
+meta AS (SELECT doc_id, source FROM documents),
+ev AS (SELECT s.doc_id, s.shingle FROM shingles s
+       JOIN meta m USING (doc_id) WHERE m.source IN ({_EVAL_IN})),
+tr AS (SELECT DISTINCT s.shingle FROM shingles s
+       JOIN meta m USING (doc_id) WHERE m.source NOT IN ({_EVAL_IN})),
+hit AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM ev e JOIN tr USING (shingle) GROUP BY 1),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY 1)
+SELECT z.doc_id, z.n_shingles,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(h.n_overlap, 0) * 1.0 / z.n_shingles, 6) + 0.0 AS overlap_frac
+FROM sz z LEFT JOIN hit h USING (doc_id)"""
+
+
+@register(
+    "doc_eval_overlap_report",
+    _EVAL_OVERLAP_ORACLE,
+    survey_ids="LLM: per-eval-doc n-gram overlap contamination report (GPT-3-style metric)",
+)
+def q_doc_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How contaminated is each benchmark doc — fraction of its
+    distinct 5-gram shingles appearing anywhere in the train split
+    (functions/dedup.py:eval_overlap_report over the shared
+    shingle-hash cache).  Complements doc_decontaminate: that query
+    flags pairs for removal; this one measures the per-eval-doc
+    overlap an eval card reports."""
+    return dd.eval_overlap_report(
+        _docs(spark, sf_dir), _shingles(spark, sf_dir), list(EVAL_SOURCES)
+    )
+
+
 _SPLIT_ORACLE = f"""{_COMPONENTS_CTES}
 SELECT doc_id, group_key,
        CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'validation' ELSE 'test' END AS split
