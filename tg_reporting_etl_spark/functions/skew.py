@@ -54,8 +54,11 @@ def key_skew_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFra
             *keys,
             "cnt",
             (F.round(F.col("cnt") / F.col("_total"), 6) + F.lit(0.0)).alias("share"),
+            # divide-first (cnt over the double mean), never cnt*n_keys:
+            # the long x long product overflows (ANSI: throws) once
+            # total_rows x n_keys passes 2^63 — real at corpus scale
             (
-                F.round(F.col("cnt") * F.col("_n_keys") / F.col("_total"), 6)
+                F.round(F.col("cnt") / (F.col("_total") / F.col("_n_keys")), 6)
                 + F.lit(0.0)
             ).alias("skew_ratio"),
         )

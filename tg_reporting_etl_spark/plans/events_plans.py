@@ -142,7 +142,7 @@ WITH c AS (
 t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
 SELECT c.user_id, c.cnt,
        ROUND(c.cnt / t.total, 6) + 0.0 AS share,
-       ROUND(c.cnt * t.n_keys / t.total, 6) + 0.0 AS skew_ratio
+       ROUND(c.cnt / (t.total * 1.0 / t.n_keys), 6) + 0.0 AS skew_ratio
 FROM c, t
 ORDER BY c.cnt DESC, c.user_id
 LIMIT 20"""
