@@ -1017,3 +1017,26 @@ def test_pillow_decoder_end_to_end(docs, spark):
     row = mm.resize_images(media, 4, 4).collect()[0]
     assert len(bytes(row.thumb)) == 4 * 4 * 3
     assert bytes(row.thumb)[:3] == bytes((10, 20, 30))
+
+
+def test_eval_overlap_report_fractions(spark):
+    """Per-eval-doc contamination: fully-contained eval doc -> 1.0,
+    half-overlapping -> 0.5, disjoint -> 0.0 (still reported, n_overlap
+    0); train docs never appear; shingles are DISTINCT per doc so
+    repeated grams count once."""
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdef", "train_a"),
+            (2, "xyzxyz", "train_b"),
+            (3, "abcdef", "eval_set"),   # all 4 shingles in train
+            (4, "abcxyz", "eval_set"),   # abc + xyz hit, bcx + cxy miss
+            (5, "qqqqq", "eval_set"),    # one distinct shingle, no hit
+        ],
+        "doc_id long, text string, source string",
+    )
+    hashed = dd.shingle_hashes(docs, k=3)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_frac)
+        for r in dd.eval_overlap_report(docs, hashed, ["eval_set"]).collect()
+    }
+    assert got == {3: (4, 4, 1.0), 4: (4, 2, 0.5), 5: (1, 0, 0.0)}
