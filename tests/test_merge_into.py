@@ -490,3 +490,20 @@ def test_merge_into_activates_real_delta_backend(tmp_path):
         assert got == {"k1": 1, "k2": 20, "k3": 30}
     finally:
         s.stop()
+
+
+def test_compact_table_heals_crashed_swap(spark, tmp_path):
+    """A crash between the tmp write and the rename leaves target
+    missing + tmp complete; the next compact_table must rename the
+    orphan into place before reading — same self-heal contract as the
+    unpartitioned merge."""
+    from tg_reporting_etl_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(path + "._merge_tmp")
+    # no target dir at all — only the orphaned tmp survives the "crash"
+    compact_table(spark, path, num_files=1)
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(i, 2 * i) for i in range(10)]
+    import os
+    assert not os.path.exists(path + "._merge_tmp")

@@ -52,3 +52,18 @@ def test_key_skew_profile_flat_keys_ratio_one(spark):
     out = key_skew_profile(df, ["k"], top_n=100).collect()
     assert len(out) == 8
     assert all(r.skew_ratio == 1.0 and r.share == round(5 / 40, 6) for r in out)
+
+
+def test_key_skew_profile_composite_keys(spark):
+    import pandas as pd
+
+    rows = [("P1", "alice")] * 6 + [("P1", "bob")] * 3 + [("P2", "alice")] * 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["platform", "player"]))
+    out = key_skew_profile(df, ["platform", "player"], top_n=2).collect()
+    assert [(r.platform, r.player, r.cnt) for r in out] == [
+        ("P1", "alice", 6),
+        ("P1", "bob", 3),
+    ]
+    # total=10, n_keys=3: mean=10/3
+    assert out[0].share == 0.6
+    assert out[0].skew_ratio == round(6 / (10 / 3), 6)
