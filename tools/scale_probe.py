@@ -85,6 +85,12 @@ PROBE_QUERIES = [
     "events_key_skew_profile",
     "corpus_ingest_dedup_lifecycle",
     "corpus_index_compaction_lifecycle",
+    # dup-heavy worst cases for the round-9 data-path rewrites: with 10
+    # byte-identical replicas every trigram clears min_df, so the
+    # boiler set degenerates to ALL grams (the rewrite's filter prunes
+    # nothing) and every eval shingle hits the train set
+    "doc_boilerplate_fraction",
+    "doc_eval_overlap_report",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan)
