@@ -370,6 +370,102 @@ def compact_table(
     fs.rename(jtmp, jtarget)
 
 
+# ------------------------------------------------- JDBC window sink
+#
+# The reference's actual sink is a MySQL table: DELETE the window's
+# rows, then to_sql(if_exists='append') (trans_summary_5min.py:104-128
+# + :49).  The parquet engine maps that onto dynamic partition
+# overwrite; for deployments that keep a real DB as the serving layer,
+# this is the literal JDBC equivalent.  No JDBC driver ships in this
+# container, so the statement builder and the delete->insert ordering
+# are unit-tested through injectable transports (the webhook-notifier
+# pattern) and the DriverManager path activates wherever a driver jar
+# is on the classpath.
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as a safe SQL literal (single quotes
+    doubled — the reference interpolates raw f-strings; we do not)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def build_window_delete(table: str, delete_keys: dict) -> str:
+    """The reference's delete-before-insert DELETE statement
+    (trans_summary_5min.py:119-127): one equality predicate per window
+    key, with the ALL-wildcard convention (value == 'ALL' -> predicate
+    omitted, SURVEY §2.2 P3).  An all-ALL key set deletes the whole
+    table — exactly what re-running an unscoped task means."""
+    preds = [f"{k} = {_sql_literal(v)}" for k, v in delete_keys.items() if v != "ALL"]
+    return f"DELETE FROM {table} WHERE {' AND '.join(preds) if preds else '1=1'}"
+
+
+def _jdbc_execute_update(spark, url: str, sql: str) -> int:
+    """Run one DML statement driver-side through java.sql.DriverManager
+    (any driver jar on the classpath resolves the URL scheme)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            return int(st.executeUpdate(sql))
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def jdbc_overwrite_window(
+    spark,
+    url: str,
+    table: str,
+    df: DataFrame,
+    delete_keys: dict,
+    *,
+    options: dict | None = None,
+    execute_update=None,
+    write_batch=None,
+) -> str:
+    """Delete-before-insert onto a JDBC table — the reference sink's
+    literal semantics for DB-serving deployments.
+
+    NOT atomic, faithfully: the DELETE commits on its own driver-side
+    connection before the distributed append starts (the reference has
+    the same window — conn.execute(delete) then to_sql append), so a
+    mid-append failure leaves the window partially loaded; re-running
+    the task heals it, exactly as in the reference.  A table format
+    with a commit log (sources above) is the upgrade path when that
+    window is unacceptable.
+
+    ``execute_update(url, sql)`` / ``write_batch(df)`` are injectable
+    for tests and for pooled/transactional deployments; defaults use
+    DriverManager + ``df.write.format('jdbc').mode('append')``.
+    Returns the DELETE statement it ran (for task logs)."""
+    sql = build_window_delete(table, delete_keys)
+    if execute_update is None:
+        execute_update = lambda u, s: _jdbc_execute_update(spark, u, s)  # noqa: E731
+    if write_batch is None:
+
+        def write_batch(batch: DataFrame) -> None:
+            writer = (
+                batch.write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", table)
+                .mode("append")
+            )
+            for k, v in (options or {}).items():
+                writer = writer.option(k, v)
+            writer.save()
+
+    execute_update(url, sql)
+    write_batch(df)
+    return sql
+
+
 def write_clustered(
     df: DataFrame,
     path: str,
