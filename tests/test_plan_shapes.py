@@ -174,6 +174,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # the doc-base left join may SMJ (two row-scale sides, correct)
     "doc_dup_spans": {"bhj_min": 1, "smj_max": 2},
     "doc_dup_spans_strided": {"bhj_min": 1, "smj_max": 2},
+    # removal shares the spans machinery; the final doc_id attach of
+    # the (bounded) island arrays to the text may SMJ — correct shape
+    "doc_remove_dup_spans": {"bhj_min": 1, "smj_max": 2},
     "doc_pii_scrub": {"smj_max": 0},
     "doc_chunk_overlap": {"smj_max": 0},
     "session_funnel": {"smj_max": 0},

@@ -117,3 +117,50 @@ def test_stride_validates(spark):
 
     with _pytest.raises(ValueError):
         sp.char_gram_rows(_docs(spark, [(1, "abc")]), 4, 0)
+
+
+def test_remove_duplicated_spans_vs_python_model(spark):
+    """Removal surgery vs a direct python model: keeper doc (min
+    doc_id) keeps its text; later docs lose merged duplicated islands,
+    including spans at string start/end; docs shorter than L and
+    dup-free docs come back unchanged."""
+    from tg_reporting_etl_spark.functions.spans import remove_duplicated_spans
+
+    L = 5
+    rows = [
+        (1, "QQQQQQQQQQzz"),        # keeper of the Q-run
+        (2, "QQQQQQQQQQyy"),        # loses the Q island (string start)
+        (3, "aabbQQQQQQQQQQ"),      # loses the Q island (string end)
+        (4, "totally unique text"),  # dup-free
+        (5, "tiny"),                # shorter than L
+        (6, "xxQQQQQwwQQQQQpp"),    # two separate Q islands merge? (gap 'ww')
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python model
+    grams = {}
+    for d, t in rows:
+        if len(t) >= L:
+            for i in range(len(t) - L + 1):
+                grams.setdefault(t[i:i + L], []).append((d, i + 1))
+    removable = {}
+    for g, occ in grams.items():
+        docs_of = {d for d, _ in occ}
+        if len(docs_of) >= 2:
+            keeper = min(docs_of)
+            for d, i in occ:
+                if d > keeper:
+                    removable.setdefault(d, set()).add(i)
+    expect = {}
+    for d, t in rows:
+        starts = sorted(removable.get(d, ()))
+        keep = [True] * len(t)
+        for i in starts:
+            for j in range(i - 1, i - 1 + L):
+                keep[j] = False
+        expect[d] = "".join(c for c, k in zip(t, keep) if k)
+
+    got = {r.doc_id: r.text_clean for r in remove_duplicated_spans(docs, L).collect()}
+    assert got == expect
+    rc = {r.doc_id: r.removed_chars for r in remove_duplicated_spans(docs, L).collect()}
+    assert all(rc[d] == len(t) - len(expect[d]) for d, t in rows)

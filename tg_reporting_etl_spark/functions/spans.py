@@ -84,6 +84,27 @@ def char_gram_rows(
     )
 
 
+def merge_islands(pos: DataFrame, length: int) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, i) window starts into maximal
+    disjoint spans: (doc_id, island, start, fin) with fin exclusive.
+
+    Two projections: a window expression may not nest inside another
+    window aggregate (both engines), so island starts are flagged
+    first, then cumulative-summed into island ids."""
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + length).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pos.withColumn(
+        "new_island",
+        F.when(F.col("i") > F.coalesce(prev_end, F.lit(0)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w))
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("i").alias("start"), (F.max("i") + length).alias("fin")
+    )
+
+
 def duplicated_span_stats(
     docs: DataFrame, length: int = DEFAULT_SPAN_L, stride: int = 1
 ) -> DataFrame:
@@ -109,23 +130,10 @@ def duplicated_span_stats(
     # shuffled hash/sort-merge join when it is not.
     pos = grams.join(dup_grams, "h").select("doc_id", "i")
 
-    w = Window.partitionBy("doc_id").orderBy("i")
-    prev_end = F.max(F.col("i") + length).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # two projections: a window expression may not nest inside another
-    # window aggregate (both engines), so flag island starts first,
-    # then cumulative-sum the flags.
-    flagged = pos.withColumn(
-        "new_island",
-        F.when(F.col("i") > F.coalesce(prev_end, F.lit(0)), 1).otherwise(0),
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w))
     covered = (
-        islands.groupBy("doc_id", "island")
-        .agg((F.max("i") + length - F.min("i")).alias("span_len"))
+        merge_islands(pos, length)
         .groupBy("doc_id")
-        .agg(F.sum("span_len").cast("long").alias("covered_chars"))
+        .agg(F.sum(F.col("fin") - F.col("start")).cast("long").alias("covered_chars"))
     )
     base = docs.filter(
         F.col("text").isNotNull() & (F.length("text") >= length)
@@ -140,4 +148,77 @@ def duplicated_span_stats(
                 "dup_span_fraction"
             ),
         )
+    )
+
+
+def remove_duplicated_spans(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> DataFrame:
+    """Substring-dedup REMOVAL (the surgery behind the Lee et al.
+    signal :func:`duplicated_span_stats` only measures): cut every
+    cross-document duplicated span out of all documents EXCEPT the
+    gram's earliest document (min doc_id — one copy of the content
+    survives, deterministically).
+
+    Returns every non-NULL-text doc:
+    (doc_id, n_chars, n_chars_clean, removed_chars, text_clean).
+
+    Plan shape: the gram pass and island merge are exactly the stats
+    operator's (persisted gram rows; bounded dup-gram table with a
+    per-gram min-doc aggregate; the per-doc position window).  The
+    splice is ROW-LOCAL: islands collect into a per-doc sorted int
+    array (bounded by island count, no strings), one doc_id join
+    attaches the text, and a single ``aggregate`` fold rebuilds the
+    kept segments in place — document bodies never ride a shuffle.
+    """
+    grams = tracked_persist(char_gram_rows(docs, length))
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("ndocs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select("h", "keeper")
+    )
+    # removable occurrences: every window of a duplicated gram OUTSIDE
+    # its keeper document (within-doc repeats inside the keeper are
+    # repetition_stats' concern, not cross-doc dedup's)
+    pos = grams.join(dup, "h").filter(F.col("doc_id") > F.col("keeper")).select("doc_id", "i")
+    spans_arr = (
+        merge_islands(pos, length)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("start").cast("int").alias("start"),
+                        F.col("fin").cast("int").alias("fin"),
+                    )
+                )
+            ).alias("spans")
+        )
+    )
+    base = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    rebuilt = F.expr(
+        """
+        aggregate(spans,
+          struct(CAST(1 AS INT) AS pos, CAST('' AS STRING) AS acc),
+          (s, x) -> struct(x.fin AS pos,
+                           concat(s.acc, substr(text, s.pos, x.start - s.pos)) AS acc),
+          s -> concat(s.acc, substr(text, s.pos,
+                                    greatest(length(text) - s.pos + 1, 0))))"""
+    )
+    return (
+        base.join(spans_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.when(F.col("spans").isNull(), F.col("text")).otherwise(rebuilt).alias(
+                "text_clean"
+            ),
+        )
+        .withColumn("n_chars_clean", F.length("text_clean").cast("long"))
+        .withColumn(
+            "removed_chars", (F.col("n_chars") - F.col("n_chars_clean")).cast("long")
+        )
+        .select("doc_id", "n_chars", "n_chars_clean", "removed_chars", "text_clean")
     )

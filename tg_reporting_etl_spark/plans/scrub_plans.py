@@ -210,3 +210,75 @@ FROM documents, unnest(generate_series(0,
 )
 def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE)
+
+
+def _span_removal_oracle() -> str:
+    ln = SPAN_L
+    return f"""WITH grams AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(text, i, {ln})), 1, 15)) AS BIGINT) AS h
+  FROM documents, unnest(generate_series(1, length(text) - {ln - 1})) t(i)
+  WHERE length(text) >= {ln}
+),
+dup AS (SELECT h, MIN(doc_id) AS keeper FROM grams GROUP BY h
+        HAVING count(DISTINCT doc_id) >= 2),
+pos AS (SELECT g.doc_id, g.i FROM grams g JOIN dup d USING (h)
+        WHERE g.doc_id > d.keeper),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {ln}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS new_island
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+isls AS (SELECT doc_id, island, MIN(i) AS start, MAX(i) + {ln} AS fin
+         FROM isl GROUP BY 1, 2),
+gaps AS (
+  SELECT doc_id, start, fin,
+         COALESCE(LAG(fin) OVER (PARTITION BY doc_id ORDER BY start), 1) AS gap_start
+  FROM isls
+),
+pieces AS (
+  SELECT g.doc_id,
+         string_agg(substr(d.text, CAST(g.gap_start AS INT),
+                           CAST(g.start - g.gap_start AS INT)), '' ORDER BY g.start) AS head,
+         CAST(MAX(g.fin) AS INT) AS last_end
+  FROM gaps g JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       CAST(length(text) - length(clean) AS BIGINT) AS removed_chars,
+       clean AS text_clean
+FROM (
+  SELECT d.doc_id, d.text,
+         COALESCE(p.head || substr(d.text, p.last_end,
+                                   GREATEST(length(d.text) - p.last_end + 1, 0)),
+                  d.text) AS clean
+  FROM documents d LEFT JOIN pieces p USING (doc_id)
+  WHERE d.text IS NOT NULL
+)"""
+
+
+@register(
+    "doc_remove_dup_spans",
+    _span_removal_oracle(),
+    survey_ids="LLM: substring-dedup removal surgery (Lee et al.), keeper doc preserved",
+)
+def q_doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/spans.py:remove_duplicated_spans — cut every
+    cross-document duplicated span out of all docs except the gram's
+    earliest (min doc_id) document; the oracle performs the same
+    surgery with SQL window gaps + ordered string_agg, so the full
+    cleaned TEXT hash-matches, not just the counts."""
+    from tg_reporting_etl_spark.functions import spans as sp
+
+    return sp.remove_duplicated_spans(_docs(spark, sf_dir), SPAN_L)
