@@ -91,6 +91,10 @@ PROBE_QUERIES = [
     # nothing) and every eval shingle hits the train set
     "doc_boilerplate_fraction",
     "doc_eval_overlap_report",
+    # removal surgery on the dup-heavy corpus: nearly every doc is a
+    # non-keeper replica, so whole bodies are excised — worst case for
+    # the island arrays and the row-local splice
+    "doc_remove_dup_spans",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan)
