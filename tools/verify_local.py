@@ -166,8 +166,35 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
         sn, scols, shash = _canon(sdf)
         on, ocols, ohash = _canon(odf)
         ok = (sn == on) and (scols == ocols) and (shash == ohash)
+        oracle_retried = False
+        if not ok:
+            # Transient-oracle guard: a long-lived duck connection that
+            # has spilled through 80 heavy oracles once produced a
+            # one-session-off window count (session_funnel, r9) and
+            # agreed with the engine again on a fresh connection.  The
+            # verdict only flips when duck DISAGREES WITH ITSELF across
+            # connections — evidence the divergence was the oracle
+            # runner's, not the engine's; the retry is recorded.
+            try:
+                con2 = duckdb.connect()
+                for t in TABLES:
+                    p = os.path.join(sf_dir, f"{t}.parquet")
+                    if os.path.exists(p):
+                        con2.execute(
+                            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                        )
+                odf2 = con2.execute(oracles[name]).df()
+                con2.close()
+                on2, ocols2, ohash2 = _canon(odf2)
+                if (on2, ocols2, ohash2) != (on, ocols, ohash):
+                    oracle_retried = True
+                    odf, (on, ocols, ohash) = odf2, (on2, ocols2, ohash2)
+                    ok = (sn == on) and (scols == ocols) and (shash == ohash)
+            except Exception:
+                pass
         status = "OK " if ok else "FAIL"
-        print(f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+        retry_note = "  (oracle self-disagreed; fresh-connection rerun used)" if oracle_retried else ""
+        print(f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s{retry_note}")
         records[name] = {
             "mode": "oracle",
             "ok": ok,
@@ -179,6 +206,8 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
             "spark_s": round(t_spark, 2),
             "duck_s": round(t_duck, 2),
         }
+        if oracle_retried:
+            records[name]["oracle_retried"] = True
         if not ok:
             failures.append((name, f"rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
             if scols == ocols and sn and on:
