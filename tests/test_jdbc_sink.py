@@ -35,8 +35,10 @@ def test_build_window_delete_all_wildcards_deletes_whole_table():
 
 
 def test_build_window_delete_escapes_quotes_and_null():
+    """Quotes double; a None key must match NULL rows (IS NULL), not
+    emit the never-true `col = NULL`."""
     sql = build_window_delete("t", {"name": "o'brien", "game_code": None})
-    assert sql == "DELETE FROM t WHERE name = 'o''brien' AND game_code = NULL"
+    assert sql == "DELETE FROM t WHERE name = 'o''brien' AND game_code IS NULL"
 
 
 def test_jdbc_overwrite_window_orders_delete_before_insert(spark):

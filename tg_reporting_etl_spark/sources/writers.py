@@ -401,7 +401,11 @@ def build_window_delete(table: str, delete_keys: dict) -> str:
     key, with the ALL-wildcard convention (value == 'ALL' -> predicate
     omitted, SURVEY §2.2 P3).  An all-ALL key set deletes the whole
     table — exactly what re-running an unscoped task means."""
-    preds = [f"{k} = {_sql_literal(v)}" for k, v in delete_keys.items() if v != "ALL"]
+    preds = [
+        f"{k} IS NULL" if v is None else f"{k} = {_sql_literal(v)}"
+        for k, v in delete_keys.items()
+        if v != "ALL"
+    ]
     return f"DELETE FROM {table} WHERE {' AND '.join(preds) if preds else '1=1'}"
 
 
