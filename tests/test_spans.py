@@ -164,3 +164,46 @@ def test_remove_duplicated_spans_vs_python_model(spark):
     assert got == expect
     rc = {r.doc_id: r.removed_chars for r in remove_duplicated_spans(docs, L).collect()}
     assert all(rc[d] == len(t) - len(expect[d]) for d, t in rows)
+
+
+def test_remove_duplicated_spans_random_corpora_property(spark):
+    """Randomized corpora over a 3-letter alphabet (dense cross-doc
+    gram collisions) vs the python model — seeds fixed, 3 corpora."""
+    import random
+
+    from tg_reporting_etl_spark.functions.spans import remove_duplicated_spans
+
+    L = 4
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = [
+            (d, "".join(rng.choice("abc") for _ in range(rng.randint(2, 30))))
+            for d in range(1, 13)
+        ]
+        grams = {}
+        for d, t in rows:
+            if len(t) >= L:
+                for i in range(len(t) - L + 1):
+                    grams.setdefault(t[i:i + L], []).append((d, i + 1))
+        removable = {}
+        for occ in grams.values():
+            docs_of = {d for d, _ in occ}
+            if len(docs_of) >= 2:
+                keeper = min(docs_of)
+                for d, i in occ:
+                    if d > keeper:
+                        removable.setdefault(d, set()).add(i)
+        expect = {}
+        for d, t in rows:
+            keep = [True] * len(t)
+            for i in removable.get(d, ()):
+                for j in range(i - 1, i - 1 + L):
+                    keep[j] = False
+            expect[d] = "".join(c for c, k in zip(t, keep) if k)
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.text_clean
+            for r in remove_duplicated_spans(docs, L).collect()
+        }
+        assert got == expect, f"seed {seed}"
