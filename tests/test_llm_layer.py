@@ -816,6 +816,7 @@ def test_full_pipeline_integration(spark, docs, tmp_path):
     from tg_reporting_etl_spark.functions import curation as cu
     from tg_reporting_etl_spark.functions import packing as pk
     from tg_reporting_etl_spark.functions import sampling as sp
+    from tg_reporting_etl_spark.functions import spans as sn
     from tg_reporting_etl_spark.functions import text as tx
 
     n_docs = docs.count()
@@ -832,21 +833,35 @@ def test_full_pipeline_integration(spark, docs, tmp_path):
     dropped_ids = {r.doc_id for r in comp.filter("doc_id != component_id").collect()}
     assert not dropped_ids & {r.doc_id for r in kept.collect()}
 
-    # 3. mixture sample over the CURATED corpus
+    # 3. substring surgery on the curated survivors — doc-LEVEL dedup
+    # runs first (whole near-dup docs already dropped; running surgery
+    # earlier would excise the very spans the pair stage detects), then
+    # the residual cross-doc boilerplate spans are cut from the keepers
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id")
+    clean = sn.remove_duplicated_spans(kept_docs)
+    assert clean.count() == n_kept  # every survivor comes back
+    assert clean.agg(F.sum("removed_chars")).first()[0] >= 0
+    kept_docs = kept_docs.drop("text").join(
+        clean.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    ).cache()
+    assert kept_docs.count() == n_kept
+
+    # 4. mixture sample over the CURATED corpus
     weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
     mixed = sp.mixture_sample(kept, "source", weights).cache()
     assert 0 < mixed.count() <= n_kept
     assert {r.source for r in mixed.collect()} <= set(weights)
 
-    # 4. pack the sampled docs into training blocks
+    # 5. pack the sampled docs into training blocks
     packed = pk.pack_sequences(mixed.select("doc_id", "n_tokens"), 256).collect()
     total_tokens = mixed.agg(F.sum("n_tokens")).first()[0]
     assert sum(r.n_tokens for r in packed) == total_tokens
     assert all(r.n_tokens == 256 for r in sorted(packed, key=lambda r: r.seq_id)[:-1])
 
-    # 5. write the mixed corpus as balanced shards and read it back whole
+    # 6. write the mixed corpus (CLEANED text) as balanced shards
+    #    and read it back whole
     out = str(tmp_path / "pipeline_shards")
-    text_back = docs.select("doc_id", "text").join(mixed.select("doc_id"), "doc_id")
+    text_back = kept_docs.select("doc_id", "text").join(mixed.select("doc_id"), "doc_id")
     pk.write_balanced_shards(text_back, out, tokens_per_shard=2000)
     assert spark.read.parquet(out).count() == mixed.count()
 
