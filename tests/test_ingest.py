@@ -36,3 +36,37 @@ def test_ingest_empty_batch_is_noop(spark, tmp_path):
     ig.ingest_batch(spark, path, _docs(spark, [(1, "x")]), 1)
     assert ig.ingest_batch(spark, path, _docs(spark, []), 2) == 0
     assert spark.read.parquet(path).count() == 1
+
+
+def test_ingest_batch_job_and_stage_ceilings(spark, tmp_path):
+    """Pin the single-exchange / count-rides-the-write claims with the
+    scheduler's own accounting: a bootstrap ingest is 2 AQE jobs over 3
+    stages (shard exchange + write), a replay ingest 4/4 (adds the
+    index probe + anti-join).  Round 8 shipped before/after footer
+    count jobs that doubled these numbers — this test fails if any
+    job-per-ingest creep returns."""
+    import pandas as pd
+
+    from tg_reporting_etl_spark.functions.ingest import ingest_batch
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(100)), "text": [f"t{i % 37}" for i in range(100)]})
+    )
+    sc = spark.sparkContext
+    tr = sc.statusTracker()
+
+    def run(group, batch_id):
+        sc.setJobGroup(group, "ingest ceiling probe")
+        n = ingest_batch(spark, str(tmp_path / "idx"), docs, batch_id)
+        jobs = tr.getJobIdsForGroup(group)
+        stages = set()
+        for j in jobs:
+            stages.update(tr.getJobInfo(j).stageIds)
+        return n, len(jobs), len(stages)
+
+    n1, j1, s1 = run("ig_boot", 1)
+    assert n1 == 37
+    assert j1 <= 2 and s1 <= 3, f"bootstrap ingest grew to {j1} jobs / {s1} stages"
+    n2, j2, s2 = run("ig_replay", 2)
+    assert n2 == 0  # full replay adds nothing
+    assert j2 <= 4 and s2 <= 4, f"replay ingest grew to {j2} jobs / {s2} stages"
