@@ -70,3 +70,13 @@ def test_ingest_batch_job_and_stage_ceilings(spark, tmp_path):
     n2, j2, s2 = run("ig_replay", 2)
     assert n2 == 0  # full replay adds nothing
     assert j2 <= 4 and s2 <= 4, f"replay ingest grew to {j2} jobs / {s2} stages"
+
+
+def test_ingest_torn_index_dir_self_heals(spark, tmp_path):
+    # A crashed prior append can leave the index dir existing but with
+    # no committed parquet (e.g. only _temporary) — the next ingest must
+    # bootstrap, not throw (ADVICE r9: replay-self-healing contract).
+    path = tmp_path / "idx"
+    (path / "_temporary" / "0").mkdir(parents=True)
+    assert ig.ingest_batch(spark, str(path), _docs(spark, [(1, "a"), (2, "b")]), 1) == 2
+    assert spark.read.parquet(str(path)).count() == 2

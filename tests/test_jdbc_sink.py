@@ -68,3 +68,26 @@ def test_jdbc_default_transport_raises_without_driver(spark):
             write_batch=lambda b: None,
         )
     assert "driver" in str(exc.value).lower() or "SQLException" in str(exc.value)
+
+
+def test_sql_literal_rejects_non_finite_floats():
+    # bare inf/nan is invalid SQL on MySQL/most JDBC targets; NULL-izing
+    # a DELETE predicate would silently match nothing — reject instead.
+    import math
+
+    import pytest
+
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError):
+            build_window_delete("t", {"score": bad})
+    # finite floats still render
+    assert "score = 1.5" in build_window_delete("t", {"score": 1.5})
+
+
+def test_build_window_delete_custom_wildcard_protects_literal_all():
+    # 'ALL' as legitimate data: with a different sentinel the predicate
+    # is kept instead of silently widening the DELETE.
+    sql = build_window_delete("t", {"game_code": "ALL"}, wildcard="__ANY__")
+    assert "game_code = 'ALL'" in sql
+    sql2 = build_window_delete("t", {"game_code": "ALL"}, wildcard=None)
+    assert "game_code = 'ALL'" in sql2

@@ -191,3 +191,28 @@ def test_report_logger_idempotent_no_duplicate_handlers(tmp_path):
     for h in lg2.handlers:
         h.flush()
     assert (tmp_path / "U_normal.log").read_text().count("once") == 1
+
+
+def test_report_logger_does_not_propagate_to_root(tmp_path, capsys):
+    """File-only logger: records must not duplicate onto root handlers
+    (ADVICE r9 — propagate left on double-logs in any root-configured
+    deployment)."""
+    import logging
+
+    from tg_reporting_etl_spark.runner.applog import get_report_logger
+
+    root_records = []
+
+    class Catcher(logging.Handler):
+        def emit(self, record):
+            root_records.append(record.getMessage())
+
+    catcher = Catcher()
+    logging.getLogger().addHandler(catcher)
+    try:
+        lg = get_report_logger("t_report_app3", log_dir=str(tmp_path), base="V")
+        assert lg.propagate is False
+        lg.info("quiet tick")
+    finally:
+        logging.getLogger().removeHandler(catcher)
+    assert "quiet tick" not in root_records

@@ -98,3 +98,14 @@ def test_duplicate_submit_while_pending_is_noop(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
     assert consume_rerun_requests(spark, path, NOW).count() > 0
     assert consume_rerun_requests(spark, path, NOW).count() == 0
+
+
+def test_torn_journal_dir_bootstraps_not_throws(spark, tmp_path):
+    # Journal dir existing but file-less (crash mid-bootstrap): submit
+    # must bootstrap and consume must treat it as empty (ADVICE r9).
+    path = tmp_path / "journal"
+    (path / "_temporary").mkdir(parents=True)
+    assert consume_rerun_requests(spark, str(path), NOW).count() == 0
+    submit_rerun_requests(spark, str(path), _req(spark, "2024-01-01 00:00:00", "2024-01-01 00:05:00"))
+    got = consume_rerun_requests(spark, str(path), NOW)
+    assert got.count() > 0

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from tg_reporting_etl_spark.sources.readers import fs_path_exists
+from tg_reporting_etl_spark.sources.readers import read_parquet_if_committed
 from tg_reporting_etl_spark.sources.writers import write_append
 
 #: hex-prefix length of the shard partition key (1 -> 16 shards; a real
@@ -46,11 +46,13 @@ def ingest_batch(
     Index grain: (digest, shard, first_doc_id, first_batch), first-seen
     wins within a batch via min(doc_id); NULL text drops (text family
     contract)."""
-    existing = (
-        spark.read.parquet(index_path).select("digest")
-        if fs_path_exists(spark, index_path)
-        else None
-    )
+    # Committed-read probe, not bare existence: a crashed prior append
+    # can leave index_path existing but file-less (only _temporary), and
+    # that torn index must take the bootstrap branch or every later
+    # ingest fails at schema inference — the replay-self-healing
+    # contract in the module docstring depends on this.
+    index = read_parquet_if_committed(spark, index_path)
+    existing = index.select("digest") if index is not None else None
     # ONE exchange per ingest: repartition on the shard key FIRST (16-byte
     # digest + doc_id rows, never document bodies), then dedup with
     # groupBy(shard, digest) — hash(shard) already satisfies the

@@ -15,6 +15,7 @@ to executors would be the wrong layer.
 from __future__ import annotations
 
 import logging
+import os
 import re
 from logging.handlers import TimedRotatingFileHandler
 
@@ -37,6 +38,10 @@ def get_report_logger(
     double-log; guarding on handler identity fixes that quietly)."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
+    # File-only, like the reference's logger shape: without this, every
+    # record also flows to root-logger handlers and duplicates on the
+    # console in any deployment (or test harness) that configured root.
+    logger.propagate = False
     targets = {
         f"{log_dir}/{base}_normal.log": logging.INFO,
         f"{log_dir}/{base}_error.log": logging.ERROR,
@@ -46,12 +51,14 @@ def get_report_logger(
     }
     formatter = logging.Formatter(_FORMAT)
     for path, level in targets.items():
+        # Duplicate check BEFORE constructing the handler — the
+        # constructor opens (touches) the file as a side effect, and
+        # baseFilename is the abspath of the target.
+        if os.path.abspath(path) in existing:
+            continue
         handler = TimedRotatingFileHandler(
             path, when=when, interval=1, backupCount=backup_count
         )
-        if handler.baseFilename in existing:
-            handler.close()
-            continue
         handler.setLevel(level)
         handler.setFormatter(formatter)
         handler.suffix = "%Y%m%d"

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tg_reporting_etl_spark.runner.board import rerun_cascade
-from tg_reporting_etl_spark.sources.readers import fs_path_exists
+from tg_reporting_etl_spark.sources.readers import read_parquet_if_committed
 from tg_reporting_etl_spark.sources.writers import overwrite_small_table
 
 #: Identity of one request row — the full WHERE clause of the
@@ -51,10 +51,15 @@ def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: Data
     batch = requests.withColumn("done", F.lit(0)).withColumn(
         "apply_time", F.lit(None).cast("timestamp")
     )
-    if not fs_path_exists(spark, journal_path):
-        batch.write.mode("overwrite").parquet(journal_path)
+    # Committed-read probe (not bare existence): a crash can leave the
+    # journal dir existing but file-less, which must bootstrap, not
+    # throw.  The bootstrap itself goes through the swap-write path so
+    # the journal directory is only ever absent or complete — a direct
+    # overwrite here could itself leave a torn dir mid-write.
+    existing = read_parquet_if_committed(spark, journal_path)
+    if existing is None:
+        overwrite_small_table(spark, journal_path, batch)
         return
-    existing = spark.read.parquet(journal_path)
     # Merge semantics via ONE window over the union — no joins at all:
     # a still-PENDING journal row and its resubmission are bit-identical
     # (done=0, apply_time NULL), so "duplicate of pending is a no-op"
@@ -82,9 +87,9 @@ def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> 
     update-inside-the-loop).  A second call with no new submissions
     returns an empty frame.
     """
-    if not fs_path_exists(spark, journal_path):
+    journal = read_parquet_if_committed(spark, journal_path)
+    if journal is None:  # absent OR torn mid-bootstrap: both mean empty
         return _empty_tasks(spark)
-    journal = spark.read.parquet(journal_path)
     snap = journal.toPandas()
     # The journal is metadata-sized BY CONTRACT (one row per operator
     # request — the same class of bounded orchestration metadata as the

@@ -54,6 +54,27 @@ def fs_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath))
 
 
+def read_parquet_if_committed(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet sink if it exists AND holds committed files, else
+    ``None`` — the safe probe for self-healing replay paths.
+
+    ``fs_path_exists`` alone is not enough: a crashed prior writer can
+    leave the directory existing but file-less (e.g. only a
+    ``_temporary`` subdir), in which case an unguarded
+    ``spark.read.parquet`` throws at schema inference and every
+    subsequent run fails.  Such a torn sink must take the bootstrap
+    branch, exactly like an absent one.  Schema resolution is forced
+    eagerly so the failure surfaces here, not at the first action."""
+    if not fs_path_exists(spark, path):
+        return None
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution: a file-less dir fails HERE
+        return df
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table as a DataFrame (columnar, pushdown-capable)."""
     # Runtime-settable; needed even when the caller's session (e.g. the

@@ -385,26 +385,45 @@ def compact_table(
 
 def _sql_literal(v) -> str:
     """Render a Python value as a safe SQL literal (single quotes
-    doubled — the reference interpolates raw f-strings; we do not)."""
+    doubled — the reference interpolates raw f-strings; we do not).
+
+    Non-finite floats are rejected: bare ``inf``/``nan`` is invalid SQL
+    in MySQL and most JDBC targets, and silently NULL-izing a DELETE
+    predicate value would make the predicate match nothing — the caller
+    must decide, not the literal renderer."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        raise ValueError(f"non-finite float {v!r} has no SQL literal form")
     if isinstance(v, (int, float)):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def build_window_delete(table: str, delete_keys: dict) -> str:
+#: The reference's wildcard sentinel (SURVEY §2.2 P3): a key whose value
+#: equals this string means "no predicate on this key".  RESERVED — a
+#: key whose data legitimately contains the string 'ALL' must use a
+#: different sentinel via build_window_delete(wildcard=...).
+ALL_WILDCARD = "ALL"
+
+
+def build_window_delete(table: str, delete_keys: dict, *, wildcard: str | None = ALL_WILDCARD) -> str:
     """The reference's delete-before-insert DELETE statement
     (trans_summary_5min.py:119-127): one equality predicate per window
-    key, with the ALL-wildcard convention (value == 'ALL' -> predicate
-    omitted, SURVEY §2.2 P3).  An all-ALL key set deletes the whole
-    table — exactly what re-running an unscoped task means."""
+    key, with the ALL-wildcard convention (value == ``wildcard`` ->
+    predicate omitted, SURVEY §2.2 P3).  An all-ALL key set deletes the
+    whole table — exactly what re-running an unscoped task means.
+
+    ``wildcard`` is a reserved sentinel, faithfully to the reference:
+    a key value that IS the literal string 'ALL' would silently widen
+    the DELETE.  Callers with such data pass a different sentinel (or
+    ``wildcard=None`` to disable wildcarding entirely)."""
     preds = [
         f"{k} IS NULL" if v is None else f"{k} = {_sql_literal(v)}"
         for k, v in delete_keys.items()
-        if v != "ALL"
+        if wildcard is None or v != wildcard
     ]
     return f"DELETE FROM {table} WHERE {' AND '.join(preds) if preds else '1=1'}"
 
@@ -433,6 +452,7 @@ def jdbc_overwrite_window(
     options: dict | None = None,
     execute_update=None,
     write_batch=None,
+    wildcard: str | None = ALL_WILDCARD,
 ) -> str:
     """Delete-before-insert onto a JDBC table — the reference sink's
     literal semantics for DB-serving deployments.
@@ -448,8 +468,13 @@ def jdbc_overwrite_window(
     ``execute_update(url, sql)`` / ``write_batch(df)`` are injectable
     for tests and for pooled/transactional deployments; defaults use
     DriverManager + ``df.write.format('jdbc').mode('append')``.
-    Returns the DELETE statement it ran (for task logs)."""
-    sql = build_window_delete(table, delete_keys)
+    Returns the DELETE statement it ran (for task logs).
+
+    ``wildcard``: the reserved value meaning "no predicate on this key"
+    (default ``'ALL'``, the reference's convention).  If a key's data
+    can legitimately be the string 'ALL', pass a different sentinel or
+    ``None`` — otherwise that value would widen the DELETE."""
+    sql = build_window_delete(table, delete_keys, wildcard=wildcard)
     if execute_update is None:
         execute_update = lambda u, s: _jdbc_execute_update(spark, u, s)  # noqa: E731
     if write_batch is None:
