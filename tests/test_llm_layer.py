@@ -1055,3 +1055,130 @@ def test_eval_overlap_report_fractions(spark):
         for r in dd.eval_overlap_report(docs, hashed, ["eval_set"]).collect()
     }
     assert got == {3: (4, 4, 1.0), 4: (4, 2, 0.5), 5: (1, 0, 0.0)}
+
+
+# ---------------------------------------- embedding dup-pairs gate (r10)
+
+
+def test_embedding_gate_small_corpus_picks_gemm(emb):
+    """Within budget the gate runs the exact blocked GEMM — result
+    equals the fold-based exact operator, path recorded in path_sink."""
+    tau = 0.3
+    sink = {}
+    gated = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.embedding_dup_pairs_gated(emb, tau, path_sink=sink).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in sim.embedding_dup_pairs(emb, tau).collect()
+    }
+    assert sink["path"] == "gemm" and sink["npairs"] <= sink["budget"]
+    assert gated.keys() == exact.keys()
+    for k in exact:
+        assert abs(gated[k] - exact[k]) < 2e-6
+
+
+def test_embedding_gate_error_mode_names_optins(emb):
+    """'error' is the DEFAULT: past the budget the exact operator
+    refuses, naming both explicit opt-ins."""
+    with pytest.raises(ValueError) as exc:
+        sim.embedding_dup_pairs_gated(emb, 0.3, pair_budget_per_vec=0, budget_floor=0)
+    msg = str(exc.value)
+    assert "on_blowup='lsh'" in msg and "on_blowup='force'" in msg
+
+
+def test_embedding_gate_banded_is_exact_subset(emb):
+    """Banded path: every REPORTED pair is exact (same cosine as brute
+    force); the pair set is a subset of the exact result."""
+    tau = 0.3
+    sink = {}
+    banded = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.embedding_dup_pairs_gated(
+            emb, tau, on_blowup="lsh", pair_budget_per_vec=0, budget_floor=0,
+            path_sink=sink,
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in sim.embedding_dup_pairs(emb, tau).collect()
+    }
+    assert sink["path"] == "lsh" and sink["est"] >= len(banded)
+    assert set(banded) <= set(exact)
+    for k in banded:
+        assert abs(banded[k] - exact[k]) < 2e-6
+
+
+def test_banded_verify_equals_fold(emb):
+    """verify_cosine_pairs (Arrow-batched numpy) == the sequential-fold
+    cosine after 6-place rounding, on the full pair set — the verify
+    stage changes execution, not results."""
+    tau = 0.3
+    ids = emb.select(F.col("vec_id").alias("vec_a"))
+    pairs = ids.join(
+        emb.select(F.col("vec_id").alias("vec_b")), F.col("vec_a") < F.col("vec_b")
+    )
+    vec = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.verify_cosine_pairs(emb, pairs, tau).collect()
+    }
+    fold = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in sim.embedding_dup_pairs(emb, tau).collect()
+    }
+    assert vec.keys() == fold.keys()
+    for k in fold:
+        assert abs(vec[k] - fold[k]) < 2e-6
+
+
+def test_banded_recall_floor_on_near_dups(spark):
+    """The banded path's recall contract: true near-dups (cos -> 1)
+    collide in some sign band with probability -> 1.  A corpus of
+    random 64-dim vectors plus small-noise copies must keep >= 0.9
+    recall at tau=0.9 against the exact GEMM ground truth."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(60):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, [float(x) for x in base]))
+        vid += 1
+        # one near-dup copy: 2% relative noise -> cos ~ 0.999
+        noisy = [x * (1 + rng.gauss(0, 0.02)) for x in base]
+        rows.append((vid, [float(x) for x in noisy]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_dup_pairs_gated(corpus, 0.9, on_blowup="force").collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_dup_pairs_gated(
+            corpus, 0.9, on_blowup="lsh", pair_budget_per_vec=0, budget_floor=0
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.9, f"banded near-dup recall {recall:.3f} < 0.9"
+    assert banded <= exact
+
+
+def test_capped_default_is_constant_not_corpus_growing(docs):
+    """Round-10 contract: the df cap defaults to a CONSTANT (250), so
+    worst-case candidates are bounded at #shingles * C(250, 2) at any
+    corpus size; the old corpus-growing cap (n//divisor) is an explicit
+    opt-in.  On this corpus the legacy cap (n//20) is tighter, so the
+    legacy pair set must be a subset of the default's."""
+    tau = 0.35
+    default = {(r.doc_a, r.doc_b) for r in dd.ngram_jaccard_dedup_capped(docs, tau).collect()}
+    explicit = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_dedup_capped(docs, tau, max_df=250).collect()
+    }
+    assert default == explicit
+    legacy = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_dedup_capped(docs, tau, max_df_divisor=20).collect()
+    }
+    assert legacy <= default

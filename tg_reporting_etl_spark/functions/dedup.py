@@ -527,39 +527,47 @@ def ngram_jaccard_dedup(
     return _jaccard_on_hashed(hashed, pairs, tau)
 
 
+#: default CONSTANT df cap — bounds worst-case candidates at
+#: #shingles * C(max_df, 2) regardless of corpus size
+_CAPPED_MAX_DF = 250
+
+
 def ngram_jaccard_dedup_capped(
     docs: DataFrame,
     tau: float,
     k: int = 5,
-    max_df_divisor: int = 20,
+    max_df: int = _CAPPED_MAX_DF,
     shingles: DataFrame | None = None,
+    max_df_divisor: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup with df-capped candidate generation.
 
-    max_df = n_docs // max_df_divisor (integer math so the SQL oracle
-    computes the identical cap).  The cap is an APPROXIMATION: a pair
-    whose shared shingles are all high-df generates no candidate (at
-    //20 this keeps 213/243 of the exact pairs on the sf0.1 corpus;
-    tightening the divisor loses more).  Throughput-optimal on
-    low-entropy corpora where the lossless prefix filter
-    (:func:`ngram_jaccard_dedup`) has no rare shingles to exploit.
+    The cap is an APPROXIMATION: a pair whose shared shingles are all
+    high-df generates no candidate (max_df=250 keeps 213/243 of the
+    exact pairs on the sf0.1 corpus; tightening loses more).
+    Throughput-optimal on low-entropy corpora where the lossless prefix
+    filter (:func:`ngram_jaccard_dedup`) has no rare shingles to
+    exploit.
 
-    Scale posture: because the cap GROWS with the corpus (n/divisor),
-    worst-case candidates are sum_h C(min(df_h, n/20), 2) — on a
-    dup-heavy corpus that is ~quadratic in the duplication factor (the
-    sf1.0 derived probe measured 50 s at 10x-replicated sf0.1, vs 5.8 s
-    for the LSH reroute on the same corpus).  For unbounded-scale
-    ingest prefer :func:`ngram_jaccard_dedup` (self-pricing gate) or a
-    CONSTANT max_df: pass ``max_df_divisor=n_docs // K`` to pin the cap
-    at K regardless of corpus size, which bounds candidates at
-    #shingles * C(K,2).
+    Scale posture: the default cap is CONSTANT, so worst-case
+    candidates are bounded at #shingles * C(max_df, 2) — growing
+    LINEARLY with the corpus, never with its duplication factor.  The
+    earlier corpus-growing default (max_df = n_docs // 20) made
+    worst-case candidates ~quadratic in dup factor: the sf1.0 derived
+    probe (10x-replicated sf0.1) measured 104M candidate slots / 63 s
+    under n//20 vs 1.9M slots under the constant 250 — at the SAME
+    retained-pair quality at sf0.1, where 250 == n//20.  The old
+    behavior remains an explicit opt-in via ``max_df_divisor`` (then
+    max_df = n_docs // max_df_divisor, integer math so the SQL oracle
+    computes the identical cap).
     """
-    n_docs = docs.count()
+    if max_df_divisor is not None:
+        max_df = docs.count() // max_df_divisor
     sh = char_shingles(docs, k) if shingles is None else shingles
     hashed = hash_shingles(sh)
     # persisted: the candidate self-join references disc twice, which
     # would otherwise run the df-count shuffle + join twice
-    disc = tracked_persist(discriminative_shingles(hashed, n_docs // max_df_divisor, key="h"))
+    disc = tracked_persist(discriminative_shingles(hashed, max_df, key="h"))
     return _jaccard_on_hashed(hashed, candidate_pairs(disc, key="h"), tau)
 
 

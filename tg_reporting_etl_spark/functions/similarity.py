@@ -337,6 +337,164 @@ def embedding_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
     )
 
 
+#: scale-linear pair budget for the all-pairs gate — mirrors the n-gram
+#: family's constants (dedup.py _CAND_BUDGET_*): the exact GEMM is
+#: allowed while n·(n-1)/2 stays under max(n·per_vec, floor).
+_PAIR_BUDGET_PER_VEC = 64
+_PAIR_BUDGET_FLOOR = 1 << 21
+
+
+def banded_candidate_pairs(
+    embeddings: DataFrame, bands: int = 8, dims_per_band: int = 8
+) -> DataFrame:
+    """Sign-LSH candidate pairs (vec_a < vec_b, distinct): vectors pair
+    up when ANY band of sign bits matches exactly.
+
+    This is the bounded-candidate generator for corpus-wide embedding
+    near-dup: the join key is (band, band_key), so the pair space is
+    sum-of-bucket-C(cnt,2) per band, never n²/2.  With the default
+    8 bands x 8 dims (all 64 dims of the test embeddings) a random
+    bucket holds ~n/256 vectors — candidates ~n²/8192 per band on
+    uncorrelated data, and true near-dups (cos -> 1) collide in some
+    band with probability -> 1.  Deterministic coordinate hyperplanes,
+    like :func:`sign_lsh_bands` (same engine-portability rationale).
+    """
+    banded = sign_lsh_bands(embeddings, bands, dims_per_band)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def verify_cosine_pairs(embeddings: DataFrame, pairs: DataFrame, tau: float) -> DataFrame:
+    """Exact cosine over a BOUNDED candidate pair set, Arrow-batched.
+
+    Each side's embedding joins in (two hash joins keyed on vec_id —
+    candidate-set-sized, never corpus²), then one mapInPandas computes
+    the row-wise normalized dot product with numpy — BLAS-vectorized
+    like the blocked GEMM, but over exactly the candidate rows.  Results
+    are rounded to 6 places before the tau filter, the family-wide
+    convention; numpy-vs-sequential-fold parity at that rounding is
+    pinned by test_banded_verify_equals_fold."""
+    import pandas as pd
+
+    joined = (
+        pairs.join(
+            embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")),
+            "vec_a",
+        )
+        .join(
+            embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", "_ea", "_eb")
+    )
+
+    def _batch_cos(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            u = np.stack(pdf["_ea"].to_numpy()).astype("float64")
+            v = np.stack(pdf["_eb"].to_numpy()).astype("float64")
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cos = np.round(np.einsum("ij,ij->i", u, v), 6)
+            keep = cos >= tau
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(_batch_cos, "vec_a long, vec_b long, cos_sim double")
+
+
+def embedding_dup_pairs_gated(
+    embeddings: DataFrame,
+    tau: float,
+    on_blowup: str = "error",
+    pair_budget_per_vec: int = _PAIR_BUDGET_PER_VEC,
+    budget_floor: int = _PAIR_BUDGET_FLOOR,
+    bands: int = 8,
+    dims_per_band: int = 8,
+    n_blocks: int = 8,
+    path_sink: dict | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a SELF-PRICING gate — the
+    n-gram family's contract (dedup.py ngram_jaccard_dedup) applied to
+    the one remaining all-pairs-compute surface.
+
+    The blocked GEMM (:func:`embedding_dup_pairs_blocked`) does n²/2
+    exact dot products however you block it, so it is priced FIRST:
+    while n·(n-1)/2 fits the scale-linear budget
+    (``max(n_vecs · pair_budget_per_vec, budget_floor)``) it runs as the
+    exact small-input path.  Beyond the budget:
+
+    - ``on_blowup="error"`` (DEFAULT) raises, naming the opt-ins — an
+      operator documented as exact must not silently change its recall
+      contract with scale.
+    - ``on_blowup="lsh"`` (explicit opt-in) reroutes to sign-LSH band
+      candidates (:func:`banded_candidate_pairs`) + exact-cosine verify
+      (:func:`verify_cosine_pairs`): every REPORTED pair is exact, but
+      recall is tau-dependent — for random-hyperplane LSH the per-bit
+      collision probability is 1-θ/π, so recall -> 1 as cos -> 1 (true
+      near-dups) and decays toward the 1-(1-2^-dims_per_band)^bands
+      random-collision floor at low tau.  Near-dup recall is pinned by
+      test_banded_recall_floor_on_near_dups.
+    - ``on_blowup="force"`` bypasses the gate: blocked GEMM at any cost.
+
+    The pricing pass is one count (n_vecs) — the quadratic compute is
+    never started in a blow-up regime.  ``path_sink`` (a dict) receives
+    the chosen path and pricing stats for tests/observability; on the
+    banded path it also receives ``est`` — the band-join candidate-slot
+    upper bound (sum of C(bucket, 2)), a linear aggregate that tells an
+    operator whether a dup-exploded corpus has made the OUTPUT itself
+    quadratic (at which point no algorithm returns it cheaply).
+    """
+    n = embeddings.count()
+    npairs = n * (n - 1) // 2
+    budget = max(n * pair_budget_per_vec, budget_floor)
+    if on_blowup == "force" or npairs <= budget:
+        path = "gemm"
+    elif on_blowup == "lsh":
+        path = "lsh"
+    else:
+        raise ValueError(
+            f"embedding_dup_pairs_gated: exact all-pairs cosine is n·(n-1)/2 = "
+            f"{npairs:,} dot products for {n:,} vectors (budget {budget:,}) — "
+            f"all-pairs COMPUTE, however it is blocked. Pass on_blowup='lsh' for "
+            f"sign-LSH band candidates + exact-cosine verify (reported pairs stay "
+            f"exact; recall <1 for pairs near tau), or on_blowup='force' to run "
+            f"the blocked GEMM at any cost."
+        )
+    if path_sink is not None:
+        path_sink.update(path=path, n_vecs=n, npairs=npairs, budget=budget)
+    if path == "gemm":
+        return embedding_dup_pairs_blocked(embeddings, tau, n_blocks)
+    if path_sink is not None:
+        banded = sign_lsh_bands(embeddings, bands, dims_per_band)
+        est_row = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("est"))
+            .first()
+        )
+        path_sink["est"] = int(est_row.est or 0)
+    cands = banded_candidate_pairs(embeddings, bands, dims_per_band)
+    return verify_cosine_pairs(embeddings, cands, tau)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_dir: str,

@@ -155,7 +155,7 @@ disc AS (
   SELECT s.doc_id, s.shingle
   FROM shingles s
   JOIN (SELECT shingle FROM shingles GROUP BY 1
-        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+        HAVING count(*) <= 250) d USING (shingle)
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -256,7 +256,7 @@ disc AS (
   SELECT s.doc_id, s.shingle
   FROM shingles s
   JOIN (SELECT shingle FROM shingles GROUP BY 1
-        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+        HAVING count(*) <= 250) d USING (shingle)
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -571,10 +571,66 @@ def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
        ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= {COSINE_TAU}""",
-    survey_ids="LLM: embedding-cosine near-dup",
+    survey_ids="LLM: embedding-cosine near-dup (exact, gate-priced)",
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.embedding_dup_pairs_blocked(_emb(spark, sf_dir), COSINE_TAU)
+    """EXACT all-pairs channel behind the self-pricing gate: at the
+    test sfs n·(n-1)/2 fits the budget so the gate picks the blocked
+    GEMM (exact — oracle is the all-pairs SQL); past the budget the
+    gate REFUSES by default (the sf1.0 probe records that verdict),
+    mirroring the n-gram prefix family's contract."""
+    return sim.embedding_dup_pairs_gated(_emb(spark, sf_dir), COSINE_TAU)
+
+
+def _sign_bands_sql(bands: int = 8, dims_per_band: int = 8) -> str:
+    """DuckDB mirror of sign_lsh_bands(bands, dims_per_band) — the
+    banding is deterministic coordinate-sign, so the oracle reproduces
+    the candidate set exactly."""
+    return "\n  UNION ALL\n".join(
+        "  SELECT vec_id, {b} AS band, ".format(b=b)
+        + " || ".join(
+            f"CASE WHEN embedding[{b * dims_per_band + i + 1}] >= 0 THEN '1' ELSE '0' END"
+            for i in range(dims_per_band)
+        )
+        + " AS band_key FROM embeddings"
+        for b in range(bands)
+    )
+
+
+_BANDED_DUP_ORACLE = f"""WITH banded AS (
+{_sign_bands_sql()}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND({_cos('x.embedding', 'y.embedding')}, 6) AS cos_sim
+FROM cands c
+JOIN embeddings x ON x.vec_id = c.vec_a
+JOIN embeddings y ON y.vec_id = c.vec_b
+WHERE ROUND({_cos('x.embedding', 'y.embedding')}, 6) >= {COSINE_TAU}"""
+
+
+@register(
+    "embedding_dup_pairs_banded",
+    _BANDED_DUP_ORACLE,
+    survey_ids="LLM: embedding-cosine near-dup (sign-LSH banded scale path)",
+)
+def q_embedding_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path: sign-LSH band candidates + exact-cosine verify
+    (budget zeroed so the gate always reroutes — the banding is
+    deterministic, so the oracle reproduces the same candidate subset).
+    Every reported pair carries its exact cosine; recall is
+    tau-dependent (-> 1 as cos -> 1, the near-dup regime)."""
+    return sim.embedding_dup_pairs_gated(
+        _emb(spark, sf_dir),
+        COSINE_TAU,
+        on_blowup="lsh",
+        pair_budget_per_vec=0,
+        budget_floor=0,
+    )
 
 
 # Ensemble dedup audit: every candidate pair from EITHER channel with a
@@ -586,7 +642,7 @@ disc AS (
   SELECT s.doc_id, s.shingle
   FROM shingles s
   JOIN (SELECT shingle FROM shingles GROUP BY 1
-        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+        HAVING count(*) <= 250) d USING (shingle)
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -606,10 +662,20 @@ lex AS (
   JOIN sizes y ON y.doc_id = i.doc_b
   WHERE i.c * 1.0 / (x.n + y.n - i.c) >= {JACCARD_TAU}
 ),
+sem_banded AS (
+{{sign_bands}}
+),
+sem_cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sem_banded a JOIN sem_banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
 sem AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= {COSINE_TAU}
+  SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
+  FROM sem_cands c
+  JOIN embeddings x ON x.vec_id = c.vec_a
+  JOIN embeddings y ON y.vec_id = c.vec_b
+  WHERE ROUND({_cos('x.embedding', 'y.embedding')}, 6) >= {COSINE_TAU}
 )
 SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
        COALESCE(l.doc_b, s.doc_b) AS doc_b,
@@ -620,16 +686,22 @@ FROM lex l FULL OUTER JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b"""
 
 @register(
     "doc_ensemble_dedup_audit",
-    _ENSEMBLE_ORACLE,
+    _ENSEMBLE_ORACLE.replace("{sign_bands}", _sign_bands_sql()),
     survey_ids="LLM: ensemble dedup audit (lexical + semantic channel flags)",
 )
 def q_doc_ensemble_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of the lexical (n-gram Jaccard, shared capped
     pair cache) and semantic (embedding cosine) candidate channels —
     both sides bounded pair tables, so the join is broadcast-able at
-    any corpus size where dedup itself is feasible."""
+    any corpus size where dedup itself is feasible.  The semantic
+    channel takes the banded scale path (sign-LSH candidates + exact
+    verify) so the audit as a whole has no all-pairs-compute stage —
+    the oracle's sem CTE mirrors the deterministic banding."""
     lex = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(True).alias("lexical"))
-    sem = sim.embedding_dup_pairs_blocked(_emb(spark, sf_dir), COSINE_TAU).select(
+    sem = sim.embedding_dup_pairs_gated(
+        _emb(spark, sf_dir), COSINE_TAU, on_blowup="lsh",
+        pair_budget_per_vec=0, budget_floor=0,
+    ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
         F.lit(True).alias("semantic"),
     )
@@ -757,7 +829,7 @@ disc AS (
   SELECT s.doc_id, s.shingle
   FROM shingles s
   JOIN (SELECT shingle FROM shingles GROUP BY 1
-        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+        HAVING count(*) <= 250) d USING (shingle)
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -927,7 +999,7 @@ disc AS (
   SELECT s.doc_id, s.shingle
   FROM shingles s
   JOIN (SELECT shingle FROM shingles GROUP BY 1
-        HAVING count(*) <= (SELECT count(*) // 20 FROM documents)) d USING (shingle)
+        HAVING count(*) <= 250) d USING (shingle)
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -72,7 +72,10 @@ PROBE_QUERIES = [
     "doc_ngram_jaccard_dups",
     "doc_ngram_jaccard_lsh",
     "doc_dup_components",
-    "embedding_dup_pairs",
+    # the EXACT embedding row (gate-priced GEMM) REFUSES at this scale
+    # by design — gate_verdict records that; the banded scale path is
+    # what a 10x corpus actually runs
+    "embedding_dup_pairs_banded",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "doc_dup_spans",
@@ -97,8 +100,20 @@ PROBE_QUERIES = [
     "doc_remove_dup_spans",
 ]
 
-#: record join/scan plan evidence for these (initial formatted plan)
-PLAN_EVIDENCE = {"doc_dup_spans", "ann_ivf_topk", "ann_ivfpq_topk"}
+#: record join/scan plan evidence for these (initial formatted plan) —
+#: the scale-claim queries whose join REGIME (broadcast vs SMJ) is the
+#: claim itself: a silent regime flip at 10x must show in the artifact,
+#: not in stderr (round-10 task: the two gram-explode-bound probes plus
+#: the new banded embedding path join the original three)
+PLAN_EVIDENCE = {
+    "doc_dup_spans",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "doc_boilerplate_fraction",
+    "doc_remove_dup_spans",
+    "embedding_dup_pairs_banded",
+    "doc_eval_overlap_report",
+}
 
 #: queries whose DUCKDB ORACLE is itself quadratic on the dup-heavy
 #: derived corpus (n-gram CTEs / recursive closure over a pair graph
@@ -227,9 +242,32 @@ def gate_verdict(spark, sf_dir: str) -> dict:
         ).limit(1).count()
     except Exception as exc:  # pragma: no cover — recorded, not fatal
         sink["error"] = repr(exc)
+    # same certification for the embedding family's gate (round 10): the
+    # exact all-pairs GEMM must refuse at this scale, and the banded
+    # reroute must price its candidate slots
+    from tg_reporting_etl_spark.functions import similarity as sim
+
+    emb = lp._emb(spark, sf_dir)  # noqa: SLF001
+    try:
+        sim.embedding_dup_pairs_gated(emb, lp.COSINE_TAU, on_blowup="error")
+        emb_outcome = "ran"
+    except Exception as exc:
+        emb_outcome = f"refused: {type(exc).__name__}"
+    emb_sink: dict = {}
+    try:
+        sim.embedding_dup_pairs_gated(
+            emb, lp.COSINE_TAU, on_blowup="lsh",
+            pair_budget_per_vec=0, budget_floor=0, path_sink=emb_sink,
+        ).limit(1).count()
+    except Exception as exc:  # pragma: no cover — recorded, not fatal
+        emb_sink["error"] = repr(exc)
     return {
         "default_on_blowup_outcome": outcome,
         "gate": {k: sink.get(k) for k in ("path", "est", "n_docs", "budget", "error")},
+        "embedding_default_outcome": emb_outcome,
+        "embedding_gate": {
+            k: emb_sink.get(k) for k in ("path", "est", "n_vecs", "npairs", "budget", "error")
+        },
         "seconds": round(time.time() - t0, 2),
     }
 
