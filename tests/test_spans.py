@@ -207,3 +207,68 @@ def test_remove_duplicated_spans_random_corpora_property(spark):
             for r in remove_duplicated_spans(docs, L).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_strided_removal_is_subset_of_exact(spark):
+    """Strided surgery contract: every character a strided run removes,
+    the exact (stride=1) run also removes — per doc, the removed char
+    POSITIONS are a subset, not merely the counts.  Randomized 3-letter
+    corpora (dense collisions), seeds fixed."""
+    import random
+
+    from tg_reporting_etl_spark.functions.spans import remove_duplicated_spans
+
+    L, S = 4, 2
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        rows = [
+            (d, "".join(rng.choice("abc") for _ in range(rng.randint(2, 30))))
+            for d in range(1, 13)
+        ]
+
+        def model(stride):
+            grams = {}
+            for d, t in rows:
+                if len(t) >= L:
+                    for i in range(0, len(t) - L + 1, stride):
+                        grams.setdefault(t[i:i + L], []).append((d, i + 1))
+            removable = {}
+            for occ in grams.values():
+                docs_of = {d for d, _ in occ}
+                if len(docs_of) >= 2:
+                    keeper = min(docs_of)
+                    for d, i in occ:
+                        if d > keeper:
+                            removable.setdefault(d, set()).add(i)
+            cut = {}
+            for d, t in rows:
+                dead = set()
+                for i in removable.get(d, ()):
+                    dead.update(range(i - 1, i - 1 + L))
+                cut[d] = dead
+            return cut
+
+        exact_cut, strided_cut = model(1), model(S)
+        # model-level sanity: the subset property holds in the model
+        for d in strided_cut:
+            assert strided_cut[d] <= exact_cut[d], f"seed {seed} doc {d}"
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.text_clean
+            for r in remove_duplicated_spans(docs, L, S).collect()
+        }
+        # engine matches the strided model exactly
+        for d, t in rows:
+            expect = "".join(c for i, c in enumerate(t) if i not in strided_cut[d])
+            assert got[d] == expect, f"seed {seed} doc {d}"
+        # and removes no more than the exact engine run
+        exact_rc = {
+            r.doc_id: r.removed_chars for r in remove_duplicated_spans(docs, L).collect()
+        }
+        strided_rc = {
+            r.doc_id: r.removed_chars
+            for r in remove_duplicated_spans(docs, L, S).collect()
+        }
+        assert all(strided_rc[d] <= exact_rc[d] for d in strided_rc), f"seed {seed}"

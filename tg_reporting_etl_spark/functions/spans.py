@@ -151,7 +151,9 @@ def duplicated_span_stats(
     )
 
 
-def remove_duplicated_spans(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> DataFrame:
+def remove_duplicated_spans(
+    docs: DataFrame, length: int = DEFAULT_SPAN_L, stride: int = 1
+) -> DataFrame:
     """Substring-dedup REMOVAL (the surgery behind the Lee et al.
     signal :func:`duplicated_span_stats` only measures): cut every
     cross-document duplicated span out of all documents EXCEPT the
@@ -161,6 +163,19 @@ def remove_duplicated_spans(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> Da
     Returns every non-NULL-text doc:
     (doc_id, n_chars, n_chars_clean, removed_chars, text_clean).
 
+    ``stride=1`` is exact.  ``stride=s>1`` is the 100 TB refinement the
+    stats operator already carries (:func:`char_gram_rows`): gram rows
+    (the dominant cost — ~len(text) rows per doc at stride 1) divide by
+    ``s``, and the removal becomes a SUBSET-approximation — a gram is
+    seen only at sampled starts, so (a) detected islands cover a subset
+    of the exact islands' characters, and (b) the per-gram keeper is
+    min-doc over SAMPLED occurrences (>= the exact keeper), which only
+    ever EXEMPTS more docs from surgery.  Every character a strided run
+    removes, the exact run also removes (pinned by
+    test_strided_removal_is_subset_of_exact); pair ``s`` with
+    ``length >= 2s`` so any duplicated run of ``length + s - 1`` chars
+    still hits a sampled start.
+
     Plan shape: the gram pass and island merge are exactly the stats
     operator's (persisted gram rows; bounded dup-gram table with a
     per-gram min-doc aggregate; the per-doc position window).  The
@@ -169,7 +184,7 @@ def remove_duplicated_spans(docs: DataFrame, length: int = DEFAULT_SPAN_L) -> Da
     attaches the text, and a single ``aggregate`` fold rebuilds the
     kept segments in place — document bodies never ride a shuffle.
     """
-    grams = tracked_persist(char_gram_rows(docs, length))
+    grams = tracked_persist(char_gram_rows(docs, length, stride))
     dup = (
         grams.groupBy("h")
         .agg(

@@ -212,12 +212,12 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE)
 
 
-def _span_removal_oracle() -> str:
+def _span_removal_oracle(stride: int = 1) -> str:
     ln = SPAN_L
     return f"""WITH grams AS (
   SELECT doc_id, i,
          CAST(('0x' || substr(md5(substr(text, i, {ln})), 1, 15)) AS BIGINT) AS h
-  FROM documents, unnest(generate_series(1, length(text) - {ln - 1})) t(i)
+  FROM documents, unnest(generate_series(1, length(text) - {ln - 1}, {stride})) t(i)
   WHERE length(text) >= {ln}
 ),
 dup AS (SELECT h, MIN(doc_id) AS keeper FROM grams GROUP BY h
@@ -282,3 +282,20 @@ def q_doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tg_reporting_etl_spark.functions import spans as sp
 
     return sp.remove_duplicated_spans(_docs(spark, sf_dir), SPAN_L)
+
+
+@register(
+    "doc_remove_dup_spans_strided",
+    _span_removal_oracle(SPAN_STRIDE),
+    survey_ids="LLM: substring-dedup removal, strided scale path (subset of exact removal)",
+)
+def q_doc_remove_dup_spans_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stride-3 scale path of doc_remove_dup_spans — gram rows (the
+    dominant 100 TB cost) divided by the stride; every removed
+    character is also removed by the exact run (subset contract pinned
+    in tests/test_spans.py).  The oracle performs the identical strided
+    surgery, so the approximation is deterministic and cross-engine
+    verified, not just bounded."""
+    from tg_reporting_etl_spark.functions import spans as sp
+
+    return sp.remove_duplicated_spans(_docs(spark, sf_dir), SPAN_L, SPAN_STRIDE)
