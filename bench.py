@@ -7,6 +7,15 @@ regression from scheduler/GC noise.  Min-of-N is the standard noise
 floor estimator for wall-clock microbenchmarks (the fastest run is the
 one least disturbed by external variance).
 
+Round 10 made the artifact adjudicable under machine noise (round 9's
+six 1.5-2.1x swings on unchanged code could not be classified from a
+bare min): sub-second queries — the noise-dominated class — extend to 5
+repeats, BENCH_FULL.json carries per-query {min, med, max, n}
+dispersion AND the previous run's full per-query map (read back before
+overwriting), and queries whose min regressed >1.3x AND >0.15 s against
+the previous same-sf run are named in ``watch_regressions`` — so each
+BENCH_rN is self-comparing without digging through git history.
+
 Forensics: process-level stderr (fd 2, inherited by the JVM) is teed
 into a file for the whole run; any exception headers seen there (Java
 `foo.BarException: ...` / `Exception in thread` / Python `Traceback`)
@@ -112,16 +121,34 @@ def main() -> None:
     # steady-state JVM and the worst case can only pollute itself.
     ordered = [n for n in qs if n not in adversarial] + [n for n in qs if n in adversarial]
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict] = {}
     for name in ordered:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(1 if name in adversarial else repeats):
+        times: list[float] = []
+        n_runs = 1 if name in adversarial else repeats
+        while len(times) < n_runs:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            times.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 3)
+            # Sub-second queries are the noise-dominated class (round 9:
+            # five of the six unexplained swings were <1 s): give them 5
+            # samples so median/spread can separate regime from regression.
+            # Only when repeating at all — an explicit REPEATS=1 smoke
+            # run stays single-shot.
+            if repeats > 1 and name not in adversarial and min(times) < 1.0:
+                n_runs = max(n_runs, 5)
+        times.sort()
+        mid = len(times) // 2
+        med = times[mid] if len(times) % 2 else (times[mid - 1] + times[mid]) / 2
+        timings[name] = round(times[0], 3)
+        dispersion[name] = {
+            "min": round(times[0], 3),
+            "med": round(med, 3),
+            "max": round(times[-1], 3),
+            "n": len(times),
+        }
     total = round(sum(timings.values()), 3)
     # Orchestration-lifecycle queries measure fixed per-job scheduling +
     # sink overhead on constant-size board metadata, not operator
@@ -168,11 +195,33 @@ def main() -> None:
     except OSError:
         pass
 
+    # Self-comparing artifact: read the PREVIOUS run's per-query map
+    # back before overwriting BENCH_FULL.json, and name the queries
+    # whose min regressed >1.3x AND >0.15 s at the same sf — the two
+    # guards together ignore sub-noise-floor micro-deltas.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    prev_queries: dict[str, float] = {}
+    watch: list[str] = []
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:
+            prev_queries = prev.get("queries", {})
+            watch = sorted(
+                n
+                for n, t in timings.items()
+                if n in prev_queries
+                and t > 1.3 * prev_queries[n]
+                and t - prev_queries[n] > 0.15
+            )
+    except (OSError, ValueError):
+        pass
+
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "mode": f"min-of-{repeats}",
+        "mode": f"min-of-{repeats}" + (" (5 for sub-second)" if repeats > 1 else ""),
         "data_path_total": round(total - orch_total - adv_total, 3),
         "orchestration_total": orch_total,
         "adversarial_total": adv_total,
@@ -180,6 +229,9 @@ def main() -> None:
         "stderr_exceptions": exceptions,
         "expected_probes": probes,
         "queries": timings,
+        "dispersion": dispersion,
+        "prev_queries": prev_queries,
+        "watch_regressions": watch,
         "sf": sf,
     }
     # Rounds 6 and 7 both shipped with the driver recording
@@ -191,10 +243,7 @@ def main() -> None:
     # that line is what survives the tail window and must parse.
     print(json.dumps(full))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-            "w",
-        ) as fh:
+        with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
     except OSError:
@@ -204,7 +253,7 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "mode": f"min-of-{repeats}",
+        "mode": full["mode"],
         "data_path_total": full["data_path_total"],
         "orchestration_total": orch_total,
         "adversarial_total": adv_total,
@@ -212,6 +261,7 @@ def main() -> None:
         "stderr_exceptions": exceptions[:3],
         "queries": slowest,
         "queries_truncated_to_slowest": 5,
+        "watch_regressions": watch[:6],
         "full_report": "BENCH_FULL.json",
         "sf": sf,
     }
