@@ -31,6 +31,11 @@ from tg_reporting_etl_spark.sources.writers import write_append
 #: deployment sizes this to target partition row counts)
 SHARD_PREFIX = 1
 
+#: The index's FIXED on-disk schema (shard is the partition column):
+#: passing it to reads skips parquet footer inference — one whole
+#: 1-task Spark job saved per ingest.
+INDEX_SCHEMA = "digest string, first_doc_id bigint, first_batch int, shard string"
+
 
 def ingest_batch(
     spark: SparkSession, index_path: str, docs: DataFrame, batch_id: int
@@ -51,7 +56,7 @@ def ingest_batch(
     # that torn index must take the bootstrap branch or every later
     # ingest fails at schema inference — the replay-self-healing
     # contract in the module docstring depends on this.
-    index = read_parquet_if_committed(spark, index_path)
+    index = read_parquet_if_committed(spark, index_path, INDEX_SCHEMA)
     existing = index.select("digest") if index is not None else None
     # ONE exchange per ingest: repartition on the shard key FIRST (16-byte
     # digest + doc_id rows, never document bodies), then dedup with
@@ -82,7 +87,14 @@ def ingest_batch(
     new = (
         probed.groupBy("shard", "digest")
         .agg(F.min("doc_id").alias("first_doc_id"))
-        .select("digest", "shard", "first_doc_id", F.lit(int(batch_id)).alias("first_batch"))
+        # cast pins the on-disk type to int32 regardless of the batch-id
+        # magnitude, so INDEX_SCHEMA stays true for every batch's files
+        .select(
+            "digest",
+            "shard",
+            "first_doc_id",
+            F.lit(int(batch_id)).cast("int").alias("first_batch"),
+        )
     )
     # The returned count comes from an Observation riding the WRITE job
     # itself: the anti-join evaluates exactly once (persisting it for a

@@ -36,6 +36,15 @@ REQUEST_KEYS = [
     "1m",
 ]
 
+#: The journal's FIXED on-disk schema: passing it to reads skips
+#: parquet footer inference — a whole 1-task Spark job per read,
+#: meaningful on a metadata-sized table read once per lifecycle step.
+JOURNAL_SCHEMA = (
+    "platform string, site_code string, game_code string, report_class string, "
+    "gte_time timestamp, lt_time timestamp, `5min` int, `1h` int, `1d` int, `1m` int, "
+    "done int, apply_time timestamp"
+)
+
 
 def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: DataFrame) -> None:
     """Append operator-submitted requests to the journal (``done=0``).
@@ -56,7 +65,7 @@ def submit_rerun_requests(spark: SparkSession, journal_path: str, requests: Data
     # throw.  The bootstrap itself goes through the swap-write path so
     # the journal directory is only ever absent or complete — a direct
     # overwrite here could itself leave a torn dir mid-write.
-    existing = read_parquet_if_committed(spark, journal_path)
+    existing = read_parquet_if_committed(spark, journal_path, JOURNAL_SCHEMA)
     if existing is None:
         overwrite_small_table(spark, journal_path, batch)
         return
@@ -87,7 +96,7 @@ def consume_rerun_requests(spark: SparkSession, journal_path: str, now: str) -> 
     update-inside-the-loop).  A second call with no new submissions
     returns an empty frame.
     """
-    journal = read_parquet_if_committed(spark, journal_path)
+    journal = read_parquet_if_committed(spark, journal_path, JOURNAL_SCHEMA)
     if journal is None:  # absent OR torn mid-bootstrap: both mean empty
         return _empty_tasks(spark)
     snap = journal.toPandas()

@@ -54,7 +54,9 @@ def fs_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath))
 
 
-def read_parquet_if_committed(spark: SparkSession, path: str) -> DataFrame | None:
+def read_parquet_if_committed(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame | None:
     """Read a parquet sink if it exists AND holds committed files, else
     ``None`` — the safe probe for self-healing replay paths.
 
@@ -64,12 +66,21 @@ def read_parquet_if_committed(spark: SparkSession, path: str) -> DataFrame | Non
     ``spark.read.parquet`` throws at schema inference and every
     subsequent run fails.  Such a torn sink must take the bootstrap
     branch, exactly like an absent one.  Schema resolution is forced
-    eagerly so the failure surfaces here, not at the first action."""
+    eagerly so the failure surfaces here, not at the first action.
+
+    ``schema`` (a DDL string): control tables with a FIXED schema
+    (rerun journal, digest index) pass it to skip footer inference —
+    Spark launches a whole 1-task job per inference, a fixed cost worth
+    one job per read on metadata-sized lifecycle tables.  With the
+    schema given, a file-less-but-existing dir reads as EMPTY (0 rows)
+    rather than bootstrapping — equivalent for these tables (an empty
+    journal/index behaves exactly like an absent one)."""
     if not fs_path_exists(spark, path):
         return None
     try:
-        df = spark.read.parquet(path)
-        df.schema  # force resolution: a file-less dir fails HERE
+        reader = spark.read.schema(schema) if schema else spark.read
+        df = reader.parquet(path)
+        df.schema  # force resolution: an inferred file-less dir fails HERE
         return df
     except Exception:
         return None
