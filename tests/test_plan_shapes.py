@@ -259,3 +259,22 @@ def test_key_skew_profile_single_shuffle_takeordered(spark, sf_dir):
     # exchange runs on the key-cardinality table, allowed
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "InMemoryTableScan" in plan
+
+
+def test_banded_embedding_dup_plan_is_equi_join(spark, sf_dir):
+    """The banded embedding near-dup's candidate stage must stay an
+    EQUI join on (band, band_key) — a refactor that degrades it to a
+    nested-loop/cartesian product would silently reintroduce the n²
+    pair space the gate exists to refuse."""
+    from tg_reporting_etl_spark.functions import similarity as sim
+    from tg_reporting_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_dup_pairs_gated(
+        emb, 0.45, on_blowup="lsh", pair_budget_per_vec=0, budget_floor=0
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate self-join keys on the band tuple
+    assert "band_key" in plan
