@@ -462,14 +462,21 @@ def embedding_dup_pairs_gated(
     operator whether a dup-exploded corpus has made the OUTPUT itself
     quadratic (at which point no algorithm returns it cheaply).
     """
-    n = embeddings.count()
-    npairs = n * (n - 1) // 2
-    budget = max(n * pair_budget_per_vec, budget_floor)
-    if on_blowup == "force" or npairs <= budget:
-        path = "gemm"
-    elif on_blowup == "lsh":
-        path = "lsh"
+    if on_blowup == "lsh" and pair_budget_per_vec == 0 and budget_floor == 0:
+        # zeroed budget + explicit reroute consent: the gate's outcome is
+        # 'lsh' for every n >= 2, so the pricing count() job is skipped
+        # (on n <= 1 the banded path correctly returns no pairs anyway)
+        n, npairs, budget, path = None, None, 0, "lsh"
     else:
+        n = embeddings.count()
+        npairs = n * (n - 1) // 2
+        budget = max(n * pair_budget_per_vec, budget_floor)
+        path = None
+    if path is None and (on_blowup == "force" or npairs <= budget):
+        path = "gemm"
+    elif path is None and on_blowup == "lsh":
+        path = "lsh"
+    elif path is None:
         raise ValueError(
             f"embedding_dup_pairs_gated: exact all-pairs cosine is n·(n-1)/2 = "
             f"{npairs:,} dot products for {n:,} vectors (budget {budget:,}) — "
