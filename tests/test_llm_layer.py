@@ -1182,3 +1182,56 @@ def test_capped_default_is_constant_not_corpus_growing(docs):
         for r in dd.ngram_jaccard_dedup_capped(docs, tau, max_df_divisor=20).collect()
     }
     assert legacy <= default
+
+
+def test_shingle_novelty_truth_table(spark):
+    """Crafted corpus: doc 1 unique, doc 2 == doc 3 (zero novelty),
+    doc 4 half-shared with doc 1."""
+    rows = [
+        (1, "abcdefgh"),      # shingles abcde..defgh; 'defgh' also in doc 4
+        (2, "xxxxxyyyy"),     # identical to doc 3 -> all df>=2
+        (3, "xxxxxyyyy"),
+        (4, "defghijkl"),     # 'defgh' shared with doc 1, rest unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingle_hashes(docs, 5)
+    out = {r.doc_id: r for r in dd.shingle_novelty(sh).collect()}
+    assert out[2].n_novel == 0 and out[2].novelty_fraction == 0.0
+    assert out[3].n_novel == 0
+    # doc 1: 4 shingles, 'defgh' shared -> 3 novel
+    assert (out[1].n_shingles, out[1].n_novel) == (4, 3)
+    assert out[1].novelty_fraction == 0.75
+    # doc 4: 5 shingles, 'defgh' shared -> 4 novel
+    assert (out[4].n_shingles, out[4].n_novel) == (5, 4)
+    # bounds invariant
+    for r in out.values():
+        assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_embedding_dup_components_cluster_near_dups(spark):
+    """Noisy copies of the same base vector land in one component with
+    the min vec_id as keeper."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    bases = []
+    for _ in range(10):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        bases.append(base)
+        for _ in range(3):  # 3 noisy members per family
+            rows.append((vid, [float(x * (1 + rng.gauss(0, 0.01))) for x in base]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = sim.embedding_dup_pairs_gated(
+        corpus, 0.95, on_blowup="lsh", pair_budget_per_vec=0, budget_floor=0
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = {r.doc_id: r.component_id for r in dd.connected_components(pairs).collect()}
+    # members of a family share a component labeled by the family min
+    families = {}
+    for v, c in comp.items():
+        families.setdefault(v // 3, set()).add(c)
+    for fam, labels in families.items():
+        assert len(labels) == 1, f"family {fam} split: {labels}"
+        assert min(labels) == fam * 3

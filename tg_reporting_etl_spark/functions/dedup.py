@@ -126,6 +126,39 @@ def discriminative_shingles(shingles: DataFrame, max_df: int, key: str = "shingl
     return shingles.join(df_counts.filter(F.col("_df") <= max_df), key).select("doc_id", key)
 
 
+def shingle_novelty(shingles: DataFrame, key: str = "h") -> DataFrame:
+    """Per-doc novelty: of a doc's DISTINCT k-gram shingles, the
+    fraction that occur in NO other document (corpus df == 1).
+
+    The inverse signal of boilerplate_fraction: high-novelty docs carry
+    content the corpus does not already have, the ranking key of
+    diversity-aware sampling and active-curation loops ("add the most
+    novel documents first").  Because the shingle table is distinct per
+    (doc, shingle), corpus df == row count per shingle.
+
+    Plan: one df aggregate over the shared shingle-hash table (8-byte
+    ``key``, the same shuffle class every dedup operator pays), one
+    h-key join back, one per-doc aggregate — linear, no pair space.
+    Docs with no shingles (text shorter than k / NULL) do not appear,
+    matching the shingle family's base contract.
+    Returns (doc_id, n_shingles, n_novel, novelty_fraction)."""
+    df_counts = shingles.groupBy(key).agg(F.count("*").alias("_df"))
+    return (
+        shingles.join(df_counts, key)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_fraction"),
+        )
+    )
+
+
 def candidate_pairs(shingles: DataFrame, key: str = "shingle") -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one shingle."""
     a, b = shingles.alias("a"), shingles.alias("b")

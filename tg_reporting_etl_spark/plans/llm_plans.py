@@ -613,6 +613,61 @@ JOIN embeddings y ON y.vec_id = c.vec_b
 WHERE ROUND({_cos('x.embedding', 'y.embedding')}, 6) >= {COSINE_TAU}"""
 
 
+_EMB_COMPONENTS_ORACLE = f"""WITH RECURSIVE banded AS (
+{_sign_bands_sql()}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+dpairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cands c
+  JOIN embeddings x ON x.vec_id = c.vec_a
+  JOIN embeddings y ON y.vec_id = c.vec_b
+  WHERE ROUND({_cos('x.embedding', 'y.embedding')}, 6) >= {COSINE_TAU}
+),
+sym AS (
+  SELECT vec_a AS src, vec_b AS dst FROM dpairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM dpairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b)) AS component_id
+  FROM reach GROUP BY a
+)
+SELECT vec_id, component_id, vec_id = component_id AS is_keeper FROM comp"""
+
+
+@register(
+    "embedding_dup_components",
+    _EMB_COMPONENTS_ORACLE,
+    survey_ids="LLM: semantic near-dup clusters (banded pairs -> connected components)",
+)
+def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic twin of doc_dup_components: the banded embedding
+    near-dup pairs (bounded candidates, exact-cosine verified) closed
+    into connected components with the same min-label + pointer-jumping
+    machinery — one kept vector per semantic content family.  Pair
+    generation and clustering both scale with the edge list, never n²."""
+    pairs = sim.embedding_dup_pairs_gated(
+        _emb(spark, sf_dir), COSINE_TAU, on_blowup="lsh",
+        pair_budget_per_vec=0, budget_floor=0,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = dd.connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
 @register(
     "embedding_dup_pairs_banded",
     _BANDED_DUP_ORACLE,
@@ -714,6 +769,32 @@ def q_doc_ensemble_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("semantic", F.lit(False)).alias("semantic"),
         )
     )
+
+
+# Per-doc novelty: of a doc's distinct 5-gram shingles, the fraction in
+# NO other document — the inverse of boilerplate_fraction and the
+# ranking key of diversity-aware sampling ("add the most novel docs
+# first").  One df aggregate + one h-key join over the session-shared
+# shingle-hash cache; docs without shingles (len < 5) don't appear, the
+# shingle family's base contract.
+_NOVELTY_ORACLE = f"""WITH {_SHINGLES.strip()},
+sdf AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS novelty_fraction
+FROM shingles s JOIN sdf d USING (shingle)
+GROUP BY 1"""
+
+
+@register(
+    "doc_novelty",
+    _NOVELTY_ORACLE,
+    survey_ids="LLM: per-doc novelty (corpus-unique shingle fraction)",
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.shingle_novelty(_shingles(spark, sf_dir))
 
 
 # -------------------------------------------------------- similarity search
