@@ -166,6 +166,7 @@ def main() -> None:
         # throughput — same bucket as the other lifecycle queries
         "streaming_exact_dedup_index",
         "streaming_trans_summary_5min",
+        "streaming_minhash_lsh_index",
     }
     orch_total = round(sum(t for n, t in timings.items() if n in orch), 3)
     # (adversarial set defined above the timing loop) — bucketed apart so

@@ -183,3 +183,96 @@ def q_streaming_trans_summary_5min(spark: SparkSession, sf_dir: str) -> DataFram
         "trans_in_amount double, trans_out_amount double, trans_in_count long, "
         "trans_out_count long, trans_out_lost_amount double, start_time timestamp",
     )
+
+
+# ------------------------------------------------- minhash-LSH index parity
+
+def _stream_near_dup_oracle() -> str:
+    """Closed form of the incremental MinHash-LSH index: the pairs
+    table a run over ANY wave decomposition converges to is exactly
+    'band-colliding pairs whose signature agreement >= est_tau' over
+    the whole corpus — every pair is reported once its younger doc
+    arrives, and merge_into keying makes re-delivery idempotent.  All
+    signature math is the md5-salt family the batch oracle already
+    mirrors (llm_plans._minhash_oracle)."""
+    from tg_reporting_etl_spark.functions import dedup as dd
+    from tg_reporting_etl_spark.plans.llm_plans import _H32, _SHINGLES, BANDS, N_HASHES
+
+    r = N_HASHES // BANDS
+    mins = ",\n         ".join(
+        f"min(xor(h, {dd.salt_constant(i)})) AS m{i}" for i in range(N_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
+        + " AS band_key FROM sig"
+        for b in range(BANDS)
+    )
+    h_expr = _H32.format(s="'mh|' || shingle")
+    agree = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    return f"""WITH {_SHINGLES.strip()},
+hashed AS (SELECT doc_id, {h_expr} AS h FROM shingles),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, ROUND(({agree}) / {N_HASHES}.0, 6) AS est_jaccard
+FROM cands c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+WHERE ({agree}) * 1.0 / {N_HASHES} >= 0.5"""
+
+
+@register(
+    "streaming_minhash_lsh_index",
+    _stream_near_dup_oracle(),
+    survey_ids="LLM streaming MinHash-LSH near-dup index (streaming/pipeline.py start_near_dup_sink)",
+)
+def q_streaming_minhash_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed the documents corpus through the incremental MinHash-LSH
+    index as TWO overlapping micro-batch waves (doc_id%3 in {0,1}, then
+    {1,2} — the overlap re-delivers a third of the corpus, proving the
+    merge_into idempotency), then return the persistent pairs table.
+
+    Exercises end-to-end: foreachBatch signature computation, the
+    persistent band index probed ACROSS batches (a near-dup arriving in
+    wave 2 pairs with its wave-1 partner), and idempotent index merges —
+    then proves the accumulated pairs equal the batch closed form."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_near_dup_sink
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_nd_")
+    src = f"{tmp}/src"
+    try:
+        docs.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = start_near_dup_sink(stream, f"{tmp}/index", f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+            docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            pdf = (
+                spark.read.parquet(f"{tmp}/index/pairs")
+                .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+                .toPandas()
+            )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(pdf, "doc_a long, doc_b long, est_jaccard double")

@@ -208,16 +208,19 @@ def start_near_dup_sink(
     3. scores each candidate by signature agreement — mean over i of
        [m_i(a) == m_i(b)], the unbiased MinHash Jaccard estimator — and
        keeps pairs with ``est_jaccard >= est_tau``;
-    4. MERGEs batch signatures and band rows into the index and the
-       surviving pairs into the output table (``merge_into`` keyed so
-       re-delivered batches are idempotent).
+    4. APPENDS the never-seen signatures/band rows/pairs (anti-join on
+       the key, then insert — all three tables are insert-only because
+       their rows are content-derived, so re-delivered batches are
+       idempotent at O(new) write cost per batch, never O(index);
+       replay after a torn append self-heals the same way
+       ``functions.ingest.ingest_batch`` does).
 
     Index layout under ``index_dir``: ``signatures`` (doc_id, m0..),
     ``bands`` (doc_id, band, band_key), ``pairs`` (doc_a, doc_b,
     est_jaccard).  Per-batch cost is O(batch × collisions): history is
     touched only through the band-key equi-join and the candidate-keyed
     signature lookup, never rescanned per doc.  At 100 TB the parquet
-    index swaps for a MERGE-capable format (the ``merge_into`` backend
+    index swaps for a MERGE-capable format (the sources/writers backend
     registry) bucketed by band_key; exact full-text verification (the
     batch path's ``_jaccard_on_hashed``) needs shingle sets the index
     deliberately does not keep — signature agreement is the documented
@@ -231,15 +234,18 @@ def start_near_dup_sink(
         minhash_band_rows,
         minhash_signatures,
     )
-    from tg_reporting_etl_spark.sources.writers import (
-        _fs_path,
-        _release_local_checkpoint,
-        merge_into,
-    )
+    from tg_reporting_etl_spark.sources.readers import read_parquet_if_committed
+    from tg_reporting_etl_spark.sources.writers import _release_local_checkpoint
 
     sig_path = os.path.join(index_dir, "signatures")
     band_path = os.path.join(index_dir, "bands")
     pairs_path = os.path.join(index_dir, "pairs")
+
+    # Fixed on-disk schemas: declared reads skip the per-batch parquet
+    # footer-inference job (three index tables x every micro-batch).
+    sig_schema = "doc_id bigint, " + ", ".join(f"m{i} bigint" for i in range(n_hashes))
+    band_schema = "doc_id bigint, band int, band_key string"
+    pairs_schema = "doc_a bigint, doc_b bigint, est_jaccard double"
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -257,7 +263,6 @@ def start_near_dup_sink(
             return
         bands_b = minhash_band_rows(sig_b, n_hashes, bands)
 
-        fs, jband = _fs_path(spark, band_path)
         cand_frames = [
             bands_b.alias("a").join(
                 bands_b.alias("b"),
@@ -266,10 +271,11 @@ def start_near_dup_sink(
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
         ]
-        hist_sigs = None
-        if fs.exists(jband):
-            hist = spark.read.parquet(band_path)
-            hist_sigs = spark.read.parquet(sig_path)
+        hist = read_parquet_if_committed(spark, band_path, band_schema)
+        hist_sigs = (
+            read_parquet_if_committed(spark, sig_path, sig_schema) if hist is not None else None
+        )
+        if hist is not None:
             # history never collides with itself here — those pairs were
             # reported when their younger doc arrived
             cand_frames.append(
@@ -304,9 +310,35 @@ def start_near_dup_sink(
             .select("doc_a", "doc_b", "est_jaccard")
         )
 
-        merge_into(spark, pairs_path, pairs, keys=["doc_a", "doc_b"])
-        merge_into(spark, sig_path, sig_b, keys=["doc_id"])
-        merge_into(spark, band_path, bands_b, keys=["doc_id", "band"])
+        # All three index tables are INSERT-only (signatures and bands
+        # are content-derived, so a re-delivered doc's rows are
+        # bit-identical; a pair's estimator likewise) — so idempotency
+        # is an anti-join + APPEND of the never-seen keys, O(new) per
+        # batch, exactly the ingest_batch shape.  The earlier merge_into
+        # rewrote each table whole per batch — O(index) writes that
+        # cannot survive a long-running stream.  Replay after a torn
+        # append self-heals: the anti-join re-inserts only what is
+        # missing.  (The batch side of the anti-join is tiny; the index
+        # side prunes to the join keys.)
+        old_pairs = read_parquet_if_committed(spark, pairs_path, pairs_schema)
+        new_pairs = (
+            pairs
+            if old_pairs is None
+            else pairs.join(old_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        )
+        new_pairs.write.mode("append").parquet(pairs_path)
+        new_sigs = (
+            sig_b
+            if hist_sigs is None
+            else sig_b.join(hist_sigs.select("doc_id"), "doc_id", "left_anti")
+        )
+        new_sigs.write.mode("append").parquet(sig_path)
+        new_bands = (
+            bands_b
+            if hist is None
+            else bands_b.join(hist.select("doc_id", "band"), ["doc_id", "band"], "left_anti")
+        )
+        new_bands.write.mode("append").parquet(band_path)
 
     return (
         stream.writeStream.outputMode("append")
