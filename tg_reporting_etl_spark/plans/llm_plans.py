@@ -655,12 +655,19 @@ def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs (bounded candidates, exact-cosine verified) closed
     into connected components with the same min-label + pointer-jumping
     machinery — one kept vector per semantic content family.  Pair
-    generation and clustering both scale with the edge list, never n²."""
-    pairs = sim.embedding_dup_pairs_gated(
-        _emb(spark, sf_dir), COSINE_TAU, on_blowup="lsh",
-        pair_budget_per_vec=0, budget_floor=0,
-    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-    comp = dd.connected_components(pairs)
+    generation and clustering both scale with the edge list, never n².
+    The labeling is session-cached like the lexical twin's — the
+    iterative label-propagation run (fixed multi-job cost per round)
+    is paid once per session."""
+
+    def _label() -> DataFrame:
+        pairs = sim.embedding_dup_pairs_gated(
+            _emb(spark, sf_dir), COSINE_TAU, on_blowup="lsh",
+            pair_budget_per_vec=0, budget_floor=0,
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        return dd.connected_components(pairs)
+
+    comp = cached_df(spark, f"emb_dup_components|{sf_dir}", _label)
     return comp.select(
         F.col("doc_id").alias("vec_id"),
         "component_id",
