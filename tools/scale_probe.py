@@ -98,6 +98,11 @@ PROBE_QUERIES = [
     # non-keeper replica, so whole bodies are excised — worst case for
     # the island arrays and the row-local splice
     "doc_remove_dup_spans",
+    # round-10 additions: novelty is all-zero on a 10x-replicated corpus
+    # (every shingle df >= 10 — the degenerate floor), and the semantic
+    # components face 2k replica-cliques of 10 (90k+ edges)
+    "doc_novelty",
+    "embedding_dup_components",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan) —
@@ -126,6 +131,7 @@ ORACLE_SKIP = {
     "doc_ngram_jaccard_dups": "n-gram shingle CTE + capped candidate join is quadratic in duck on the 10x-dup corpus",
     "doc_ngram_jaccard_lsh": "same shingle CTE + LSH candidate mirror",
     "doc_dup_components": "recursive-CTE reachability closure over the x45-fanned pair graph",
+    "embedding_dup_components": "recursive-CTE closure over the replica-clique banded pair graph (92k edges, m^2 reach rows per merged component) — measured >14 min in duck at 10x; oracle-exact proof stands at sf0.01/sf0.1",
 }
 
 #: absolute tolerance for the numeric fallback compare: a 10x-row
