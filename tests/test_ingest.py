@@ -80,3 +80,18 @@ def test_ingest_torn_index_dir_self_heals(spark, tmp_path):
     (path / "_temporary" / "0").mkdir(parents=True)
     assert ig.ingest_batch(spark, str(path), _docs(spark, [(1, "a"), (2, "b")]), 1) == 2
     assert spark.read.parquet(str(path)).count() == 2
+
+
+def test_index_schema_declaration_matches_disk(spark, tmp_path):
+    """INDEX_SCHEMA is declared to SKIP footer inference — so nothing
+    checks it against the files at read time.  Pin declaration ==
+    inference here: if the write path ever changes a type, this fails
+    instead of reads silently mis-typing."""
+    path = str(tmp_path / "idx")
+    ig.ingest_batch(spark, path, _docs(spark, [(1, "a"), (2, "b")]), 1)
+    inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema}
+    declared = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.schema(ig.INDEX_SCHEMA).parquet(path).schema
+    }
+    assert inferred == declared

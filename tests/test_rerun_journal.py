@@ -109,3 +109,18 @@ def test_torn_journal_dir_bootstraps_not_throws(spark, tmp_path):
     submit_rerun_requests(spark, str(path), _req(spark, "2024-01-01 00:00:00", "2024-01-01 00:05:00"))
     got = consume_rerun_requests(spark, str(path), NOW)
     assert got.count() > 0
+
+
+def test_journal_schema_declaration_matches_disk(spark, tmp_path):
+    """JOURNAL_SCHEMA skips footer inference, so pin declaration ==
+    inference against a real journal written by submit."""
+    from tg_reporting_etl_spark.runner.rerun import JOURNAL_SCHEMA
+
+    path = str(tmp_path / "journal")
+    submit_rerun_requests(spark, path, _req(spark, "2024-01-01 00:00:00", "2024-01-01 00:05:00"))
+    inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema}
+    declared = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.schema(JOURNAL_SCHEMA).parquet(path).schema
+    }
+    assert inferred == declared

@@ -910,3 +910,60 @@ def test_streaming_pii_scrub_batch_invariant(spark, tmp_path):
         for r in scrub_pii(spark.createDataFrame(rows, schema)).collect()
     }
     assert got == want and got[1][0] == 1 and got[2][1] == 1 and got[3][2] == 1
+
+
+def test_near_dup_index_schemas_match_disk_and_replay_heals(spark, tmp_path):
+    """The near-dup sink declares its three index schemas to skip
+    footer inference — pin declaration == inference on real index
+    files, and prove a torn pairs append self-heals on replay (the
+    anti-join re-inserts only what is missing)."""
+    import os
+    import shutil
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_near_dup_sink
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 4)
+    src = str(tmp_path / "nd2_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("zeta", "iota"))], schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    idx = str(tmp_path / "nd2_index")
+    q = start_near_dup_sink(stream, idx, str(tmp_path / "nd2_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_hashes = 16
+    declared = {
+        "signatures": "doc_id bigint, " + ", ".join(f"m{i} bigint" for i in range(n_hashes)),
+        "bands": "doc_id bigint, band int, band_key string",
+        "pairs": "doc_a bigint, doc_b bigint, est_jaccard double",
+    }
+    for table, ddl in declared.items():
+        path = f"{idx}/{table}"
+        inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema}
+        decl = {f.name: f.dataType.simpleString() for f in spark.read.schema(ddl).parquet(path).schema}
+        assert inferred == decl, table
+
+    # torn append: wipe the pairs table to a file-less dir, then replay
+    # the same wave — the anti-join bootstrap re-inserts the pair
+    pairs_before = spark.read.parquet(f"{idx}/pairs").collect()
+    assert pairs_before
+    shutil.rmtree(f"{idx}/pairs")
+    os.makedirs(f"{idx}/pairs/_temporary")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("zeta", "iota"))], schema
+    ).write.mode("append").parquet(src)
+    q2 = start_near_dup_sink(
+        spark.readStream.schema(schema).parquet(src), idx, str(tmp_path / "nd2_ckpt")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    healed = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{idx}/pairs").collect()}
+    assert healed == {(r.doc_a, r.doc_b) for r in pairs_before}
