@@ -504,6 +504,42 @@ def test_positional_filter_prunes_without_loss(spark):
     assert brute <= positional  # and loses nothing
 
 
+def test_positional_filter_lossless_on_skewed_lengths(spark):
+    """Skewed-length corpus: tiny docs sharing rare shingles with huge
+    docs (high containment, low Jaccard) — exactly what the PPJoin
+    length filter prunes pre-shuffle.  The per-row pushed filters must
+    still equal brute force for several tau values."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(120)]
+    rows = []
+    for i in range(25):  # tiny docs: 3-6 words
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 6)))))
+    for i in range(25, 40):  # huge docs: 150-300 words
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(150, 300)))))
+    # tiny doc fully CONTAINED in a huge doc: jaccard far below tau but
+    # every shingle shared — length filter prunes these pre-shuffle
+    for j in range(5):
+        rows.append((200 + j, rows[j][1] + " " + rows[25 + j][1]))
+    # true near-dups at both scales
+    rows.append((300, rows[0][1]))
+    rows.append((301, rows[26][1] + " tail"))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for tau in (0.5, 0.8):
+        brute = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd.jaccard_pairs(dd.char_shingles(corpus), tau).collect()
+        }
+        fast = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd.ngram_jaccard_dedup(corpus, tau, on_blowup="force").collect()
+        }
+        assert brute, tau
+        assert fast == brute, tau
+
+
 def test_repetition_stats_on_constructed_docs(spark):
     from tg_reporting_etl_spark.functions import text as tx
 

@@ -322,20 +322,28 @@ def test_register_merge_backend_orders_above_parquet(spark):
 
 def test_partitioned_merge_releases_checkpoint_blocks(spark, tmp_path):
     """The eager localCheckpoint behind a partitioned merge must not
-    leak storage: RDD storage-info entries return to their pre-merge
-    count once merge_into returns (streaming foreachBatch runs one
-    merge per micro-batch — deterministic release, not GC luck)."""
-    def n_stored():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    leak storage: every RDD storage-info entry CREATED by the merge
+    calls is gone once merge_into returns (streaming foreachBatch runs
+    one merge per micro-batch — deterministic release, not GC luck).
+
+    Scoped to the id-set difference, not a global count: earlier tests
+    in a full-suite run may leave their own cached/checkpointed RDDs
+    in the process-global gauge, and those must not fail this test.
+    """
+    def stored_ids():
+        return {
+            info.id() for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
     path = str(tmp_path / "tbl")
     base = spark.createDataFrame([("a", 1, 10), ("c", 2, 30)], SCHEMA)
     merge_into(spark, path, base, keys=["k"], partition_cols=["part"])  # bootstrap
-    before = n_stored()
+    before = stored_ids()
     for i in range(3):
         batch = spark.createDataFrame([("a", 1, 100 + i)], SCHEMA)
         merge_into(spark, path, batch, keys=["k"], partition_cols=["part"])
-    assert n_stored() == before
+    leaked = stored_ids() - before
+    assert leaked == set(), f"merge_into leaked storage for RDD ids {sorted(leaked)}"
     assert _read(spark, path) == {("a", 1): 102, ("c", 2): 30}
 
 

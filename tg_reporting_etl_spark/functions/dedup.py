@@ -393,8 +393,24 @@ def _positional_candidates(prefixes: DataFrame, tau: float) -> DataFrame:
     is lossless (the bound for the first common element always covers
     the true overlap) while pruning same-rare-shingle pairs whose match
     sits too deep to qualify — candidates that the plain prefix join
-    would send to the (more expensive) exact verify.  Same shuffle as
-    the ``.distinct()`` it replaces: one groupBy on the pair key.
+    would send to the (more expensive) exact verify.
+
+    Both filters are applied PER ROW, BEFORE the pair groupBy, so the
+    pruned rows never enter the shuffle feeding the aggregation:
+
+    - PPJoin length filter: o <= min(na, nb), so a qualifying pair
+      needs ``least(na, nb) * (p + q) >= p * (na + nb)`` — pure int
+      arithmetic, no division, evaluated first in the conjunction.
+    - Positional filter per row: a pair survives the max-based
+      formulation iff SOME prefix match has ub >= alpha, which is
+      exactly "keep rows with ub >= alpha, then dedup pairs" — same
+      surviving pair set, strictly less data shuffled (the alpha
+      threshold depends only on (na, nb), available per row; ub <=
+      min(na, nb) also makes this subsume the length filter, kept for
+      its cheaper short-circuit).
+
+    The remaining groupBy is a bare pair-key dedup (no carried
+    aggregates), so the shuffle rows are two ids wide.
     """
     from fractions import Fraction
 
@@ -402,22 +418,18 @@ def _positional_candidates(prefixes: DataFrame, tau: float) -> DataFrame:
     p, q = frac.numerator, frac.denominator
 
     a, b = prefixes.alias("a"), prefixes.alias("b")
-    joined = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.n").alias("na"),
-        F.col("b.n").alias("nb"),
-        (
-            1 + F.least(F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1)
-        ).alias("ub"),
+    na, nb = F.col("a.n").cast("long"), F.col("b.n").cast("long")
+    ub = 1 + F.least(na - F.col("a.pos") - 1, nb - F.col("b.pos") - 1)
+    # integer form of ub >= alpha = ceil(p·(na+nb)/(p+q)):
+    # for integer ub,  ub >= ceil(x/m)  ⟺  ub·m >= x  — no division.
+    positional_ok = ub * F.lit(p + q) >= F.lit(p) * (na + nb)
+    length_ok = F.least(na, nb) * F.lit(p + q) >= F.lit(p) * (na + nb)
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(length_ok & positional_ok)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    agg = joined.groupBy("doc_a", "doc_b").agg(
-        F.max("ub").alias("ub"), F.first("na").alias("na"), F.first("nb").alias("nb")
-    )
-    alpha = F.expr(f"({p} * (na + nb) + {p + q} - 1) div {p + q}")
-    return agg.filter(F.col("ub") >= alpha).select("doc_a", "doc_b")
 
 
 def prefix_filter_candidates(hashed: DataFrame, tau: float) -> DataFrame:
