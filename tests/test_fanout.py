@@ -1,0 +1,95 @@
+"""functions/fanout.py — scan-split-estimate gated repartition.
+
+The contract: compact file scans fan out to full parallelism before a
+CPU-amplifying operator; wide scans and non-file frames are untouched
+(never an added exchange at cluster scale); and the estimate never
+crosses into the RDD API (the round-10 verdict's hot-path finding).
+"""
+
+from pyspark.sql import functions as F
+
+from tg_reporting_etl_spark.functions.fanout import fan_out, scan_split_estimate
+
+
+def test_compact_scan_estimates_few_splits(spark, tmp_path):
+    path = str(tmp_path / "tiny")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    est = scan_split_estimate(df)
+    assert est is not None and est < spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_widens_compact_scan(spark, tmp_path):
+    path = str(tmp_path / "tiny2")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = fan_out(df)
+    # the repartition must actually appear in the plan
+    assert "Exchange RoundRobinPartitioning" in out._jdf.queryExecution().toString() or (
+        "REPARTITION" in out._jdf.queryExecution().toString()
+    )
+    assert out.count() == 1000
+
+
+def test_fan_out_with_keys_hashes_on_keys(spark, tmp_path):
+    path = str(tmp_path / "tiny3")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = fan_out(df, "k")
+    plan = out._jdf.queryExecution().toString()
+    assert "hashpartitioning(k" in plan
+    # a downstream groupBy on the key reuses the clustering: exactly one
+    # exchange in the executed plan (the fan-out itself)
+    agg = out.groupBy("k").agg(F.sum("id").alias("s"))
+    agg.collect()
+    # AQE's toString carries Final AND Initial plans — count in the final
+    final = agg._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+
+
+def test_in_memory_frame_untouched(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    assert scan_split_estimate(df) is None
+    assert fan_out(df) is df
+
+
+def test_wide_scan_untouched(spark, tmp_path, monkeypatch):
+    """A scan whose estimated splits >= parallelism gets no exchange.
+    Simulated by shrinking maxPartitionBytes so the tiny file yields
+    many splits."""
+    path = str(tmp_path / "wide")
+    spark.range(200_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).coalesce(1).write.parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df = spark.read.parquet(path)
+        est = scan_split_estimate(df)
+        assert est is not None and est >= spark.sparkContext.defaultParallelism
+        assert fan_out(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_estimate_never_touches_rdd(spark, tmp_path, monkeypatch):
+    """Crossing into df.rdd forces a Python-side conversion of the
+    analyzed plan — the exact hot-path cost this module exists to
+    avoid.  Trip a wire if any code path reads .rdd."""
+    path = str(tmp_path / "tiny4")
+    spark.range(10).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    def boom(self):
+        raise AssertionError("scan_split_estimate must not touch df.rdd")
+
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    assert scan_split_estimate(df) is not None
+    fan_out(df)

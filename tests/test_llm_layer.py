@@ -469,6 +469,29 @@ def test_connected_components_matches_python_union_find(spark):
         assert got == want, seed
 
 
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage truncation from
+    localCheckpoint (executor-local blocks, loss-fatal on a cluster) to
+    reliable checkpoint() files.  Labels must be identical in both
+    modes, and the reliable mode must actually write checkpoint files."""
+    import glob
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+    local = {r.doc_id: r.component_id for r in dd.connected_components(pairs).collect()}
+    ckpt = str(tmp_path / "ckpt")
+    reliable = {
+        r.doc_id: r.component_id
+        for r in dd.connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local
+    assert glob.glob(ckpt + "/*/rdd-*"), "reliable mode must write checkpoint files"
+
+
 def test_positional_filter_prunes_without_loss(spark):
     """PPJoin positional filter: candidates are a STRICT subset of the
     plain prefix-join candidates on a mixed corpus, survivors still
@@ -688,6 +711,58 @@ def test_boilerplate_matches_python_reference_property(spark):
         for i, (ng, nb) in want_frac.items():
             assert got[i][:2] == (ng, nb), (seed, i)
             assert got[i][2] == round(nb / ng, 6), (seed, i)
+
+
+def test_boilerplate_fraction_strided_matches_python_reference(spark):
+    """Strided scale path: df AND instances run over every stride-th
+    gram start; n_grams counts SAMPLED positions.  Verified against a
+    pure-Python reference over randomized corpora (incl. docs whose
+    last sampled position is mid-tail), plus stride=1 == exact."""
+    import random
+    from collections import Counter
+
+    from tg_reporting_etl_spark.functions import text as tx
+
+    for seed, n, min_df, stride in [(21, 3, 2, 2), (22, 3, 3, 3), (23, 2, 2, 4)]:
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d", "e"]
+        rows = []
+        for i in range(25):
+            k = rng.randint(1, 15)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        per_doc = {}
+        df_count: Counter = Counter()
+        for i, text in rows:
+            toks = text.split(" ")
+            grams = [
+                " ".join(toks[j : j + n]) for j in range(0, len(toks) - n + 1, stride)
+            ]
+            if len(toks) >= n:
+                per_doc[i] = grams
+        for i, grams in per_doc.items():
+            for g in set(grams):
+                df_count[g] += 1
+
+        got = {
+            r.doc_id: (r.n_grams, r.n_boiler, r.boiler_frac)
+            for r in tx.boilerplate_fraction(docs, n, min_df, stride=stride).collect()
+        }
+        assert set(got) == set(per_doc), (seed, stride)
+        for i, grams in per_doc.items():
+            ng = len(grams)
+            nb = sum(1 for g in grams if df_count[g] >= min_df)
+            assert got[i] == (ng, nb, round(nb / ng, 6)), (seed, i, stride)
+
+    # stride=1 is byte-identical to the exact operator
+    docs = spark.createDataFrame(
+        [(i, " ".join("abcde"[j % 5] for j in range(i + 1, i + 9))) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    exact = {tuple(r) for r in tx.boilerplate_fraction(docs, 3, 2).collect()}
+    s1 = {tuple(r) for r in tx.boilerplate_fraction(docs, 3, 2, stride=1).collect()}
+    assert s1 == exact
 
 
 def test_ivf_index_roundtrip_and_partition_pruning(spark, emb, tmp_path):

@@ -124,6 +124,9 @@ _CATALOG_PLAN_EXPECT: dict[str, dict[str, int]] = {
     # the SMJ is the final per-doc LeftOuter (two row-scale per-doc
     # sides — correct shape); the boiler set broadcasts onto instances
     "doc_boilerplate_fraction": {"bhj_min": 1, "smj_max": 2},
+    # strided scale path shares the exact variant's shape (the stride
+    # only thins the explode; joins are unchanged)
+    "doc_boilerplate_fraction_strided": {"bhj_min": 1, "smj_max": 2},
     "doc_dedup_best_rep": {"bhj_min": 1, "smj_max": 0, "pushdown_min": 1},
     "corpus_curation": {"bhj_min": 2, "smj_max": 0, "pushdown_min": 2},
     "doc_sequence_packing": {"bhj_min": 1, "smj_max": 0},

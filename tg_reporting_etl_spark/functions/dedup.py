@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tg_reporting_etl_spark.functions.fanout import fan_out
 from tg_reporting_etl_spark.functions.persist import tracked_persist
 
 MOD31 = 2147483647  # 2^31 - 1, keeps rolling-hash arithmetic in int64
@@ -73,11 +74,10 @@ def char_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     # shingling is CPU-bound (k·len(text) substrings + a per-row hash
     # set), so a compact scan (one small parquet file -> one partition)
     # would serialize it; spread the docs across the cluster first.
-    # No-op when the scan already has enough partitions (the 100 TB
-    # case — never add a shuffle there).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # Split count from scan-split arithmetic (functions/fanout.py), no
+    # RDD conversion; no-op when the scan already has enough partitions
+    # (the 100 TB case — never add a shuffle there).
+    docs = fan_out(docs)
     return (
         docs.filter(F.length("text") >= k)
         .select("doc_id", F.explode(arr).alias("shingle"))
@@ -705,9 +705,7 @@ def simhash_band_values(docs: DataFrame) -> DataFrame:
     64-term chain) keeps the generated code small enough that janino
     compile time doesn't dwarf the actual aggregation.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)  # CPU-bound fan-out; see char_shingles
+    docs = fan_out(docs)  # CPU-bound fan-out; see char_shingles
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn("_m", F.md5(F.concat_ws("|", F.lit("sh"), F.col("tok"))))
@@ -800,7 +798,7 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 30
+    pairs: DataFrame, max_iter: int = 30, *, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """Dup-pair graph -> components: (doc_id, component_id = min doc_id).
 
@@ -827,16 +825,43 @@ def connected_components(
     round ~15); checkpointing truncates lineage to a LogicalRDD per
     round, and the previous round's blocks are released as soon as the
     next round materializes.
+
+    DURABILITY: ``localCheckpoint`` truncates lineage to executor-LOCAL
+    blocks — on a multi-executor cluster, losing an executor mid-loop is
+    unrecoverable (the computation must restart from ``pairs``).  That
+    is the right local-mode default (zero file I/O), but for a 100 TB
+    cluster run pass ``checkpoint_dir`` (an HDFS/S3 path): the per-round
+    truncation then uses RELIABLE ``checkpoint()`` — labels are written
+    to the fault-tolerant store each round, so executor loss only
+    replays from the last round's files.  Label frames are (doc_id,
+    comp) pairs — tiny next to the corpus — and rounds are O(log n), so
+    the extra I/O is bounded; intermediate round files are left for the
+    caller/cluster checkpoint cleaner (``spark.cleaner.
+    referenceTracking.cleanCheckpoints``) because the returned plan
+    stays rooted at the final round's files.
     """
     from tg_reporting_etl_spark.sources.writers import _release_local_checkpoint
+
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+        def _release(df: DataFrame) -> None:
+            pass  # reliable files are the durability contract; never drop mid-loop
+    else:
+        _truncate = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        _release = _release_local_checkpoint
 
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     sym = tracked_persist(sym)
-    labels = (
+    labels = _truncate(
         sym.select(F.col("src").alias("doc_id")).distinct().withColumn("comp", F.col("doc_id"))
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -855,7 +880,7 @@ def connected_components(
             stepped.join(parent, stepped.comp == parent._p, "left")
             .select("doc_id", F.least("comp", F.coalesce("_pc", F.col("comp"))).alias("comp"))
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = _truncate(stepped)
         changed = (
             stepped.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -863,7 +888,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        _release_local_checkpoint(labels)
+        _release(labels)
         labels = stepped
         if changed == 0:
             break

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tg_reporting_etl_spark.functions.fanout import fan_out
 from tg_reporting_etl_spark.functions.persist import tracked_persist
 
 DEFAULT_SPAN_L = 20
@@ -67,6 +68,11 @@ def char_gram_rows(
     if stride < 1:
         raise ValueError("stride must be >= 1")
     t = F.col("text")
+    # the window hash is CPU-bound (one md5 per sampled start) and text
+    # compresses ~50x in parquet, so a compact scan would serialize it;
+    # fan out first (scan-split arithmetic, no RDD conversion — no-op
+    # when the scan is already wide, i.e. always at cluster scale)
+    docs = fan_out(docs)
     return (
         docs.filter(t.isNotNull() & (F.length(t) >= length))
         .select(

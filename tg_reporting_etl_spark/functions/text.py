@@ -142,15 +142,24 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.withColumn("fingerprint", fp)
 
 
-def word_ngram_rows(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, gram) instance rows: every length-``n`` word window of
-    ``text``.  Docs shorter than ``n`` words yield no rows (and so drop
-    out of downstream per-doc aggregates — mirrored by the oracle's
-    join).  The explode is the shingle pattern over words: map-side
-    only, no shuffle until a consumer aggregates."""
+def word_ngram_rows(docs: DataFrame, n: int = 3, stride: int = 1) -> DataFrame:
+    """(doc_id, gram) instance rows: every ``stride``-th length-``n``
+    word window of ``text`` (1-based starts 1, 1+stride, ...).  Docs
+    shorter than ``n`` words yield no rows (and so drop out of
+    downstream per-doc aggregates — mirrored by the oracle's join).
+    The explode is the shingle pattern over words: map-side only, no
+    shuffle until a consumer aggregates.  ``stride=1`` is exact;
+    ``stride=s>1`` divides the dominant explode row count by ``s`` —
+    the deterministic sampling scale path (same contract as
+    :func:`~tg_reporting_etl_spark.functions.spans.char_gram_rows`)."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    from tg_reporting_etl_spark.functions.fanout import fan_out
+
+    docs = fan_out(docs)  # explode is CPU-bound; no-op on a wide scan
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        F.sequence(F.lit(1), F.size(toks) - n + 1, F.lit(stride)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return docs.filter(F.size(toks) >= n).select("doc_id", F.explode(grams).alias("gram"))
@@ -182,7 +191,11 @@ def boilerplate_ngrams(
 
 
 def boilerplate_fraction(
-    docs: DataFrame, n: int = 3, min_df: int = 5, gram_df: DataFrame | None = None
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    gram_df: DataFrame | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """Per-doc fraction of n-gram instances that are corpus boilerplate
     (df >= ``min_df``) — the Gopher-style cross-document duplication
@@ -200,12 +213,28 @@ def boilerplate_fraction(
     outgrows the broadcast threshold, Catalyst degrades to a sort-merge
     join on gram — correct, one extra shuffle.  Docs with < n words
     have no gram instances and are absent, as in the oracle.  Pass a
-    precomputed ``gram_df`` to skip the df agg."""
+    precomputed ``gram_df`` to skip the df agg.
+
+    ``stride=s>1`` is the deterministic-sampling scale path: both the
+    df table (when not supplied) and the instance side run over every
+    ``s``-th gram start, dividing the dominant explode row count by
+    ``s``.  ``boiler_frac`` then estimates the exact fraction from the
+    sampled positions, and ``n_grams`` counts SAMPLED positions (so
+    n_boiler/n_grams stays a true fraction of what was inspected — no
+    silent mixing of sampled numerators with exact denominators).  A
+    supplied ``gram_df`` must be built with the SAME stride."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
     toks = F.split(F.col("text"), " ")
-    base = docs.filter(F.size(toks) >= n).select(
-        "doc_id", (F.size(toks) - n + 1).cast("long").alias("n_grams")
+    n_positions = (
+        (F.size(toks) - n + 1).cast("long")
+        if stride == 1
+        else (F.floor((F.size(toks) - n) / stride) + 1).cast("long")
     )
-    rows = word_ngram_rows(docs, n)
+    base = docs.filter(F.size(toks) >= n).select(
+        "doc_id", n_positions.alias("n_grams")
+    )
+    rows = word_ngram_rows(docs, n, stride)
     df_tbl = gram_doc_frequency(rows) if gram_df is None else gram_df
     boiler = df_tbl.filter(F.col("df") >= min_df).select("gram")
     boiler_counts = (

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tg_reporting_etl_spark.functions.fanout import fan_out
 from tg_reporting_etl_spark.config import PLAYER_SUMMARY_RTP
 from tg_reporting_etl_spark.functions.core import (
     clamped_sum,
@@ -130,11 +131,10 @@ def player_summary_5min(
     )
     # see trans_summary_5min: groups ≈ rows at this grain, so pre-
     # partitioning by the group keys replaces the agg exchange and
-    # parallelizes unsplittable single-row-group scans; no-op on a
-    # cluster-scale input
-    par = ppl.sparkSession.sparkContext.defaultParallelism
-    if f.rdd.getNumPartitions() < par:
-        f = f.repartition(par, *GROUP_KEYS)
+    # parallelizes unsplittable single-row-group scans; split count from
+    # scan-split arithmetic (functions/fanout.py), no RDD conversion;
+    # no-op on a cluster-scale input
+    f = fan_out(f, *GROUP_KEYS)
     win = F.window("round_time", "5 minutes")
     agg = f.groupBy(win.alias("w"), *GROUP_KEYS).agg(*base_player_aggs())
 

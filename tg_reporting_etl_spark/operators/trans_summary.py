@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tg_reporting_etl_spark.functions.fanout import fan_out
 from tg_reporting_etl_spark.functions.core import (
     cond_count,
     cond_sum,
@@ -77,10 +78,9 @@ def trans_summary_5min(
     # the group keys replaces the agg exchange (subset hash satisfies the
     # clustering requirement) AND parallelizes the decode when the scan
     # has fewer splits than cores (single-row-group files can't split).
-    # No-op at cluster scale, where the scan already has enough splits.
-    par = pvl.sparkSession.sparkContext.defaultParallelism
-    if filtered.rdd.getNumPartitions() < par:
-        filtered = filtered.repartition(par, *GROUP_KEYS)
+    # Split count comes from scan-split arithmetic (functions/fanout.py)
+    # — never an RDD conversion; no-op at cluster scale.
+    filtered = fan_out(filtered, *GROUP_KEYS)
     win = F.window("trade_time", "5 minutes")
     agg = filtered.groupBy(win.alias("w"), *GROUP_KEYS).agg(*_base_aggs(pvl))
     return agg.select(*GROUP_KEYS, *MEASURES, *window_time_keys(F.col("w.start"), "5min"))

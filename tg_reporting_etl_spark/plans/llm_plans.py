@@ -1604,6 +1604,54 @@ def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Strided scale path of the boilerplate fraction: every BP_STRIDE-th
+# gram start on BOTH the df and the instance side — the dominant
+# word-trigram explode divides by the stride.  Deterministic sampling
+# (fixed positions, not random), oracle-checked cross-engine at the
+# sampled positions, so the approximation itself is verified, not just
+# bounded.  This is the 10x+ probe default; the exact variant stands
+# oracle-proven at sf0.01/sf0.1.
+BP_STRIDE = 3
+
+_BP_CTES_STRIDED = f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{BP_N - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - {BP_N - 1}, {BP_STRIDE})) s(i)
+),
+gdf AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM grams GROUP BY 1)"""
+
+
+@register(
+    "doc_boilerplate_fraction_strided",
+    f"""{_BP_CTES_STRIDED}
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (d.df >= {BP_MIN_DF}) AS BIGINT) AS n_boiler,
+       ROUND(count(*) FILTER (d.df >= {BP_MIN_DF}) * 1.0 / count(*), 6) + 0.0 AS boiler_frac
+FROM grams g JOIN gdf d USING (gram)
+GROUP BY g.doc_id""",
+    survey_ids="LLM: per-doc cross-doc-duplication fraction, strided scale path",
+)
+def q_doc_boilerplate_fraction_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/text.py:boilerplate_fraction stride=BP_STRIDE — the
+    deterministic-sampling scale path (explode rows / stride; df and
+    instances share the stride so n_boiler/n_grams is a true fraction
+    of the inspected positions)."""
+    return tx.boilerplate_fraction(
+        _docs(spark, sf_dir),
+        BP_N,
+        BP_MIN_DF,
+        gram_df=cached_df(
+            spark,
+            f"bp_gram_df_strided|{sf_dir}",
+            lambda: tx.gram_doc_frequency(
+                tx.word_ngram_rows(_docs(spark, sf_dir), BP_N, BP_STRIDE)
+            ),
+        ),
+        stride=BP_STRIDE,
+    )
+
+
 # Per-source token-length quantiles: the distribution report behind
 # length-filter threshold choices.
 _QUANTILES_ORACLE = """SELECT source,

@@ -78,7 +78,13 @@ PROBE_QUERIES = [
     "embedding_dup_pairs_banded",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
-    "doc_dup_spans",
+    # span STATS at probe scale run the strided operator (rows/stride,
+    # coverage a proven subset of exact — tests/test_spans.py; oracle
+    # checked cross-engine at the sampled positions).  The exact
+    # stride-1 variant stands oracle-proven at sf0.01/sf0.1; at 10x+ it
+    # is the documented degrade path, not the default (round-11 task:
+    # 49.7 s exact -> strided under the probe budget)
+    "doc_dup_spans_strided",
     "doc_tfidf_topterms",
     "doc_sequence_packing",
     # round-9 additions: skew diagnostics on the 10x events table, and
@@ -91,8 +97,12 @@ PROBE_QUERIES = [
     # dup-heavy worst cases for the round-9 data-path rewrites: with 10
     # byte-identical replicas every trigram clears min_df, so the
     # boiler set degenerates to ALL grams (the rewrite's filter prunes
-    # nothing) and every eval shingle hits the train set
-    "doc_boilerplate_fraction",
+    # nothing) and every eval shingle hits the train set.  Boilerplate
+    # at probe scale runs the strided operator (df + instance sides
+    # share the stride; deterministic sampling, own oracle) — the exact
+    # variant stands oracle-proven at sf0.01/sf0.1 (round-11 task:
+    # 36.6 s exact -> strided under the probe budget)
+    "doc_boilerplate_fraction_strided",
     "doc_eval_overlap_report",
     # removal surgery on the dup-heavy corpus: nearly every doc is a
     # non-keeper replica, so whole bodies are excised — worst case for
@@ -111,10 +121,10 @@ PROBE_QUERIES = [
 #: not in stderr (round-10 task: the two gram-explode-bound probes plus
 #: the new banded embedding path join the original three)
 PLAN_EVIDENCE = {
-    "doc_dup_spans",
+    "doc_dup_spans_strided",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
-    "doc_boilerplate_fraction",
+    "doc_boilerplate_fraction_strided",
     "doc_remove_dup_spans",
     "embedding_dup_pairs_banded",
     "doc_eval_overlap_report",
