@@ -137,3 +137,51 @@ def test_fs_path_exists_probe(spark, tmp_path):
     f = tmp_path / "probe_file.txt"
     f.write_text("x")
     assert fs_path_exists(spark, str(f))
+
+
+def test_read_if_committed_classifies_torn_vs_transient(spark, tmp_path):
+    """None is reserved for KNOWN torn/absent-sink signatures; any other
+    failure must RAISE (a None return can trigger a destructive
+    bootstrap overwrite downstream — see submit_rerun_requests)."""
+    import os
+
+    import pytest
+
+    from tg_reporting_etl_spark.sources import readers as rd
+
+    # absent dir -> None (bootstrap)
+    assert rd.read_parquet_if_committed(spark, str(tmp_path / "absent")) is None
+
+    # existing-but-file-less dir, no schema -> schema inference fails
+    # with the torn-sink signature -> None (bootstrap)
+    torn = tmp_path / "torn"
+    os.makedirs(torn / "_temporary")
+    assert rd.read_parquet_if_committed(spark, str(torn)) is None
+
+    # committed dir -> DataFrame
+    good = str(tmp_path / "good")
+    spark.range(5).write.parquet(good)
+    assert rd.read_parquet_if_committed(spark, good).count() == 5
+
+    # transient/unknown failure -> RAISES, never a silent bootstrap
+    # (fake session: the real one is never mutated)
+    class Boom(Exception):
+        pass
+
+    class _Reader:
+        def schema(self, *_a):
+            return self
+
+        def parquet(self, *_a):
+            raise Boom("connection reset by peer")
+
+    class _FakeSpark:
+        read = _Reader()
+
+    real_probe = rd.fs_path_exists
+    rd.fs_path_exists = lambda *_a: True
+    try:
+        with pytest.raises(Boom):
+            rd.read_parquet_if_committed(_FakeSpark(), good)
+    finally:
+        rd.fs_path_exists = real_probe

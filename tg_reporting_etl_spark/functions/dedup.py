@@ -581,10 +581,16 @@ def ngram_jaccard_dedup_capped(
     docs: DataFrame,
     tau: float,
     k: int = 5,
+    *,
     max_df: int = _CAPPED_MAX_DF,
     shingles: DataFrame | None = None,
     max_df_divisor: int | None = None,
 ) -> DataFrame:
+    # keyword-only after k: the 4th positional slot used to mean
+    # max_df_divisor (divisor, default 20) and now means max_df (an
+    # absolute cap) — a legacy positional call like f(docs, tau, 5, 20)
+    # would silently get max_df=20 instead of n//20; forcing keywords
+    # makes such calls fail loudly instead of changing semantics.
     """n-gram Jaccard near-dup with df-capped candidate generation.
 
     The cap is an APPROXIMATION: a pair whose shared shingles are all

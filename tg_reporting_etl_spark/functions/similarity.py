@@ -25,9 +25,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float vectors (double math)."""
+    """Cosine similarity of two float vectors (double math).
+
+    Degenerate-vector contract (family-wide): an all-zero vector has no
+    defined direction, so its cosine is NULL (``try_divide``) and it
+    can never clear a ``>= tau`` filter — the same observable outcome
+    as the Arrow verify path's norm clamp (cos 0).  A bare ``/`` would
+    instead throw DIVIDE_BY_ZERO under ANSI mode the first time a
+    degenerate vector appears in production data."""
     ad, bd = _dvec(a), _dvec(b)
-    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+    return F.try_divide(_dot(ad, bd), F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
 
 
 def brute_force_topk(embeddings: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
@@ -329,7 +336,11 @@ def embedding_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
     b = with_norm.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("n2b")
     )
-    cos = _dot(_dvec(F.col("ea")), _dvec(F.col("eb"))) / (F.sqrt("n2a") * F.sqrt("n2b"))
+    # try_divide: an all-zero vector's 0/0 yields NULL (never >= tau),
+    # matching cosine()'s contract instead of an ANSI DIVIDE_BY_ZERO
+    cos = F.try_divide(
+        _dot(_dvec(F.col("ea")), _dvec(F.col("eb"))), F.sqrt("n2a") * F.sqrt("n2b")
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
@@ -405,8 +416,13 @@ def verify_cosine_pairs(embeddings: DataFrame, pairs: DataFrame, tau: float) -> 
                 continue
             u = np.stack(pdf["_ea"].to_numpy()).astype("float64")
             v = np.stack(pdf["_eb"].to_numpy()).astype("float64")
-            u /= np.linalg.norm(u, axis=1, keepdims=True)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            # clamp: an all-zero vector would give 0/0 -> NaN (plus a
+            # numpy RuntimeWarning per batch) and be silently dropped;
+            # with the clamp its cosine is a defined 0.0, which the
+            # tau filter then excludes — the same outcome as the fold
+            # path's try_divide NULL, but documented and warning-free
+            u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-300)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             cos = np.round(np.einsum("ij,ij->i", u, v), 6)
             keep = cos >= tau
             yield pd.DataFrame(

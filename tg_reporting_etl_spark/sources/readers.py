@@ -82,8 +82,23 @@ def read_parquet_if_committed(
         df = reader.parquet(path)
         df.schema  # force resolution: an inferred file-less dir fails HERE
         return df
-    except Exception:
-        return None
+    except Exception as exc:  # noqa: BLE001 — classified below
+        # Only the KNOWN torn/absent-sink signatures may take the
+        # bootstrap branch: callers treat None as "no committed data"
+        # and may OVERWRITE the sink (submit_rerun_requests replaces the
+        # whole journal).  A transient failure (FS listing error,
+        # permission blip) must RAISE — swallowing it here would let a
+        # replay path destroy a perfectly committed table.
+        msg = str(exc)
+        torn = (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+        )
+        if torn:
+            return None
+        raise
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

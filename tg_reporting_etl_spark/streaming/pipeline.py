@@ -272,9 +272,13 @@ def start_near_dup_sink(
             )
         ]
         hist = read_parquet_if_committed(spark, band_path, band_schema)
-        hist_sigs = (
-            read_parquet_if_committed(spark, sig_path, sig_schema) if hist is not None else None
-        )
+        # read the signatures table INDEPENDENTLY of the bands table:
+        # writes are ordered pairs->signatures->bands, so a crash
+        # between the signatures and bands appends leaves sigs committed
+        # with bands absent — gating this read on `hist` would skip the
+        # signatures anti-join on replay and append the batch's rows a
+        # second time (duplicate doc_id rows accumulating in the index)
+        hist_sigs = read_parquet_if_committed(spark, sig_path, sig_schema)
         if hist is not None:
             # history never collides with itself here — those pairs were
             # reported when their younger doc arrived
