@@ -1375,3 +1375,31 @@ def test_embedding_dup_components_cluster_near_dups(spark):
     for fam, labels in families.items():
         assert len(labels) == 1, f"family {fam} split: {labels}"
         assert min(labels) == fam * 3
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """mean -log2 p(tok) under the corpus unigram distribution equals a
+    driver-side pure-Python computation; NULL text drops."""
+    import math
+
+    from collections import Counter
+
+    from tg_reporting_etl_spark.functions import text as tx
+
+    rows = [
+        (1, "a a b"),
+        (2, "b c"),
+        (3, "a c c d"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = Counter(t for _, x in rows if x for t in x.split(" "))
+    total = sum(counts.values())
+
+    got = {r.doc_id: r for r in tx.unigram_logprob(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    for i, text in rows[:3]:
+        toks = text.split(" ")
+        want = math.log2(total) - sum(math.log2(counts[t]) for t in toks) / len(toks)
+        assert got[i].n_tokens == len(toks)
+        assert abs(got[i].neg_log2p - round(want, 6)) < 2e-6, i

@@ -212,6 +212,9 @@ _BNLJ_ALLOWED = {
     # tfidf cross-joins the ONE-ROW corpus-size aggregate (scalar
     # broadcast shape)
     "doc_tfidf_topterms",
+    # unigram logprob cross-joins the ONE-ROW total-tokens aggregate
+    # (same scalar broadcast shape as tfidf)
+    "doc_unigram_logprob",
     # skew profile cross-joins the ONE-ROW (total, n_keys) aggregate
     "events_key_skew_profile",
 }

@@ -110,3 +110,36 @@ def test_temperature_sample_deterministic_and_narrow(spark):
     with contextlib.redirect_stdout(buf):
         sp.temperature_sample(df, "source", 2.0).explain("formatted")
     assert "SortMergeJoin" not in buf.getvalue()  # plan table broadcasts
+
+
+def test_token_mixture_plan_rates_and_shortfall(spark):
+    """Fixed token budget: undersubscribed source gets rate < 1 and zero
+    shortfall; oversubscribed source pins rate at 1.0 and reports the
+    exact token deficit; unweighted sources are excluded."""
+    from tg_reporting_etl_spark.functions.sampling import token_mixture_plan
+
+    rows = [
+        # srcA: 3 docs x 4 tokens = 12 tokens
+        *[(i, "a b c d", "srcA") for i in range(3)],
+        # srcB: 2 docs x 2 tokens = 4 tokens
+        *[(10 + i, "x y", "srcB") for i in range(2)],
+        # srcC: unweighted, must not appear
+        (20, "p q r", "srcC"),
+        # NULL text drops from accounting
+        (21, None, "srcA"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = {
+        r.source: r
+        for r in token_mixture_plan(
+            docs, {"srcA": 0.25, "srcB": 0.75}, token_budget=20
+        ).collect()
+    }
+    assert set(plan) == {"srcA", "srcB"}
+    a, b = plan["srcA"], plan["srcB"]
+    # srcA: avail 12, target floor(0.25*20)=5 -> rate 5/12, no shortfall
+    assert (a.avail_tokens, a.target_tokens, a.shortfall_tokens) == (12, 5, 0)
+    assert a.sampling_rate == round(5 / 12, 6)
+    # srcB: avail 4, target floor(0.75*20)=15 -> rate 1.0, shortfall 11
+    assert (b.avail_tokens, b.target_tokens, b.shortfall_tokens) == (4, 15, 11)
+    assert b.sampling_rate == 1.0

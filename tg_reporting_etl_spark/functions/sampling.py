@@ -182,3 +182,56 @@ def mixture_sample(
     return df.join(F.broadcast(fr), strata_col).filter(
         hash_uniform(F.col(key_col), salt) < F.col("fraction")
     )
+
+
+def token_mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+) -> DataFrame:
+    """TOKEN-budget mixture plan with shortfall accounting — the data-
+    mixing planning step of a pre-training run: "I want ``token_budget``
+    training tokens at composition ``weights``; what sampling rate does
+    each source get, and where does the corpus fall short?"
+
+    Differs from :func:`mixture_fractions` (doc-count feasible-total) on
+    both axes real runs care about: accounting is in TOKENS (whitespace
+    tokens here; any per-doc token expression works), and the budget is
+    FIXED — a source that cannot supply its share reports a shortfall
+    (rate pinned at 1.0) instead of silently shrinking the total.  The
+    mix designer then re-weights or up-samples deliberately (epochs over
+    a small source are a policy choice, never an implicit one).
+
+    Per source: avail_tokens (exact int sum), target_tokens =
+    floor(weight·budget) (exact int), sampling_rate =
+    round(min(1, target/avail), 6), shortfall_tokens =
+    max(0, target - avail).  Sources outside ``weights`` are excluded
+    (weight 0).  All outputs are integers except the two rounded
+    doubles, so the frame is engine-parity-safe.  Bounded size: one
+    token-count agg per source (map-side partial over the scan), then
+    literal arithmetic on a sources-sized table.
+    """
+    wt = F.lit(0.0)
+    for value, p in weights.items():
+        wt = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(wt)
+    avail = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(strata_col)
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"))
+        .withColumn("target_weight", wt)
+        .filter(F.col("target_weight") > 0)
+    )
+    target = F.floor(F.col("target_weight") * F.lit(int(token_budget))).cast("long")
+    return avail.select(
+        strata_col,
+        "avail_tokens",
+        F.round("target_weight", 6).alias("target_weight"),
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("avail_tokens")), 6
+        ).alias("sampling_rate"),
+        F.greatest(F.lit(0).cast("long"), target - F.col("avail_tokens")).alias(
+            "shortfall_tokens"
+        ),
+    )

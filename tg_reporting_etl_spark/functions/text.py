@@ -247,3 +247,46 @@ def boilerplate_fraction(
         .withColumn("n_boiler", F.coalesce("n_boiler", F.lit(0)).cast("long"))
         .withColumn("boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 6))
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram language-model quality proxy (CCNet shape):
+    mean -log2 p(token) under the corpus unigram distribution, p(tok) =
+    corpus_count(tok) / total_tokens.
+
+    The cheap stand-in for CCNet's wikipedia-LM perplexity filter: low
+    mean surprisal = common-word text (template/boilerplate-leaning),
+    high = rare-token text (specialized content — or noise); curation
+    keeps a band.  Within-corpus it ranks documents by how "expected"
+    their token mix is, with no external model artifact.
+
+    Plan (two passes, both bounded): token explode (narrow, fan-out
+    guarded) -> vocabulary-bounded frequency table -> broadcast-join
+    frequencies back onto the token stream -> one per-doc aggregate.
+    mean(-log2 p) = log2(total) - mean(log2 cnt), computed that way so
+    the only float summation is over log2 of exact integer counts.
+    NULL text drops (text-family contract).  Returns (doc_id, n_tokens,
+    neg_log2p), neg_log2p rounded to 6 places for engine parity.
+    """
+    from tg_reporting_etl_spark.functions.fanout import fan_out
+
+    docs = fan_out(docs)
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = tf.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        toks.join(F.broadcast(tf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log2("cnt")).alias("_mean_log_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log2("total") - F.col("_mean_log_cnt"), 6).alias("neg_log2p"),
+        )
+    )

@@ -2042,3 +2042,83 @@ FROM documents""",
 )
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_metadata_expr(mm.attach_fake_media(_docs(spark, sf_dir)))
+
+
+# ------------------------------------------- round-11 additions (text/plan)
+
+# Unigram LM quality proxy (CCNet shape): per-doc mean -log2 p(token)
+# under the corpus unigram distribution.  mean(-log2 p) = log2(total) -
+# mean(log2 cnt), so the only float summation is over log2 of exact
+# integer counts — same expression both engines, rounded to 6.
+@register(
+    "doc_unigram_logprob",
+    """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(log2(tot.total) - AVG(log2(f.cnt)), 6) + 0.0 AS neg_log2p
+FROM toks t JOIN tf f USING (tok), tot
+GROUP BY t.doc_id, tot.total""",
+    survey_ids="LLM: unigram-LM quality proxy (CCNet perplexity-filter shape)",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/text.py:unigram_logprob — token explode (fan-out
+    guarded) -> vocab-bounded frequency table -> broadcast join back ->
+    one per-doc aggregate.  At 100 TB the frequency table stays
+    vocabulary-bounded; the corpus shuffles once, keyed by doc_id."""
+    return tx.unigram_logprob(_docs(spark, sf_dir))
+
+
+# Token-budget mixture planning: fixed budget, per-source sampling
+# rates, EXPLICIT shortfall where the corpus cannot supply its share.
+# Weights chosen so both regimes appear at every sf: src0 undersubscribed
+# (rate < 1), src1/src2 oversubscribed (rate 1.0 + shortfall) — the
+# budget is half the corpus's total tokens, so regimes are sf-invariant.
+TOKEN_MIX_WEIGHTS = {"src0": 0.02, "src1": 0.38, "src2": 0.6}
+
+_TOKEN_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in TOKEN_MIX_WEIGHTS.items())
+    + " ELSE 0.0 END"
+)
+
+
+@register(
+    "corpus_token_mixture_plan",
+    f"""WITH tot AS (
+  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) // 2 AS budget
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
+         {_TOKEN_MIX_CASE} AS wt
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+)
+SELECT source, avail_tokens,
+       ROUND(wt, 6) + 0.0 AS target_weight,
+       CAST(floor(wt * budget) AS BIGINT) AS target_tokens,
+       ROUND(LEAST(1.0, floor(wt * budget) / avail_tokens), 6) + 0.0 AS sampling_rate,
+       GREATEST(CAST(0 AS BIGINT), CAST(floor(wt * budget) AS BIGINT) - avail_tokens)
+         AS shortfall_tokens
+FROM b, tot WHERE wt > 0""",
+    survey_ids="LLM: token-budget mixture plan with shortfall accounting",
+)
+def q_corpus_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/sampling.py:token_mixture_plan — one map-side-partial
+    token-count agg per source, then literal arithmetic on a
+    sources-sized table.  The budget (corpus total // 2) is a one-row
+    scalar collect: plan-time configuration, not a data-sized pull."""
+    from tg_reporting_etl_spark.functions import sampling as sp
+
+    docs = _docs(spark, sf_dir)
+    total = (
+        docs.filter(F.col("text").isNotNull())
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long"))
+        .first()[0]
+    )
+    return sp.token_mixture_plan(docs, TOKEN_MIX_WEIGHTS, int(total) // 2)
