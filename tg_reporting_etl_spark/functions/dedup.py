@@ -1010,10 +1010,12 @@ def eval_overlap_report(
     )
 
 
-def dedup_keepers(pairs: DataFrame) -> DataFrame:
+def dedup_keepers(pairs: DataFrame, *, checkpoint_dir: str | None = None) -> DataFrame:
     """Component membership + keeper flag: one kept doc per component
-    (the min doc_id, matching :func:`exact_dedup`'s keeper rule)."""
-    comp = connected_components(pairs)
+    (the min doc_id, matching :func:`exact_dedup`'s keeper rule).
+    ``checkpoint_dir`` passes through to :func:`connected_components`
+    (reliable per-round checkpoints for cluster runs)."""
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return comp.select(
         "doc_id",
         "component_id",
@@ -1026,6 +1028,7 @@ def best_representatives(
     pairs: DataFrame | None = None,
     *,
     components: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Quality-aware keeper selection: one representative per near-dup
     component — the HIGHEST-quality member, not the smallest id.
@@ -1054,7 +1057,7 @@ def best_representatives(
     if components is None:
         if pairs is None:
             raise ValueError("best_representatives needs `pairs` or `components`")
-        components = connected_components(pairs)
+        components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     member = components.join(scored.select("doc_id", "quality"), "doc_id")
     return (
         member.groupBy("component_id")
