@@ -14,6 +14,6 @@ re-certify the full catalog.  The fix for a red run is always the same:
 def test_every_catalog_query_is_harness_checked(capsys):
     from tools import coverage_guard
 
-    rc = coverage_guard.main()
+    rc = coverage_guard.main(argv=[])  # explicit: pytest's own argv must not leak in
     out = capsys.readouterr().out
     assert rc == 0, f"coverage guard failed:\n{out}"

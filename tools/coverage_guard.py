@@ -47,8 +47,9 @@ def _names(path: str | None) -> set[str]:
     return set(qs) if isinstance(qs, dict) else set()
 
 
-def main() -> int:
-    suffix = sys.argv[1] if len(sys.argv) > 1 else None
+def main(argv: list[str] | None = None) -> int:
+    args = sys.argv[1:] if argv is None else argv
+    suffix = args[0] if args else None
     corr = (
         os.path.join(ROOT, f"CORRECTNESS_{suffix}.json")
         if suffix
