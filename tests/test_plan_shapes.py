@@ -222,20 +222,13 @@ _BNLJ_ALLOWED = {
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("name", list(_entry.queries().keys()))
-def test_catalog_plan_shapes(spark, sf_dir, name):
-    df = _entry.queries()[name](spark, sf_dir)
-    plan = _plan(df)
-
+def _assert_shape(name: str, plan: str, exp: dict[str, int]) -> None:
     # universal: no unconditional cartesian product, ever
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     if name not in _BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
-
-    if not sf_dir.rstrip("/").endswith("sf0.001"):
+    if exp is None:
         return  # count baselines are calibrated at the default test SF
-
-    exp = _CATALOG_PLAN_EXPECT.get(name, {})
     bhj = plan.count("BroadcastHashJoin")
     smj = plan.count("SortMergeJoin")
     pushed = [
@@ -246,6 +239,39 @@ def test_catalog_plan_shapes(spark, sf_dir, name):
     assert len(pushed) >= exp.get("pushdown_min", 0), (
         f"{name}: pushed-filter scans dropped to {len(pushed)}"
     )
+
+
+@_pytest.mark.parametrize("name", list(_entry.queries().keys()))
+def test_catalog_plan_shapes(spark, sf_dir, name):
+    df = _entry.queries()[name](spark, sf_dir)
+    plan = _plan(df)
+
+    exp = (
+        _CATALOG_PLAN_EXPECT.get(name, {})
+        if sf_dir.rstrip("/").endswith("sf0.001")
+        else None
+    )
+    try:
+        _assert_shape(name, plan, exp)
+    except AssertionError:
+        # The shape contract is calibrated against the query's DESIGNED
+        # cache state: its own cached_df subtrees persisted, nothing
+        # else.  Under arbitrary suite order the session can be in any
+        # other state — extra caches from unrelated tests substitute
+        # InMemoryRelations over the parquet scans (hiding
+        # PushedFilters), or a prior clearCache left stale python-side
+        # cache entries UNpersisted (raw subtrees with unknown stats ->
+        # broadcast decisions flip to SMJ).  Both are correct engine
+        # behavior, not shape regressions: reset to the designed state
+        # (drop JVM cache + the python-side registry so cached_df
+        # re-persists during construction) and re-derive the plan once.
+        from tg_reporting_etl_spark.plans import util as _plan_util
+
+        spark.catalog.clearCache()
+        _plan_util._DF_CACHE.clear()
+        _plan_util._BUILD_TIMES.clear()
+        fresh = _plan(_entry.queries()[name](spark, sf_dir))
+        _assert_shape(name, fresh, exp)
 
 
 def test_key_skew_profile_single_shuffle_takeordered(spark, sf_dir):
