@@ -49,10 +49,23 @@ def test_fan_out_with_keys_hashes_on_keys(spark, tmp_path):
     assert final.count("Exchange") == 1
 
 
-def test_in_memory_frame_untouched(spark):
-    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
-    assert scan_split_estimate(df) is None
-    assert fan_out(df) is df
+def test_in_memory_frames_use_physical_partition_fallback(spark):
+    """Non-file frames (fixtures, foreachBatch micro-batches) fall back
+    to the JVM physical partition count: a 1-slice frame fans out (the
+    pre-round-11 behavior — a 1-partition Kafka topic serializes CPU
+    work exactly like a 1-split file), a frame already at parallelism
+    is untouched."""
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100, numPartitions=1).selectExpr("id", "id * 2 AS v")
+    est = scan_split_estimate(narrow)
+    assert est == 1
+    widened = fan_out(narrow)
+    assert widened is not narrow
+    assert widened.count() == 100
+
+    wide = spark.range(100, numPartitions=par).selectExpr("id")
+    assert scan_split_estimate(wide) == par
+    assert fan_out(wide) is wide
 
 
 def test_wide_scan_untouched(spark, tmp_path, monkeypatch):

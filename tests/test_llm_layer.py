@@ -1320,32 +1320,32 @@ def test_shingle_novelty_truth_table(spark):
 
 
 def test_zero_norm_embedding_never_matches(spark):
-    """Degenerate-vector contract, both verify paths: an all-zero
-    embedding has no direction, so it never clears >= tau — NULL cosine
-    on the fold path (try_divide, no ANSI DIVIDE_BY_ZERO), clamped 0.0
-    on the Arrow path (no NaN, no numpy RuntimeWarning)."""
-    import warnings
-
+    """Degenerate-vector contract, both verify paths and EVERY tau: an
+    all-zero embedding has no direction, so its pairs never survive —
+    NULL cosine on the fold path (try_divide, no ANSI DIVIDE_BY_ZERO),
+    explicit drop on the Arrow path.  tau=0.0 is the case where a
+    clamped cos of 0.0 would otherwise pass (0.0 >= 0.0) and the two
+    paths would diverge."""
     rows = [
         (1, [1.0, 0.0, 0.0]),
         (2, [1.0, 0.0, 0.0]),   # exact twin of 1
         (3, [0.0, 0.0, 0.0]),   # degenerate
     ]
     emb3 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-
-    exact = {(r.vec_a, r.vec_b) for r in sim.embedding_dup_pairs(emb3, 0.9).collect()}
-    assert exact == {(1, 2)}
-
     pairs = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3)], "vec_a long, vec_b long"
     )
-    with warnings.catch_warnings():
-        warnings.simplefilter("error", RuntimeWarning)
+
+    for tau in (0.9, 0.0):
+        exact = {
+            (r.vec_a, r.vec_b) for r in sim.embedding_dup_pairs(emb3, tau).collect()
+        }
+        assert exact == {(1, 2)}, tau
         verified = {
             (r.vec_a, r.vec_b, r.cos_sim)
-            for r in sim.verify_cosine_pairs(emb3, pairs, 0.9).collect()
+            for r in sim.verify_cosine_pairs(emb3, pairs, tau).collect()
         }
-    assert verified == {(1, 2, 1.0)}
+        assert verified == {(1, 2, 1.0)}, tau
 
 
 def test_embedding_dup_components_cluster_near_dups(spark):

@@ -143,3 +143,16 @@ def test_token_mixture_plan_rates_and_shortfall(spark):
     # srcB: avail 4, target floor(0.75*20)=15 -> rate 1.0, shortfall 11
     assert (b.avail_tokens, b.target_tokens, b.shortfall_tokens) == (4, 15, 11)
     assert b.sampling_rate == 1.0
+
+    # a weighted source ABSENT from the corpus still reports: the
+    # missing-source case is the maximal shortfall and must never be
+    # the one case that emits no row
+    plan2 = {
+        r.source: r
+        for r in token_mixture_plan(
+            docs, {"srcA": 0.5, "srcGhost": 0.5}, token_budget=40
+        ).collect()
+    }
+    g = plan2["srcGhost"]
+    assert (g.avail_tokens, g.target_tokens, g.shortfall_tokens) == (0, 20, 20)
+    assert g.sampling_rate == 1.0

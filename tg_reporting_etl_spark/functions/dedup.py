@@ -849,7 +849,18 @@ def connected_components(
     from tg_reporting_etl_spark.sources.writers import _release_local_checkpoint
 
     spark = pairs.sparkSession
+    restore_ckpt_dir: str | None = None
     if checkpoint_dir is not None:
+        # setCheckpointDir is SESSION-GLOBAL: remember the caller's dir
+        # (if any) and restore it on exit so this loop never silently
+        # redirects unrelated checkpoint() calls elsewhere in the app.
+        # A previously-UNSET dir cannot be unset again (no public API);
+        # that one residue is documented here.
+        try:
+            prev = spark.sparkContext._jsc.sc().getCheckpointDir()
+            restore_ckpt_dir = prev.get() if prev.isDefined() else None
+        except Exception:
+            restore_ckpt_dir = None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _truncate(df: DataFrame) -> DataFrame:
@@ -865,6 +876,14 @@ def connected_components(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     sym = tracked_persist(sym)
+    try:
+        return _components_loop(sym, max_iter, _truncate, _release)
+    finally:
+        if restore_ckpt_dir is not None and restore_ckpt_dir != checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(restore_ckpt_dir)
+
+
+def _components_loop(sym, max_iter, _truncate, _release) -> DataFrame:
     labels = _truncate(
         sym.select(F.col("src").alias("doc_id")).distinct().withColumn("comp", F.col("doc_id"))
     )

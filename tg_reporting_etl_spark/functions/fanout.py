@@ -12,8 +12,21 @@ will do, not from a blanket ``repartition``.
 (`FilePartition.maxSplitBytes`: maxSplitBytes = min(maxPartitionBytes,
 max(openCostInBytes, totalBytes / leaf parallelism)); files are split
 to that size and bin-packed) from ``df.inputFiles()`` + file sizes —
-NO ``df.rdd`` conversion, which would force a Python->RDD round trip
-of the analyzed plan on the hot path.
+NO ``df.rdd`` conversion, which would force a Python-side RDD wrapper
+of the analyzed plan on the hot path.  Estimates are memoized per
+(application, file set, split confs): repeated query constructions
+over the same table (four dedup entry points share char_shingles; a
+streaming sink constructs per micro-batch) pay the driver-side file
+stats once, not per call — on an object store each getFileStatus is a
+network round trip.
+
+NON-FILE frames (createDataFrame fixtures, foreachBatch micro-batches
+from memory/Kafka sources: ``inputFiles() == []``) fall back to the
+JVM-side physical partition count (``queryExecution().toRdd().
+getNumPartitions()`` — plans the query but moves no data and builds no
+Python RDD wrapper).  A single-partition Kafka topic or parallelized
+fixture is exactly as serializing as a single-split file scan, and the
+pre-round-11 gate fanned those out too.
 
 ``fan_out`` repartitions only when the estimated split count is below
 the session's default parallelism.  The two regimes:
@@ -23,10 +36,6 @@ the session's default parallelism.  The two regimes:
   amplifying operator downstream;
 - cluster-scale input: splits >= cores, estimate says so, no-op —
   never an added shuffle at 100 TB.
-
-In-memory frames (createDataFrame/LocalRelation: ``inputFiles() ==
-[]``) are left untouched — their slicing already reflects the caller's
-choice and test fixtures are tiny.
 """
 
 from __future__ import annotations
@@ -38,6 +47,9 @@ from pyspark.sql import DataFrame
 #: gate on (cap keeps the driver-side stat loop O(cores), not O(files))
 _STAT_CAP = 256
 
+#: (app_id, files tuple, maxPartitionBytes, openCostInBytes) -> estimate
+_ESTIMATE_CACHE: dict[tuple, int] = {}
+
 
 def _bytes_conf(spark, key: str, default: int) -> int:
     try:
@@ -47,21 +59,33 @@ def _bytes_conf(spark, key: str, default: int) -> int:
         return default
 
 
+def _physical_partitions(df: DataFrame) -> int | None:
+    """JVM-side partition count of the planned query — no Python RDD
+    wrapper, no job, no data movement.  None if internals shift."""
+    try:
+        return int(df._jdf.queryExecution().toRdd().getNumPartitions())
+    except Exception:
+        return None
+
+
 def scan_split_estimate(df: DataFrame) -> int | None:
-    """Estimated number of scan splits for ``df``'s file sources, from
-    file count/sizes and Spark's split formula.  ``None`` for non-file
-    sources (nothing to estimate).  Never touches ``df.rdd``."""
+    """Estimated number of scan splits for ``df``: file-stat arithmetic
+    for file sources, JVM physical partition count otherwise.  ``None``
+    only when neither path can answer.  Never touches ``df.rdd``."""
     spark = df.sparkSession
     try:
         files = df.inputFiles()
     except Exception:
-        return None
+        files = []
     if not files:
-        return None
+        return _physical_partitions(df)
     if len(files) > _STAT_CAP:
         return len(files)  # >= one split per file — already wide
     max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    ck = (spark.sparkContext.applicationId, tuple(sorted(files)), max_pb, open_cost)
+    if ck in _ESTIMATE_CACHE:
+        return _ESTIMATE_CACHE[ck]
     par = spark.sparkContext.defaultParallelism
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -73,7 +97,11 @@ def scan_split_estimate(df: DataFrame) -> int | None:
     except Exception:
         return None
     max_split = min(max_pb, max(open_cost, total // max(par, 1)))
-    return max(1, int(total // max(max_split, 1)) + (1 if total % max(max_split, 1) else 0))
+    est = max(1, int(total // max(max_split, 1)) + (1 if total % max(max_split, 1) else 0))
+    if len(_ESTIMATE_CACHE) > 1024:  # bound the memo for long-lived drivers
+        _ESTIMATE_CACHE.clear()
+    _ESTIMATE_CACHE[ck] = est
+    return est
 
 
 def fan_out(df: DataFrame, *cluster_keys: str) -> DataFrame:

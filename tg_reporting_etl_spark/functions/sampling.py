@@ -207,29 +207,39 @@ def token_mixture_plan(
     floor(weight·budget) (exact int), sampling_rate =
     round(min(1, target/avail), 6), shortfall_tokens =
     max(0, target - avail).  Sources outside ``weights`` are excluded
-    (weight 0).  All outputs are integers except the two rounded
-    doubles, so the frame is engine-parity-safe.  Bounded size: one
-    token-count agg per source (map-side partial over the scan), then
-    literal arithmetic on a sources-sized table.
+    (weight 0).  The WEIGHTS drive the output, not the corpus: a
+    weighted source with zero documents (or only NULL text) still gets
+    its row — avail_tokens 0, sampling_rate 1.0, shortfall_tokens ==
+    target_tokens — because the absent-source case is the maximal
+    shortfall and must never be the one case that emits no signal.
+    All outputs are integers except the two rounded doubles, so the
+    frame is engine-parity-safe.  Bounded size: one token-count agg per
+    source (map-side partial over the scan), then literal arithmetic on
+    a weights-sized table.
     """
-    wt = F.lit(0.0)
-    for value, p in weights.items():
-        wt = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(wt)
+    spark = docs.sparkSession
+    wdim = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{strata_col} string, target_weight double",
+    ).filter(F.col("target_weight") > 0)
     avail = (
         docs.filter(F.col("text").isNotNull())
         .groupBy(strata_col)
         .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"))
-        .withColumn("target_weight", wt)
-        .filter(F.col("target_weight") > 0)
+    )
+    joined = wdim.join(avail, strata_col, "left").withColumn(
+        "avail_tokens", F.coalesce("avail_tokens", F.lit(0)).cast("long")
     )
     target = F.floor(F.col("target_weight") * F.lit(int(token_budget))).cast("long")
-    return avail.select(
+    return joined.select(
         strata_col,
         "avail_tokens",
         F.round("target_weight", 6).alias("target_weight"),
         target.alias("target_tokens"),
+        # try_divide: avail 0 -> NULL -> rate 1.0 (take all there is)
         F.round(
-            F.least(F.lit(1.0), target / F.col("avail_tokens")), 6
+            F.least(F.lit(1.0), F.coalesce(F.try_divide(target, F.col("avail_tokens")), F.lit(1.0))),
+            6,
         ).alias("sampling_rate"),
         F.greatest(F.lit(0).cast("long"), target - F.col("avail_tokens")).alias(
             "shortfall_tokens"

@@ -29,10 +29,11 @@ def cosine(a: Column, b: Column) -> Column:
 
     Degenerate-vector contract (family-wide): an all-zero vector has no
     defined direction, so its cosine is NULL (``try_divide``) and it
-    can never clear a ``>= tau`` filter — the same observable outcome
-    as the Arrow verify path's norm clamp (cos 0).  A bare ``/`` would
-    instead throw DIVIDE_BY_ZERO under ANSI mode the first time a
-    degenerate vector appears in production data."""
+    can never clear a ``>= tau`` filter at ANY tau — the Arrow verify
+    path (:func:`verify_cosine_pairs`) drops such pairs explicitly for
+    the same outcome.  A bare ``/`` would instead throw DIVIDE_BY_ZERO
+    under ANSI mode the first time a degenerate vector appears in
+    production data."""
     ad, bd = _dvec(a), _dvec(b)
     return F.try_divide(_dot(ad, bd), F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
 
@@ -416,15 +417,18 @@ def verify_cosine_pairs(embeddings: DataFrame, pairs: DataFrame, tau: float) -> 
                 continue
             u = np.stack(pdf["_ea"].to_numpy()).astype("float64")
             v = np.stack(pdf["_eb"].to_numpy()).astype("float64")
-            # clamp: an all-zero vector would give 0/0 -> NaN (plus a
-            # numpy RuntimeWarning per batch) and be silently dropped;
-            # with the clamp its cosine is a defined 0.0, which the
-            # tau filter then excludes — the same outcome as the fold
-            # path's try_divide NULL, but documented and warning-free
-            u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-300)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            nu = np.linalg.norm(u, axis=1, keepdims=True)
+            nv = np.linalg.norm(v, axis=1, keepdims=True)
+            # degenerate-vector contract (matches the fold path's
+            # try_divide NULL at EVERY tau, including tau <= 0): a pair
+            # with an all-zero side is dropped outright.  The clamp
+            # below only prevents the 0/0 NaN + per-batch numpy
+            # RuntimeWarning on those already-excluded rows.
+            defined = ((nu > 0.0) & (nv > 0.0)).ravel()
+            u /= np.maximum(nu, 1e-300)
+            v /= np.maximum(nv, 1e-300)
             cos = np.round(np.einsum("ij,ij->i", u, v), 6)
-            keep = cos >= tau
+            keep = (cos >= tau) & defined
             yield pd.DataFrame(
                 {
                     "vec_a": pdf["vec_a"].to_numpy()[keep],

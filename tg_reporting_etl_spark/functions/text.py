@@ -261,12 +261,19 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     their token mix is, with no external model artifact.
 
     Plan (two passes, both bounded): token explode (narrow, fan-out
-    guarded) -> vocabulary-bounded frequency table -> broadcast-join
-    frequencies back onto the token stream -> one per-doc aggregate.
-    mean(-log2 p) = log2(total) - mean(log2 cnt), computed that way so
-    the only float summation is over log2 of exact integer counts.
-    NULL text drops (text-family contract).  Returns (doc_id, n_tokens,
-    neg_log2p), neg_log2p rounded to 6 places for engine parity.
+    guarded) -> vocabulary-bounded frequency table -> join frequencies
+    back onto the token stream -> one per-doc aggregate.  The frequency
+    join carries NO broadcast hint on purpose: a web-scale vocabulary
+    (URLs, numbers, typos) can outgrow the driver, and a forced
+    broadcast would OOM it instead of degrading — Catalyst broadcasts
+    automatically while tf fits the threshold and falls back to a
+    shuffled join when it does not (same stance as
+    :func:`boilerplate_fraction`).  Only the ONE-ROW total is force-
+    broadcast.  mean(-log2 p) = log2(total) - mean(log2 cnt), computed
+    that way so the only float summation is over log2 of exact integer
+    counts.  NULL text drops (text-family contract).  Returns (doc_id,
+    n_tokens, neg_log2p), neg_log2p rounded to 6 places for engine
+    parity.
     """
     from tg_reporting_etl_spark.functions.fanout import fan_out
 
@@ -277,7 +284,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     total = tf.agg(F.sum("cnt").cast("long").alias("total"))
     return (
-        toks.join(F.broadcast(tf), "tok")
+        toks.join(tf, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -2080,10 +2080,8 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # budget is half the corpus's total tokens, so regimes are sf-invariant.
 TOKEN_MIX_WEIGHTS = {"src0": 0.02, "src1": 0.38, "src2": 0.6}
 
-_TOKEN_MIX_CASE = (
-    "CASE source "
-    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in TOKEN_MIX_WEIGHTS.items())
-    + " ELSE 0.0 END"
+_TOKEN_MIX_VALUES = ", ".join(
+    f"('{k}', {v})" for k, v in sorted(TOKEN_MIX_WEIGHTS.items())
 )
 
 
@@ -2093,19 +2091,23 @@ _TOKEN_MIX_CASE = (
   SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) // 2 AS budget
   FROM documents WHERE text IS NOT NULL
 ),
+w(source, wt) AS (VALUES {_TOKEN_MIX_VALUES}),
 b AS (
-  SELECT source,
-         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
-         {_TOKEN_MIX_CASE} AS wt
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
   FROM documents WHERE text IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT w.source, w.wt, COALESCE(b.n, 0) AS avail_tokens
+  FROM w LEFT JOIN b USING (source) WHERE w.wt > 0
 )
 SELECT source, avail_tokens,
        ROUND(wt, 6) + 0.0 AS target_weight,
        CAST(floor(wt * budget) AS BIGINT) AS target_tokens,
-       ROUND(LEAST(1.0, floor(wt * budget) / avail_tokens), 6) + 0.0 AS sampling_rate,
+       ROUND(LEAST(1.0, COALESCE(floor(wt * budget) / nullif(avail_tokens, 0), 1.0)), 6)
+         + 0.0 AS sampling_rate,
        GREATEST(CAST(0 AS BIGINT), CAST(floor(wt * budget) AS BIGINT) - avail_tokens)
          AS shortfall_tokens
-FROM b, tot WHERE wt > 0""",
+FROM j, tot""",
     survey_ids="LLM: token-budget mixture plan with shortfall accounting",
 )
 def q_corpus_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
