@@ -90,6 +90,51 @@ def test_wide_scan_untouched(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
 
 
+def test_many_files_estimate_accounts_for_bin_packing(spark, tmp_path, monkeypatch):
+    """Above _STAT_CAP the stat loop is skipped, but the packing
+    arithmetic must survive: Spark bin-packs small files into shared
+    partitions, so '>= one split per file' overstates width.  With n
+    tiny files and n > parallelism, maxSplitBytes is driven by the
+    totalBytes/parallelism term and the openCost lower bound packs to
+    ~parallelism partitions, NOT n."""
+    from tg_reporting_etl_spark.functions import fanout
+
+    monkeypatch.setattr(fanout, "_STAT_CAP", 4)
+    n = 40
+    path = str(tmp_path / "many")
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        # AQE would re-pack the 40 tiny write partitions into fewer files
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.range(4000).repartition(n).write.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= n
+    par = spark.sparkContext.defaultParallelism
+    est = scan_split_estimate(df)
+    # openCost-only lower bound: total_lb = n*open, max_split =
+    # min(max_pb, max(open, total_lb/par)) -> est ≈ par for n > par
+    assert est is not None and est < n
+    assert est >= par  # and still wide enough that fan_out no-ops
+    assert fan_out(df) is df
+
+
+def test_exchange_bearing_memory_plan_short_circuits(spark):
+    """Non-file frames whose plan contains an Exchange return None from
+    the estimator (under AQE, toRdd() would materialize those shuffle
+    stages eagerly — real jobs at estimate time), and fan_out leaves
+    them untouched."""
+    df = spark.range(1000, numPartitions=4).groupBy((F.col("id") % 10).alias("k")).count()
+    assert not df.inputFiles()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    assert scan_split_estimate(df) is None
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "estimate must not run jobs on exchange plans"
+    assert fan_out(df) is df
+
+
 def test_estimate_never_touches_rdd(spark, tmp_path, monkeypatch):
     """Crossing into df.rdd forces a Python-side conversion of the
     analyzed plan — the exact hot-path cost this module exists to

@@ -563,6 +563,57 @@ def test_positional_filter_lossless_on_skewed_lengths(spark):
         assert fast == brute, tau
 
 
+def test_tau_fraction_small_denominator_rounds_down():
+    """Long-decimal taus (1/3 as a float) must NOT become p/q with
+    q=1e16 — the integer filter forms ub·(p+q) and p·(na+nb) would
+    overflow int64 for large docs, silently wrapping under non-ANSI
+    mode and turning the lossless filters lossy.  The normalized
+    fraction stays small AND never exceeds tau (rounding UP could prune
+    true pairs; rounding DOWN only weakens the filters)."""
+    from fractions import Fraction
+
+    # exact short decimals keep their exact form
+    assert dd._tau_fraction(0.8) == (4, 5)
+    assert dd._tau_fraction(0.5) == (1, 2)
+    for tau in (1 / 3, 2 / 3, 0.123456789123456789, 1 / 7):
+        p, q = dd._tau_fraction(tau)
+        assert q <= 10**6, (tau, p, q)
+        assert Fraction(p, q) <= Fraction(str(tau)), (tau, p, q)
+        # and tight: within 2/q of tau (limit_denominator bound + the
+        # 1/q round-down nudge)
+        assert Fraction(str(tau)) - Fraction(p, q) <= Fraction(2, q)
+        # int64 headroom: worst filter term is p·(na+nb) with doc sizes
+        # up to ~2^31 shingles
+        assert p * (2**32) < 2**63 and (p + q) * (2**32) < 2**63
+
+
+def test_prefix_filter_lossless_with_long_decimal_tau(spark):
+    """End-to-end: tau passed as the float 1/3 (q would be 1e16 without
+    normalization) still yields exactly the brute-force pair set."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(vocab[rng.randrange(40)] for _ in range(rng.randint(6, 20))))
+        for i in range(40)
+    ]
+    rows += [(100 + j, rows[j][1] + " tail") for j in range(6)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    tau = 1 / 3
+
+    brute = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dd.jaccard_pairs(dd.char_shingles(corpus), tau).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dd.ngram_jaccard_dedup(corpus, tau, on_blowup="force").collect()
+    }
+    assert brute
+    assert fast == brute
+
+
 def test_repetition_stats_on_constructed_docs(spark):
     from tg_reporting_etl_spark.functions import text as tx
 

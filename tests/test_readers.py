@@ -185,3 +185,41 @@ def test_read_if_committed_classifies_torn_vs_transient(spark, tmp_path):
             rd.read_parquet_if_committed(_FakeSpark(), good)
     finally:
         rd.fs_path_exists = real_probe
+
+
+def test_torn_sink_classification_prefers_error_class(spark, tmp_path):
+    """The torn-sink check matches on exception type + Spark's stable
+    error class first (message substrings are brittle across versions /
+    locales); substrings remain only as fallback for class-less
+    exceptions."""
+    from pyspark.errors import AnalysisException
+
+    from tg_reporting_etl_spark.sources import readers as rd
+
+    # a REAL Spark error carries the structured class — capture one
+    try:
+        spark.read.parquet(str(tmp_path / "nope")).schema
+        raise AssertionError("expected PATH_NOT_FOUND")
+    except AnalysisException as exc:
+        assert rd._is_torn_sink_error(exc)
+
+    # structured class present but NOT a torn class -> False even if
+    # the message happens to contain a torn substring
+    class _Classed(AnalysisException):
+        def __init__(self):  # noqa: D401
+            Exception.__init__(self, "Path does not exist (but class says otherwise)")
+
+        def getCondition(self):
+            return "TABLE_OR_VIEW_NOT_FOUND"
+
+        def getErrorClass(self):
+            return "TABLE_OR_VIEW_NOT_FOUND"
+
+        def __str__(self):
+            return "Path does not exist (but class says otherwise)"
+
+    assert not rd._is_torn_sink_error(_Classed())
+
+    # class-less exception falls back to the substring check
+    assert rd._is_torn_sink_error(RuntimeError("Unable to infer schema for Parquet"))
+    assert not rd._is_torn_sink_error(RuntimeError("connection reset by peer"))

@@ -338,6 +338,31 @@ def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame, tau: float) -> Data
     return _jaccard_on_hashed(hash_shingles(shingles), pairs, tau)
 
 
+def _tau_fraction(tau: float) -> tuple[int, int]:
+    """``tau`` as a SMALL-denominator rational (p, q), rounded DOWN.
+
+    ``Fraction(str(tau))`` alone can yield astronomically large p, q for
+    long-decimal taus (tau=1/3 arriving as 0.3333333333333333 gives
+    q = 10**16), and the integer filter forms ``ub·(p+q)`` /
+    ``p·(na+nb)`` would then overflow int64 for large docs — silently
+    wrapping under non-ANSI mode and turning the "lossless" length /
+    positional filters lossy.  ``limit_denominator(10**6)`` keeps p+q
+    small (|tau - p/q| < 1/q·10**6, far below any meaningful similarity
+    resolution); when the nearest small fraction lands ABOVE tau it is
+    nudged down by 1/q — a slightly smaller tau only LENGTHENS prefixes
+    and WEAKENS the pruning thresholds, preserving losslessness, while
+    a larger one could prune true pairs.  The exact-verify stage still
+    filters on the caller's float tau, so results are unchanged.
+    """
+    from fractions import Fraction
+
+    exact = Fraction(str(tau))
+    frac = exact.limit_denominator(10**6)
+    if frac > exact:
+        frac = frac - Fraction(1, frac.denominator)
+    return frac.numerator, frac.denominator
+
+
 def _prefix_frame(hashed: DataFrame, tau: float) -> DataFrame:
     """Per-doc rarity-ordered prefix elements: (doc_id, h, pos, n).
 
@@ -355,10 +380,7 @@ def _prefix_frame(hashed: DataFrame, tau: float) -> DataFrame:
     by one exactly when 0.8·n rounds up across an integer, which would
     silently shorten prefixes and break the guarantee.
     """
-    from fractions import Fraction
-
-    frac = Fraction(str(tau))
-    p, q = frac.numerator, frac.denominator
+    p, q = _tau_fraction(tau)
 
     dfc = hashed.groupBy("h").agg(F.count("*").alias("_df"))
     by_rarity = hashed.join(dfc, "h").select("doc_id", F.struct("_df", "h").alias("_o"))
@@ -412,10 +434,7 @@ def _positional_candidates(prefixes: DataFrame, tau: float) -> DataFrame:
     The remaining groupBy is a bare pair-key dedup (no carried
     aggregates), so the shuffle rows are two ids wide.
     """
-    from fractions import Fraction
-
-    frac = Fraction(str(tau))
-    p, q = frac.numerator, frac.denominator
+    p, q = _tau_fraction(tau)
 
     a, b = prefixes.alias("a"), prefixes.alias("b")
     na, nb = F.col("a.n").cast("long"), F.col("b.n").cast("long")

@@ -23,10 +23,13 @@ network round trip.
 NON-FILE frames (createDataFrame fixtures, foreachBatch micro-batches
 from memory/Kafka sources: ``inputFiles() == []``) fall back to the
 JVM-side physical partition count (``queryExecution().toRdd().
-getNumPartitions()`` — plans the query but moves no data and builds no
-Python RDD wrapper).  A single-partition Kafka topic or parallelized
-fixture is exactly as serializing as a single-split file scan, and the
-pre-round-11 gate fanned those out too.
+getNumPartitions()`` — builds no Python RDD wrapper).  Plans that
+contain an Exchange are short-circuited to "unknown" first: under AQE,
+``toRdd()`` materializes the shuffle stages of such plans eagerly, and
+an estimate must never pay hidden execution.  A single-partition Kafka
+topic or parallelized fixture is exactly as serializing as a
+single-split file scan, and the pre-round-11 gate fanned those out
+too.
 
 ``fan_out`` repartitions only when the estimated split count is below
 the session's default parallelism.  The two regimes:
@@ -61,9 +64,22 @@ def _bytes_conf(spark, key: str, default: int) -> int:
 
 def _physical_partitions(df: DataFrame) -> int | None:
     """JVM-side partition count of the planned query — no Python RDD
-    wrapper, no job, no data movement.  None if internals shift."""
+    wrapper.  With AQE enabled, ``toRdd()`` on a plan that CONTAINS
+    exchanges materializes the shuffle stages eagerly (runs real jobs)
+    at estimate time, so any plan with an Exchange short-circuits to
+    ``None`` — the gate must never trigger hidden execution just to
+    decide whether to repartition.  Exchange-free plans (the intended
+    callers: createDataFrame fixtures, memory-source micro-batches)
+    plan without running jobs.  None if internals shift."""
     try:
-        return int(df._jdf.queryExecution().toRdd().getNumPartitions())
+        qe = df._jdf.queryExecution()
+        # executedPlan (NOT sparkPlan, which is pre-EnsureRequirements
+        # and shows no exchanges) is prepared lazily — building its
+        # string runs no jobs; only toRdd() on an exchange-bearing AQE
+        # plan would.
+        if "Exchange" in qe.executedPlan().toString():
+            return None
+        return int(qe.toRdd().getNumPartitions())
     except Exception:
         return None
 
@@ -79,14 +95,25 @@ def scan_split_estimate(df: DataFrame) -> int | None:
         files = []
     if not files:
         return _physical_partitions(df)
-    if len(files) > _STAT_CAP:
-        return len(files)  # >= one split per file — already wide
     max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    par = spark.sparkContext.defaultParallelism
+    if len(files) > _STAT_CAP:
+        # Skip the O(files) stat loop, NOT the packing arithmetic: Spark
+        # bin-packs small files into shared partitions, so ">= one split
+        # per file" is false — a scan of many tiny files can plan far
+        # fewer partitions than files.  Lower-bound the packed count
+        # from openCostInBytes alone (each file contributes >= open_cost
+        # to the packing total); under-estimating is the safe direction
+        # (at worst a cheap repartition of tiny files, never a skipped
+        # widening).
+        n = len(files)
+        total_lb = n * max(open_cost, 1)
+        max_split = min(max_pb, max(open_cost, total_lb // max(par, 1)))
+        return max(1, -(-total_lb // max(max_split, 1)))
     ck = (spark.sparkContext.applicationId, tuple(sorted(files)), max_pb, open_cost)
     if ck in _ESTIMATE_CACHE:
         return _ESTIMATE_CACHE[ck]
-    par = spark.sparkContext.defaultParallelism
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     total = 0

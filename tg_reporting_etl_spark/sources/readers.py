@@ -89,16 +89,47 @@ def read_parquet_if_committed(
         # whole journal).  A transient failure (FS listing error,
         # permission blip) must RAISE — swallowing it here would let a
         # replay path destroy a perfectly committed table.
-        msg = str(exc)
-        torn = (
-            "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-            or "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-        )
-        if torn:
+        if _is_torn_sink_error(exc):
             return None
         raise
+
+
+_TORN_ERROR_CLASSES = ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+
+
+def _is_torn_sink_error(exc: Exception) -> bool:
+    """True iff ``exc`` is a KNOWN torn/absent-sink signature.
+
+    Primary check is STRUCTURED — exception type plus Spark's stable
+    error class (``getCondition()``, falling back to the deprecated
+    ``getErrorClass()`` on older lines) — because message substrings
+    are brittle across Spark versions and locales: a reworded message
+    would turn a legitimate bootstrap into a hard failure of the
+    replay path (fail-safe direction, but an availability regression
+    on upgrade).  The substring check remains only as a fallback for
+    builds whose exceptions carry no error class.
+    """
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover — ancient pyspark
+        AnalysisException = ()  # type: ignore[assignment]
+    if isinstance(exc, AnalysisException):
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                # error classes may be dotted sub-conditions, e.g.
+                # "UNABLE_TO_INFER_SCHEMA" itself is the root
+                return cond.split(".")[0] in _TORN_ERROR_CLASSES
+    msg = str(exc)
+    return (
+        "UNABLE_TO_INFER_SCHEMA" in msg
+        or "Unable to infer schema" in msg
+        or "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
