@@ -298,10 +298,17 @@ def _verify_dense(sets: DataFrame, ex: DataFrame, pairs: DataFrame, tau: float, 
     intersect.  Gated by the caller so V is bounded (dict broadcast and
     the rank window stay trivially small).
     """
-    from pyspark.sql import Window
-
-    dict_df = ex.select("h").distinct().withColumn(
-        "pos", F.row_number().over(Window.orderBy("h")) - 1
+    # Dictionary positions WITHOUT a global window: the distinct
+    # vocabulary is caller-gated small (it must broadcast below), so
+    # packing it into one sorted array and posexploding gives the same
+    # dense 0-based ids as row_number()-1 with no WindowExec — and no
+    # "No Partition Defined" warning whose boundedness a reader would
+    # have to re-verify.
+    dict_df = (
+        ex.select("h")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("h")).alias("_hs"))
+        .select(F.posexplode("_hs").alias("pos", "h"))
     )
     v = dict_df.count()
     nwords = (v + 63) // 64

@@ -63,15 +63,24 @@ def pq_codebook(
     # orderBy+limit compiles to TakeOrdered (per-partition top-k then a
     # k-row merge on the driver) — NOT a global single-partition window,
     # which would shuffle the whole embedding table through one task.
-    # The rank window below then runs over k rows only.
+    # The k survivors are then ranked WITHOUT a window: packed into one
+    # sorted array (k-bounded by the limit — boundedness proof is the
+    # limit itself) and posexploded.  Same (_h, vec_id) order as a
+    # row_number, but no WindowExec and so no spurious "No Partition
+    # Defined" warning for every reader to re-audit.  (_h, vec_id) is a
+    # unique sort key, so the struct's trailing embedding field never
+    # decides an ordering.
     seeds = (
         embeddings.select("vec_id", "embedding", h.alias("_h"))
         .orderBy(F.asc("_h"), F.asc("vec_id"))
         .limit(k)
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.asc("_h"), F.asc("vec_id")))
+        .agg(F.sort_array(F.collect_list(F.struct("_h", "vec_id", "embedding"))).alias("_s"))
+        .select(F.posexplode("_s").alias("_i", "_c"))
+        .select(
+            F.col("_c.vec_id").alias("vec_id"),
+            F.col("_c.embedding").alias("embedding"),
+            (F.col("_i") + 1).alias("rn"),
         )
-        .drop("_h")
     )
     return seeds.select(
         F.explode(

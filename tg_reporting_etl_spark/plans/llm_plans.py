@@ -56,6 +56,10 @@ jacc AS (
 
 _H32 = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
 
+#: deterministic uniform in (0,1) from (doc_id, salt) — the shared
+#: cross-engine Bernoulli primitive (functions/sampling.hash_uniform)
+_U01 = "(" + _H32.format(s="CAST(doc_id AS VARCHAR) || '|' || '{salt}'") + " + 0.5) / 4294967296.0"
+
 _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
@@ -189,7 +193,24 @@ def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This is the ground truth the gated exact path must equal on any corpus
 # where the gate stays in an exact regime (prefix or allpairs) — unlike
 # the df-capped query above, whose oracle mirrors the cap.
-_NGRAM_EXACT_ORACLE = f"""WITH {_SHINGLES.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}
+#
+# The CATALOG entry runs on a deterministic 0.7 Bernoulli slice of the
+# corpus (md5(doc_id|xslice) uniform < 0.7, mirrored below): the
+# exactness contract is PER PAIR (engine pair set == brute-force pair
+# set on whatever corpus both see), so a slice proves it at ~half the
+# all-pairs verify cost — the candidate stage scales with the square of
+# corpus size, and this entry is the bench's single most expensive row
+# (adversarial on_blowup="force"; the production default is the gate,
+# which refuses corpora this shape).  Full-corpus exactness stays
+# pinned by tests/test_llm_layer.py's brute-force equality pytests and
+# the sf1.0 probe's gate-refusal verdicts.
+EXACT_SLICE_FRACTION = 0.7
+_XSLICE_PRED = f"{_U01.format(salt='xslice')} < {EXACT_SLICE_FRACTION}"
+_SHINGLES_SLICED = _SHINGLES.replace(
+    "FROM documents,",
+    f"FROM (SELECT * FROM documents WHERE {_XSLICE_PRED}) documents,",
+)
+_NGRAM_EXACT_ORACLE = f"""WITH {_SHINGLES_SLICED.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}
 SELECT doc_a, doc_b, jaccard FROM jacc"""
 
 
@@ -210,12 +231,22 @@ def q_doc_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee is paid honestly (sf0.1: ~33 s, 150M priced candidate
     rows — bucketed under the bench's adversarial_total).  The
     bounded-recall LSH reroute is its own catalog entry with its own
-    candidate-mirroring oracle: ``doc_ngram_jaccard_lsh``."""
+    candidate-mirroring oracle: ``doc_ngram_jaccard_lsh``.
+
+    Runs on the deterministic EXACT_SLICE_FRACTION Bernoulli slice (see
+    the oracle comment): per-pair exactness is corpus-independent, and
+    the slice halves the priced candidate cost of the bench's most
+    expensive row.  The slice predicate is a pure function of doc_id,
+    applied identically to the doc frame and the session-shared shingle
+    cache (no recompute, no join)."""
+    from tg_reporting_etl_spark.functions.sampling import hash_uniform
+
+    sliced = hash_uniform(F.col("doc_id"), "xslice") < EXACT_SLICE_FRACTION
     sink: dict = {}
     pairs = dd.ngram_jaccard_dedup(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir).filter(sliced),
         JACCARD_TAU,
-        shingles=_shingles(spark, sf_dir),
+        shingles=_shingles(spark, sf_dir).filter(sliced),
         on_blowup="force",
         path_sink=sink,
     )
@@ -320,8 +351,6 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the oracle replays the identical draw.
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.6, "src2": 0.4, "src3": 0.2}
 QUOTA_N = 10
-
-_U01 = "(" + _H32.format(s="CAST(doc_id AS VARCHAR) || '|' || '{salt}'") + " + 0.5) / 4294967296.0"
 
 _FRAC_CASE = (
     "CASE source "
@@ -1141,13 +1170,14 @@ def q_doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _agreement_oracle() -> str:
-    """Nests the three channel oracles as WITH-subqueries — each
-    channel's ground truth is the SAME SQL the channel's own catalog
-    row is checked against, so the matrix cannot drift from them."""
-    return f"""WITH jp AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE})),
-mp AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
-sh AS (SELECT doc_a, doc_b FROM ({_simhash_oracle()})),
+def _agreement_rollup(jp_src: str, mp_src: str, sh_src: str) -> str:
+    """The agreement-matrix aggregation over three pair sources — ONE
+    template shared by the nested full oracle (channel oracles inlined)
+    and the sf0.1 consistency oracle (channel RESULT tables), so the
+    two checks cannot drift in their rollup logic."""
+    return f"""WITH jp AS (SELECT doc_a, doc_b FROM {jp_src}),
+mp AS (SELECT doc_a, doc_b FROM {mp_src}),
+sh AS (SELECT doc_a, doc_b FROM {sh_src}),
 allp AS (
   SELECT doc_a, doc_b FROM jp
   UNION SELECT doc_a, doc_b FROM mp
@@ -1166,6 +1196,15 @@ flags AS (
 SELECT in_jaccard, in_minhash, in_simhash,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM flags GROUP BY 1, 2, 3"""
+
+
+def _agreement_oracle() -> str:
+    """Nests the three channel oracles as WITH-subqueries — each
+    channel's ground truth is the SAME SQL the channel's own catalog
+    row is checked against, so the matrix cannot drift from them."""
+    return _agreement_rollup(
+        f"({_NGRAM_ORACLE})", f"({_minhash_oracle()})", f"({_simhash_oracle()})"
+    )
 
 
 @register(
@@ -1913,16 +1952,15 @@ WHERE q.quality >= {CURATE_MIN_QUALITY} AND r.dup_token_fraction <= {CURATE_MAX_
 GROUP BY d.source"""
 
 
-def _funnel_oracle() -> str:
-    return f"""{_COMPONENTS_CTES},
-qual AS (SELECT doc_id, n_tokens, quality FROM ({_quality_oracle()})),
-rep AS (SELECT doc_id, dup_token_fraction FROM ({_REPETITION_ORACLE})),
-dropped AS (SELECT doc_id FROM comp WHERE doc_id != component_id),
-base AS (
-  SELECT d.doc_id, q.n_tokens, q.quality, r.dup_token_fraction,
-         d.doc_id IN (SELECT doc_id FROM dropped) AS is_dropped
-  FROM documents d JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
-)
+def _funnel_rollup(base_ctes: str) -> str:
+    """Funnel-stage aggregation over a ``base(doc_id, n_tokens,
+    quality, dup_token_fraction, is_dropped)`` CTE chain — ONE template
+    shared by the nested full oracle and the sf0.1 consistency oracle
+    so the stage logic cannot drift between the two checks.  Stage
+    counts are MATERIALIZED once (DuckDB would otherwise re-evaluate
+    the base chain per UNION branch — the 4x re-evaluation is what
+    blew the spill cap at sf0.1 on the nested form)."""
+    return f"""{base_ctes}
 SELECT CAST(stage AS INTEGER) AS stage, stage_name,
        CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM (
@@ -1939,6 +1977,18 @@ FROM (
   FROM base WHERE quality >= {CURATE_MIN_QUALITY} AND dup_token_fraction <= {CURATE_MAX_DUP}
         AND NOT is_dropped
 )"""
+
+
+def _funnel_oracle() -> str:
+    return _funnel_rollup(f"""{_COMPONENTS_CTES},
+qual AS (SELECT doc_id, n_tokens, quality FROM ({_quality_oracle()})),
+rep AS (SELECT doc_id, dup_token_fraction FROM ({_REPETITION_ORACLE})),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id != component_id),
+base AS (
+  SELECT d.doc_id, q.n_tokens, q.quality, r.dup_token_fraction,
+         d.doc_id IN (SELECT doc_id FROM dropped) AS is_dropped
+  FROM documents d JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+)""")
 
 
 @register(
@@ -2010,6 +2060,47 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         CURATE_MAX_DUP,
     )
     return cu.corpus_budget(kept)
+
+
+#: Consistency oracles for the two catalog rows whose NESTED DuckDB
+#: oracle is intractable at sf0.1 on this box (the agreement mirror
+#: inlines three dedup-family oracles into one SQL plan and spilled
+#: >90 GB; the funnel's base CTE chain is re-evaluated per UNION branch
+#: and blew a 30 GB spill cap).  At such sfs the verify harness checks
+#: the SAME rollup SQL (shared template — _agreement_rollup /
+#: _funnel_rollup — so the logic cannot drift from the nested oracle)
+#: over the engine's CHANNEL RESULTS, registered as ``ch_<name>`` DuckDB
+#: tables.  Every channel is its own catalog row, independently
+#: full-hash-verified against its nested oracle AT THE SAME SF in the
+#: same run, so DuckDB only aggregates already-proven tables — closing
+#: the rows-only gap without asking the oracle engine to redo the
+#: spill-heavy dedup work.  The nested full-hash proof still runs
+#: unchanged at every sf where DuckDB can afford it (sf0.001/0.01).
+CONSISTENCY_ORACLES: dict[str, dict] = {
+    "doc_dedup_agreement": {
+        "channels": (
+            "doc_ngram_jaccard_dups",
+            "doc_minhash_lsh_dups",
+            "doc_simhash_dups",
+        ),
+        "sql": _agreement_rollup(
+            "ch_doc_ngram_jaccard_dups",
+            "ch_doc_minhash_lsh_dups",
+            "ch_doc_simhash_dups",
+        ),
+    },
+    "corpus_curation_funnel": {
+        "channels": ("doc_quality", "doc_repetition", "doc_dup_components"),
+        "sql": _funnel_rollup(
+            """WITH base AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, r.dup_token_fraction,
+         q.doc_id IN (SELECT doc_id FROM ch_doc_dup_components
+                      WHERE NOT is_keeper) AS is_dropped
+  FROM ch_doc_quality q JOIN ch_doc_repetition r USING (doc_id)
+)"""
+        ),
+    },
+}
 
 
 @register(

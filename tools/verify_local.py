@@ -24,15 +24,20 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-#: oracles DuckDB cannot evaluate at the named sf on this box — the
-#: doc_dedup_agreement mirror (three dedup families in one SQL plan)
-#: spilled >90 GB of temp at sf0.1 and took the whole run down with a
-#: disk-full IOException.  The query still RUNS on Spark and is
-#: recorded rows-only at that sf, with the oracle-exact proof standing
-#: at the sfs where the oracle is tractable.  Keyed (sf token, query).
-DUCK_INFEASIBLE = {
-    ("sf0.1", "doc_dedup_agreement"): "oracle spills >90GB in duck at sf0.1",
-    ("sf0.1", "corpus_curation_funnel"): "oracle's near-dup CTE stage exceeds a 30GB duck spill cap at sf0.1",
+#: NESTED oracles DuckDB cannot evaluate at the named sf on this box —
+#: the doc_dedup_agreement mirror (three dedup families in one SQL
+#: plan) spilled >90 GB of temp at sf0.1 and took the whole run down
+#: with a disk-full IOException; the funnel's base CTE chain is
+#: re-evaluated per UNION branch and blew a 30 GB spill cap.  At these
+#: (sf token, query) keys the harness switches to the CONSISTENCY
+#: oracle (plans.llm_plans.CONSISTENCY_ORACLES): the SAME rollup SQL,
+#: evaluated by DuckDB over the engine's channel-query results — each
+#: channel independently full-hash-verified against its own nested
+#: oracle at the same sf in the same run.  Full-hash compare, not
+#: rows-only.  The nested oracle remains the check everywhere else.
+DUCK_NESTED_INFEASIBLE = {
+    ("sf0.1", "doc_dedup_agreement"): "nested oracle spills >90GB in duck at sf0.1",
+    ("sf0.1", "corpus_curation_funnel"): "nested oracle's per-branch CTE re-eval exceeds a 30GB duck spill cap at sf0.1",
 }
 
 
@@ -112,29 +117,78 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from tg_reporting_etl_spark.plans.llm_plans import CONSISTENCY_ORACLES
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
     records: dict[str, dict] = {}
+    needed_channels = {
+        ch for n, spec in CONSISTENCY_ORACLES.items() for ch in spec["channels"]
+    }
+    spark_results: dict[str, pd.DataFrame] = {}  # channel reuse cache
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
+        if name in needed_channels:
+            spark_results[name] = sdf
         sf_token = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1] if "sf" in sf_dir else sf_dir
-        skip_reason = DUCK_INFEASIBLE.get((sf_token, name))
-        if skip_reason:
-            print(f"  {name:34s} rows={len(sdf):7d}  (rows-only: {skip_reason})  spark={t_spark:.1f}s")
+        nested_infeasible = DUCK_NESTED_INFEASIBLE.get((sf_token, name))
+        if nested_infeasible and name in CONSISTENCY_ORACLES:
+            spec = CONSISTENCY_ORACLES[name]
+            # channel results: reuse this run's already-compared frames
+            # (every channel registers before its consumer in the
+            # catalog); compute on demand only under a subset filter
+            t0 = time.time()
+            for ch in spec["channels"]:
+                if ch not in spark_results:
+                    spark_results[ch] = qs[ch](spark, sf_dir).toPandas()
+                con.register(f"ch_{ch}", spark_results[ch])
+            try:
+                odf = con.execute(spec["sql"]).df()
+            except Exception as exc:
+                why = f"consistency oracle error: {exc!r}"[:300]
+                print(f"  {name:34s} FAIL {why}")
+                records[name] = {
+                    "mode": "oracle_error",
+                    "ok": False,
+                    "error": why,
+                    "spark_rows": len(sdf),
+                    "spark_s": round(t_spark, 2),
+                }
+                failures.append((name, why))
+                continue
+            t_duck = time.time() - t0
+            sn, scols, shash = _canon(sdf)
+            on, ocols, ohash = _canon(odf)
+            ok = (sn == on) and (scols == ocols) and (shash == ohash)
+            status = "OK " if ok else "FAIL"
+            print(
+                f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s"
+                f"  (consistency oracle over {len(spec['channels'])} verified channels; {nested_infeasible})"
+            )
             records[name] = {
-                "mode": "rows_only",
-                "oracle_skipped": skip_reason,
-                "ok": len(sdf) > 0,
-                "spark_rows": len(sdf),
+                "mode": "oracle_consistency",
+                "nested_oracle_skipped": nested_infeasible,
+                "channels": list(spec["channels"]),
+                "ok": ok,
+                "rows_match": sn == on,
+                "schema_match": scols == ocols,
+                "hash_match": shash == ohash,
+                "spark_rows": sn,
+                "oracle_rows": on,
                 "spark_s": round(t_spark, 2),
+                "duck_s": round(t_duck, 2),
             }
-            if len(sdf) == 0:
-                failures.append((name, "0 rows (rows-only check)"))
+            if not ok:
+                failures.append((name, f"consistency: rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
+                if scols == ocols and sn and on:
+                    merged = _diff_sample(sdf, odf)
+                    if merged is not None:
+                        print(merged)
             continue
         if name not in oracles:
             print(f"  {name:34s} rows={len(sdf):7d}  (rows-only, no oracle)  spark={t_spark:.1f}s")
