@@ -111,6 +111,68 @@ def test_torn_journal_dir_bootstraps_not_throws(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_journal_step_job_ceilings(spark, tmp_path):
+    """Round-12 orchestration-floor contract, pinned by the scheduler's
+    own accounting: every journal step runs inside control_scope (AQE
+    off, 1 shuffle partition — the journal is metadata-sized by
+    contract), so submit is ONE job (bootstrap write, or union+window+
+    swap-write as one non-adaptive DAG) and consume is THREE (snapshot
+    read, applied rewrite, + the committed-read probe's heal path).
+    This test fails if per-step job creep returns."""
+    path = str(tmp_path / "journal")
+    sc = spark.sparkContext
+    tr = sc.statusTracker()
+
+    def jobs_of(group, fn):
+        sc.setJobGroup(group, group)
+        fn()
+        sc.setJobGroup(None, None)
+        return len(tr.getJobIdsForGroup(group) or [])
+
+    j_boot = jobs_of(
+        "jl_boot",
+        lambda: submit_rerun_requests(
+            spark, path, _req(spark, "2024-01-01 00:00:00", "2024-01-01 00:05:00")
+        ),
+    )
+    j_merge = jobs_of(
+        "jl_merge",
+        lambda: submit_rerun_requests(
+            spark, path, _req(spark, "2024-01-02 00:00:00", "2024-01-02 00:05:00")
+        ),
+    )
+    # consume's internal actions only — the returned cascade stays lazy
+    j_consume = jobs_of("jl_consume", lambda: consume_rerun_requests(spark, path, NOW))
+    assert j_boot <= 1, f"bootstrap submit grew to {j_boot} jobs"
+    assert j_merge <= 1, f"merge submit grew to {j_merge} jobs"
+    assert j_consume <= 3, f"consume grew to {j_consume} jobs"
+
+
+def test_control_scope_restores_confs(spark):
+    """control_scope must restore AQE + shuffle partitions even on
+    error — a leaked AQE-off would silently de-adapt every data-sized
+    plan that follows."""
+    import pytest
+
+    from tg_reporting_etl_spark.sources.writers import control_scope
+
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    with control_scope(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    with pytest.raises(RuntimeError):
+        with control_scope(spark):
+            raise RuntimeError("boom")
+    after = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert after == before
+
+
 def test_journal_schema_declaration_matches_disk(spark, tmp_path):
     """JOURNAL_SCHEMA skips footer inference, so pin declaration ==
     inference against a real journal written by submit."""

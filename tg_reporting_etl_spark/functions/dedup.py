@@ -829,6 +829,13 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+#: rounds-to-converge of the most recent :func:`connected_components`
+#: run in this process — observability for probe/bench artifacts (the
+#: loop's cost model is rounds x fixed-job-count, so the round count is
+#: the number a scale claim about the loop must cite).
+LAST_COMPONENT_STATS: dict = {}
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 30, *, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -913,6 +920,7 @@ def _components_loop(sym, max_iter, _truncate, _release) -> DataFrame:
     labels = _truncate(
         sym.select(F.col("src").alias("doc_id")).distinct().withColumn("comp", F.col("doc_id"))
     )
+    rounds = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -941,9 +949,14 @@ def _components_loop(sym, max_iter, _truncate, _release) -> DataFrame:
         )
         _release(labels)
         labels = stepped
+        rounds += 1
         if changed == 0:
             break
     sym.unpersist()
+    # observability, not control flow: the loop's cost model is
+    # rounds x fixed-job-count, so probe/bench artifacts cite this
+    LAST_COMPONENT_STATS.clear()
+    LAST_COMPONENT_STATS.update({"rounds": rounds, "max_iter": max_iter, "converged": changed == 0})
     out = labels.select("doc_id", F.col("comp").alias("component_id"))
     # hand back a plan rooted at the final checkpoint; caller-side
     # collection releases nothing further (blocks die with the session

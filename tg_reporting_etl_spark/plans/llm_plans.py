@@ -123,6 +123,26 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sign-LSH banded embedding near-dup pairs
+    (vec_a, vec_b, cos_sim) — ONE band-join + exact-cosine-verify pass
+    per session, shared by its own catalog row, the semantic
+    components query, and the ensemble audit's semantic channel
+    (previously each consumer re-ran the band join — at the sf1.0
+    probe that recompute was the single worst tail)."""
+    return cached_df(
+        spark,
+        f"banded_emb_pairs|{sf_dir}",
+        lambda: sim.embedding_dup_pairs_gated(
+            _emb(spark, sf_dir),
+            COSINE_TAU,
+            on_blowup="lsh",
+            pair_budget_per_vec=0,
+            budget_floor=0,
+        ),
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted 5-gram shingle-hash table (doc_id, h, mh — all longs)
     shared by the ngram and minhash dedup queries (each references it
@@ -690,10 +710,9 @@ def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is paid once per session."""
 
     def _label() -> DataFrame:
-        pairs = sim.embedding_dup_pairs_gated(
-            _emb(spark, sf_dir), COSINE_TAU, on_blowup="lsh",
-            pair_budget_per_vec=0, budget_floor=0,
-        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        pairs = _banded_emb_pairs(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
         return dd.connected_components(pairs)
 
     comp = cached_df(spark, f"emb_dup_components|{sf_dir}", _label)
@@ -715,13 +734,7 @@ def q_embedding_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the oracle reproduces the same candidate subset).
     Every reported pair carries its exact cosine; recall is
     tau-dependent (-> 1 as cos -> 1, the near-dup regime)."""
-    return sim.embedding_dup_pairs_gated(
-        _emb(spark, sf_dir),
-        COSINE_TAU,
-        on_blowup="lsh",
-        pair_budget_per_vec=0,
-        budget_floor=0,
-    )
+    return _banded_emb_pairs(spark, sf_dir)
 
 
 # Ensemble dedup audit: every candidate pair from EITHER channel with a
@@ -789,10 +802,7 @@ def q_doc_ensemble_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify) so the audit as a whole has no all-pairs-compute stage —
     the oracle's sem CTE mirrors the deterministic banding."""
     lex = _capped_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(True).alias("lexical"))
-    sem = sim.embedding_dup_pairs_gated(
-        _emb(spark, sf_dir), COSINE_TAU, on_blowup="lsh",
-        pair_budget_per_vec=0, budget_floor=0,
-    ).select(
+    sem = _banded_emb_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
         F.lit(True).alias("semantic"),
     )
@@ -835,9 +845,10 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------- similarity search
 
-@register(
-    "embedding_topk",
-    f"""SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+# Shared by the batch brute-force row and the streaming continuous
+# top-k row (plans/streaming_plans.py): the converged streaming state
+# must equal exactly this closed form, so both check against ONE SQL.
+_BRUTE_TOPK_ORACLE = f"""SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          ROUND({_cos('q.embedding', 'e.embedding')}, 6) AS cos_sim,
          row_number() OVER (
@@ -845,7 +856,12 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            ORDER BY ROUND({_cos('q.embedding', 'e.embedding')}, 6) DESC, e.vec_id ASC) AS rank
   FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
   WHERE q.vec_id < 10
-) WHERE rank <= 5""",
+) WHERE rank <= 5"""
+
+
+@register(
+    "embedding_topk",
+    _BRUTE_TOPK_ORACLE,
     survey_ids="LLM: brute-force cosine top-k",
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

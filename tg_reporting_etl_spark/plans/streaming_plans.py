@@ -276,3 +276,172 @@ def q_streaming_minhash_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
     return spark.createDataFrame(pdf, "doc_a long, doc_b long, est_jaccard double")
+
+
+# --------------------------------------------- continuous top-k parity
+
+def _continuous_topk_oracle() -> str:
+    """The converged continuous top-k state IS the batch brute-force
+    closed form: every corpus vector is scored against the standing
+    queries in whatever micro-batch delivers it, and top-k(A ∪ B) =
+    top-k(top-k(A) ∪ B) under the strict (cos_sim DESC, neighbor_id
+    ASC) total order, so arrival order and re-delivery cannot change
+    the fixed point.  The SQL is the SAME string the batch
+    ``embedding_topk`` row checks against — one ground truth for both
+    engines' shapes."""
+    from tg_reporting_etl_spark.plans.llm_plans import _BRUTE_TOPK_ORACLE
+
+    return _BRUTE_TOPK_ORACLE
+
+
+@register(
+    "streaming_continuous_topk",
+    _continuous_topk_oracle(),
+    survey_ids="LLM streaming continuous top-k similarity search (streaming/pipeline.py start_continuous_topk_sink)",
+)
+def q_streaming_continuous_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed the embedding corpus through the continuous top-k sink as
+    TWO overlapping micro-batch waves (vec_id%3 in {0,1}, then {1,2} —
+    the overlap re-delivers a third of the corpus, proving the
+    union+re-rank is idempotent), with the 10 standing query vectors
+    registered up front; return the converged per-query top-5 table.
+
+    Exercises end-to-end: file streaming source, per-batch broadcast
+    scoring against the registered queries (O(batch x queries), never
+    the corpus), and the persistent bounded top-k state carried ACROSS
+    batches — a true neighbor arriving in wave 2 must displace a
+    wave-1 incumbent.  The state table is |queries| x k rows forever,
+    the cluster-scale invariant."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ct_")
+    src = f"{tmp}/src"
+    try:
+        from tg_reporting_etl_spark.streaming.pipeline import start_continuous_topk_sink
+
+        emb.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        q = start_continuous_topk_sink(stream, queries, f"{tmp}/index", f"{tmp}/ckpt", k=5)
+        try:
+            q.processAllAvailable()
+            emb.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            pdf = spark.read.parquet(f"{tmp}/index/topk").toPandas()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf, "query_id long, neighbor_id long, cos_sim double, rank int"
+    )
+
+
+# --------------------------------------------- streaming as-of parity
+
+# Same ground truth family as the batch events_asof_attribution row:
+# DuckDB's NATIVE ASOF JOIN — an independent first-class implementation
+# of the operator, not a rephrasing of our plan.  Null user_ids are
+# excluded on BOTH sides: SQL equality never matches NULL keys, while a
+# stream groupBy would give the null key its own state group.
+_STREAM_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+c AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.event_id AS click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
+@register(
+    "streaming_asof_enrich",
+    _STREAM_ASOF_ORACLE,
+    survey_ids="LLM/ST streaming as-of enrich (streaming/stateful.py streaming_asof_enrich, applyInPandasWithState)",
+)
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute every purchase to the user's most recent click at or
+    before it — CONTINUOUSLY, via the applyInPandasWithState as-of
+    operator, fed as two TIME-SPLIT micro-batch waves (first half of
+    the month, then the rest).
+
+    Time-split waves make the streaming emit-once semantics equal the
+    batch closed form: a left row's rights are always in its own or an
+    earlier wave (r.ts <= l.ts < wave boundary), out-of-order rows
+    WITHIN a wave still binary-search the retained state, and the
+    retention horizon is set above the fixture's full span so nothing
+    prunes.  Exercises: tagged-union stream, per-key state carried
+    across batches, inclusive-tie backward search — against DuckDB's
+    native ASOF JOIN."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.streaming.stateful import streaming_asof_enrich
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    lefts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.lit("L").alias("side"),
+        F.col("event_id").alias("rid"),
+        F.lit(0.0).alias("val"),
+    )
+    # one right per (key, ts): mirrors the batch row's max(event_id)
+    # collapse, so the at-or-before answer is unambiguous in both engines
+    rights = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max("event_id").alias("rid"))
+        .select("key", "ts", F.lit("R").alias("side"), "rid", F.col("rid").cast("double").alias("val"))
+    )
+    unified = lefts.unionByName(rights)
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    src = f"{tmp}/src"
+    sink = "streaming_asof_enrich_sink"
+    try:
+        unified.filter(F.col("ts") < split).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "key long, ts timestamp, side string, rid long, val double"
+        ).parquet(src)
+        # retention far above the fixture's one-month span: no pruning,
+        # so the emit-once answer equals the unlimited-lookback closed form
+        out = streaming_asof_enrich(stream, retention_seconds=10 * 366 * 86400)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            unified.filter(F.col("ts") >= split).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            pdf = (
+                spark.table(sink)
+                .select(
+                    F.col("rid").alias("event_id"),
+                    F.col("key").alias("user_id"),
+                    "ts",
+                    F.col("r_ts").alias("click_ts"),
+                    F.col("r_val").cast("long").alias("click_event_id"),
+                )
+                .toPandas()
+            )
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf,
+        "event_id long, user_id long, ts timestamp, click_ts timestamp, click_event_id long",
+    )

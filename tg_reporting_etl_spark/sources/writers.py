@@ -12,7 +12,39 @@ change.  At 100 TB this also gives partition pruning on every tier read.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def control_scope(spark):
+    """Execute CONTROL-TABLE-sized actions (rerun journal, task board,
+    alert state — frames of at most thousands of rows by contract)
+    without AQE and with ONE shuffle partition.
+
+    Under AQE every exchange in a plan materializes as its own job, so
+    a journal update (read + union/dedup + repartition(1) + swap write)
+    schedules 2+ jobs where one suffices — and on metadata-sized frames
+    the per-job scheduling round trip (~0.15-0.2 s on the bench box) IS
+    the cost, there is no data to adapt to.  Shuffle partitions pin to
+    1 because a 32-way exchange of a 50-row frame spends more on task
+    launches than on bytes.  Both confs are session-scoped and restored
+    in ``finally``; the runner paths using this are single-threaded.
+
+    NEVER wrap data-sized plans: AQE's skew handling and partition
+    coalescing are exactly the 100 TB story there (digest-index merges,
+    tier writes, and every catalog data path stay outside).
+    """
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def write_append(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
@@ -108,7 +140,11 @@ def overwrite_small_table(spark, target_path: str, df: DataFrame, *, presized: b
     per write — half the fixed cost of a journal update."""
     tmp_path = target_path.rstrip("/") + "._merge_tmp"
     _heal_swap(spark, target_path, tmp_path)
-    _swap_write(spark, target_path, tmp_path, df if presized else df.repartition(1))
+    # control_scope: the whole plan (live-table read + caller transform
+    # + repartition) executes inside the write action, so one scope here
+    # collapses the AQE per-exchange job pair for every caller
+    with control_scope(spark):
+        _swap_write(spark, target_path, tmp_path, df if presized else df.repartition(1))
 
 
 def merge_into(

@@ -343,6 +343,14 @@ def main() -> int:
             sdf = df.toPandas()
             rec["spark_s"] = round(time.time() - t0, 2)
             rec["spark_rows"] = len(sdf)
+            if name in ("doc_dup_components", "embedding_dup_components"):
+                # rounds-to-converge of the label-propagation loop that
+                # just ran (cost model = rounds x fixed jobs, so the
+                # scale claim cites the round count, not just wall)
+                from tg_reporting_etl_spark.functions import dedup as _dd
+
+                if _dd.LAST_COMPONENT_STATS:
+                    rec["component_stats"] = dict(_dd.LAST_COMPONENT_STATS)
         except Exception as exc:
             rec["error"] = repr(exc)[:300]
             failures.append((name, rec["error"]))
