@@ -179,6 +179,8 @@ def main() -> None:
         "streaming_minhash_lsh_index",
         "streaming_continuous_topk",
         "streaming_asof_enrich",
+        "streaming_wau",
+        "streaming_session_window",
     }
     orch_total = round(sum(t for n, t in timings.items() if n in orch), 3)
     # (adversarial set defined above the timing loop) — bucketed apart so

@@ -441,6 +441,16 @@ def test_connected_components_shapes(spark):
     }
 
 
+def test_connected_components_max_iter_zero_returns_identity(spark):
+    """max_iter=0: loop body never runs — identity labels come back and
+    LAST_COMPONENT_STATS records converged=False (no UnboundLocalError
+    on the `changed` sentinel)."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id for r in dd.connected_components(pairs, max_iter=0).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    assert dd.LAST_COMPONENT_STATS == {"rounds": 0, "max_iter": 0, "converged": False}
+
+
 def test_connected_components_matches_python_union_find(spark):
     """Randomized graphs: Spark label propagation == driver union-find."""
     import random
@@ -575,16 +585,31 @@ def test_tau_fraction_small_denominator_rounds_down():
     # exact short decimals keep their exact form
     assert dd._tau_fraction(0.8) == (4, 5)
     assert dd._tau_fraction(0.5) == (1, 2)
-    for tau in (1 / 3, 2 / 3, 0.123456789123456789, 1 / 7):
+    for tau in (1 / 3, 2 / 3, 0.123456789123456789, 1 / 7, 1 / 6):
         p, q = dd._tau_fraction(tau)
         assert q <= 10**6, (tau, p, q)
         assert Fraction(p, q) <= Fraction(str(tau)), (tau, p, q)
-        # and tight: within 2/q of tau (limit_denominator bound + the
-        # 1/q round-down nudge)
-        assert Fraction(str(tau)) - Fraction(p, q) <= Fraction(2, q)
+        # and TIGHT: within 1e-6 of tau.  The old 2/q bound was vacuous
+        # at small q — the round-down nudge of 1/q once collapsed
+        # tau=1/3 to (0,1), degenerating the prefix/positional pruning
+        # to brute force while staying "lossless".
+        assert Fraction(str(tau)) - Fraction(p, q) <= Fraction(1, 10**6), (tau, p, q)
         # int64 headroom: worst filter term is p·(na+nb) with doc sizes
         # up to ~2^31 shingles
         assert p * (2**32) < 2**63 and (p + q) * (2**32) < 2**63
+
+
+def test_tau_fraction_degenerate_tau_keeps_p_positive():
+    """tau below 1e-6 must not produce p=0 (filter-free prefixes =
+    silent full-cartesian candidate set); the clamp keeps p>=1 and the
+    fraction <= any tau >= 1e-6, so pruning stays lossless."""
+    for tau in (1e-7, 1e-9, 5e-7):
+        p, q = dd._tau_fraction(tau)
+        assert p >= 1, (tau, p, q)
+        assert q <= 10**6, (tau, p, q)
+    # and exact behavior right at the boundary
+    p, q = dd._tau_fraction(1e-6)
+    assert (p, q) == (1, 10**6)
 
 
 def test_prefix_filter_lossless_with_long_decimal_tau(spark):
@@ -600,18 +625,21 @@ def test_prefix_filter_lossless_with_long_decimal_tau(spark):
     ]
     rows += [(100 + j, rows[j][1] + " tail") for j in range(6)]
     corpus = spark.createDataFrame(rows, ["doc_id", "text"])
-    tau = 1 / 3
-
-    brute = {
-        (r.doc_a, r.doc_b): round(r.jaccard, 9)
-        for r in dd.jaccard_pairs(dd.char_shingles(corpus), tau).collect()
-    }
-    fast = {
-        (r.doc_a, r.doc_b): round(r.jaccard, 9)
-        for r in dd.ngram_jaccard_dedup(corpus, tau, on_blowup="force").collect()
-    }
-    assert brute
-    assert fast == brute
+    # 1e-7 exercises the degenerate-tau clamp (p=1, q=1e6): at doc
+    # sizes far below 1e6 shingles the prefix stays full-length and the
+    # positional/length thresholds stay vacuous, so the clamp never
+    # prunes a true pair.
+    for tau in (1 / 3, 1e-7):
+        brute = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd.jaccard_pairs(dd.char_shingles(corpus), tau).collect()
+        }
+        fast = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in dd.ngram_jaccard_dedup(corpus, tau, on_blowup="force").collect()
+        }
+        assert brute, tau
+        assert fast == brute, tau
 
 
 def test_repetition_stats_on_constructed_docs(spark):

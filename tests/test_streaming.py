@@ -691,6 +691,46 @@ def test_streaming_wau_tracks_batch_within_hll_error(spark, sf_dir, tmp_path):
         assert abs(approx[d] - exact[d]) <= max(5, 0.05 * exact[d]), d
 
 
+def test_streaming_wau_exact_chained_aggs(spark, tmp_path):
+    """The EXACT streaming WAU (two chained append-mode stateful aggs)
+    equals the hand-computed fan-out on a tiny fixture: stage-1 window
+    close must feed stage-2's tumbling re-window in the no-data batch
+    cascade, and the sentinel must advance the watermark (it rides
+    un-filtered through the EventTimeWatermark node — an in-stream
+    filter would be predicate-pushed below it and starve the
+    watermark)."""
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        streaming_trailing_active_users_exact,
+    )
+
+    base = spark.createDataFrame(
+        [(7, "2024-01-01 10:00:00"), (7, "2024-01-02 10:00:00"),
+         (8, "2024-01-02 11:00:00"), (-1, "2035-01-01 00:00:00")],
+        ["user_id", "s"],
+    ).select("user_id", F.col("s").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "wau_exact_src")
+    base.write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = start_memory_sink(
+        streaming_trailing_active_users_exact(stream), "wau_exact", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            str(r.report_date): r.n_active
+            for r in spark.table("wau_exact").collect()
+            if str(r.report_date) < "2030"
+        }
+    finally:
+        q.stop()
+    # user 7 active Jan 1+2, user 8 active Jan 2: report days fan 7 forward
+    want = {"2024-01-01": 1}
+    want.update({f"2024-01-0{d}": 2 for d in range(2, 9)})
+    assert got == want
+
+
 def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     """The streaming CMS after two micro-batches must equal the batch
     sketch over the union, estimates must never underestimate, and a

@@ -355,18 +355,31 @@ def _tau_fraction(tau: float) -> tuple[int, int]:
     wrapping under non-ANSI mode and turning the "lossless" length /
     positional filters lossy.  ``limit_denominator(10**6)`` keeps p+q
     small (|tau - p/q| < 1/q·10**6, far below any meaningful similarity
-    resolution); when the nearest small fraction lands ABOVE tau it is
-    nudged down by 1/q — a slightly smaller tau only LENGTHENS prefixes
-    and WEAKENS the pruning thresholds, preserving losslessness, while
-    a larger one could prune true pairs.  The exact-verify stage still
+    resolution); when the nearest small fraction lands ABOVE tau we
+    instead truncate at a fixed 10**6 denominator — guaranteed <= tau
+    with error < 1e-6 — because subtracting 1/q at a SMALL q (e.g. the
+    1/3 that limit_denominator finds for 0.3333...) would collapse tau
+    to near zero and degenerate the prefix/positional pruning to
+    brute force.  A slightly smaller tau only LENGTHENS prefixes and
+    WEAKENS the pruning thresholds, preserving losslessness, while a
+    larger one could prune true pairs.  The exact-verify stage still
     filters on the caller's float tau, so results are unchanged.
+
+    p is clamped to >= 1: a tau so small that floor(tau·10**6) = 0
+    would make every filter vacuous (p=0 prunes nothing — lossless but
+    a silent full-cartesian prefix); p=1/q keeps the machinery
+    non-degenerate and is still <= any tau >= 1e-6.  Callers pass tau
+    in (0, 1]; sub-1e-6 taus are semantically "keep every pair" and
+    the exact-verify float filter governs.
     """
     from fractions import Fraction
 
     exact = Fraction(str(tau))
     frac = exact.limit_denominator(10**6)
     if frac > exact:
-        frac = frac - Fraction(1, frac.denominator)
+        frac = Fraction(int(exact * 10**6), 10**6)
+    if frac.numerator < 1:
+        frac = Fraction(1, 10**6)
     return frac.numerator, frac.denominator
 
 
@@ -921,6 +934,7 @@ def _components_loop(sym, max_iter, _truncate, _release) -> DataFrame:
         sym.select(F.col("src").alias("doc_id")).distinct().withColumn("comp", F.col("doc_id"))
     )
     rounds = 0
+    changed = -1  # sentinel: max_iter <= 0 -> loop never runs, converged=False
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -956,7 +970,9 @@ def _components_loop(sym, max_iter, _truncate, _release) -> DataFrame:
     # observability, not control flow: the loop's cost model is
     # rounds x fixed-job-count, so probe/bench artifacts cite this
     LAST_COMPONENT_STATS.clear()
-    LAST_COMPONENT_STATS.update({"rounds": rounds, "max_iter": max_iter, "converged": changed == 0})
+    LAST_COMPONENT_STATS.update(
+        {"rounds": rounds, "max_iter": max_iter, "converged": rounds > 0 and changed == 0}
+    )
     out = labels.select("doc_id", F.col("comp").alias("component_id"))
     # hand back a plan rooted at the final checkpoint; caller-side
     # collection releases nothing further (blocks die with the session

@@ -224,12 +224,16 @@ def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which refuses corpora this shape).  Full-corpus exactness stays
 # pinned by tests/test_llm_layer.py's brute-force equality pytests and
 # the sf1.0 probe's gate-refusal verdicts.
-EXACT_SLICE_FRACTION = 0.7
+EXACT_SLICE_FRACTION = 0.5
 _XSLICE_PRED = f"{_U01.format(salt='xslice')} < {EXACT_SLICE_FRACTION}"
 _SHINGLES_SLICED = _SHINGLES.replace(
     "FROM documents,",
     f"FROM (SELECT * FROM documents WHERE {_XSLICE_PRED}) documents,",
 )
+# If _SHINGLES is ever reworded the str.replace above would silently
+# no-op, leaving the oracle full-corpus while the engine runs the
+# slice — surfacing as an opaque hash mismatch.  Fail loudly instead.
+assert _SHINGLES_SLICED != _SHINGLES, "xslice substitution did not apply to _SHINGLES"
 _NGRAM_EXACT_ORACLE = f"""WITH {_SHINGLES_SLICED.strip()}, {_SIZES.strip()}, {_JACCARD.strip()}
 SELECT doc_a, doc_b, jaccard FROM jacc"""
 

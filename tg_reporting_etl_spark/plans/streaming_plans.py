@@ -22,6 +22,32 @@ from tg_reporting_etl_spark.plans.catalog import EVENTS_GTE, EVENTS_LT, register
 from tg_reporting_etl_spark.plans.util import round_doubles
 from tg_reporting_etl_spark.sources.readers import load_table
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_scope(spark, parts: int = 4):
+    """Pin the STATE-STORE partition count for a micro-batch simulation.
+
+    Structured Streaming fixes its state partitioning from
+    ``spark.sql.shuffle.partitions`` at query start; at the fixture's
+    micro-batch sizes the per-batch cost is state-store file commits x
+    partitions x stateful operators, not data — 32 partitions spend
+    ~4x the wall-clock of 4 on identical output (profiled r13:
+    streaming_wau 13.1 s -> 3.4 s).  On a real cluster this knob is
+    sized to executor count x state volume, exactly as here: partitions
+    should match the state's scale, not default to the batch-join
+    width.  Session-scoped, restored in ``finally``; batch-side wave
+    writes inside the scope are metadata-sized.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # The stream's emitted rows are exactly one per distinct digest seen
 # (first-seen wins; later copies dropped by cross-batch state), so the
 # order-insensitive projection equals DISTINCT over the whole corpus.
@@ -244,7 +270,15 @@ def q_streaming_minhash_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame
     Exercises end-to-end: foreachBatch signature computation, the
     persistent band index probed ACROSS batches (a near-dup arriving in
     wave 2 pairs with its wave-1 partner), and idempotent index merges —
-    then proves the accumulated pairs equal the batch closed form."""
+    then proves the accumulated pairs equal the batch closed form.
+
+    Runs under ``_stream_state_scope`` (r13 task-7 profile: the row is
+    NOT scheduling-bound — addBatch, i.e. the foreachBatch body's
+    signature compute + probe joins + index appends, is ~90 % of
+    trigger time — but the body's per-batch frames are a few thousand
+    rows, so 32-way exchanges spend more on task launches than bytes:
+    4 partitions takes the warm row 4.9 -> 3.8 s with hash-identical
+    output)."""
     import shutil
     import tempfile
 
@@ -258,20 +292,21 @@ def q_streaming_minhash_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame
     tmp = tempfile.mkdtemp(prefix="stream_nd_")
     src = f"{tmp}/src"
     try:
-        docs.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
-        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
-        q = start_near_dup_sink(stream, f"{tmp}/index", f"{tmp}/ckpt")
-        try:
-            q.processAllAvailable()
-            docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
-            q.processAllAvailable()
-            pdf = (
-                spark.read.parquet(f"{tmp}/index/pairs")
-                .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-                .toPandas()
-            )
-        finally:
-            q.stop()
+        with _stream_state_scope(spark):
+            docs.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+            q = start_near_dup_sink(stream, f"{tmp}/index", f"{tmp}/ckpt")
+            try:
+                q.processAllAvailable()
+                docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = (
+                    spark.read.parquet(f"{tmp}/index/pairs")
+                    .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+                    .toPandas()
+                )
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
@@ -444,4 +479,194 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf,
         "event_id long, user_id long, ts timestamp, click_ts timestamp, click_event_id long",
+    )
+
+
+# ------------------------------------------------- streaming exact WAU
+
+
+def _streaming_wau_oracle() -> str:
+    """Same ground truth as the batch ``trailing_active_users`` row —
+    one oracle string for both engines' shapes (the r12
+    continuous-top-k precedent)."""
+    from tg_reporting_etl_spark.plans.session_plans import _WAU_ORACLE
+
+    return _WAU_ORACLE
+
+
+@register(
+    "streaming_wau",
+    _streaming_wau_oracle(),
+    survey_ids="LLM/ST streaming exact trailing-7-day actives (streaming/pipeline.py streaming_trailing_active_users_exact, chained stateful aggs)",
+)
+def q_streaming_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users maintained CONTINUOUSLY via
+    two chained append-mode stateful aggregations, fed as two
+    TIME-SPLIT micro-batch waves (first half of the month, then the
+    rest) — the streaming twin of the batch
+    ``operators.sessions.trailing_active_users`` closed form.
+
+    Time-split waves keep wave-2 rows above the wave-1 watermark
+    (watermark = max(wave-1 ts) - 1 day < split <= every wave-2 ts), so
+    no true row is ever late-dropped and the converged append-mode
+    output equals the batch fan-out answer.  A single far-future
+    SENTINEL row rides in wave 2 purely to push the final watermark
+    past every real window: it must flow THROUGH the EventTimeWatermark
+    node (an in-stream filter would be pushed below it by Catalyst and
+    starve the watermark), so it is excluded from the RESULT after
+    collection — its own windows sit a decade away from the fixture's
+    and cannot touch a real report_date.
+
+    Exercises: watermark propagation across chained stateful operators
+    (stage-1 window close feeding stage-2 tumbling re-window in the
+    same no-data batch cascade), per-(window, user) distinct state, and
+    emit-exactly-once append semantics across waves."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    sentinel = spark.createDataFrame(
+        [(-1, "2035-01-01 00:00:00")], ["user_id", "s"]
+    ).select("user_id", F.col("s").cast("timestamp").alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="stream_wau_")
+    src = f"{tmp}/src"
+    sink = "streaming_wau_sink"
+    try:
+        with _stream_state_scope(spark):
+            return _run_wau_sim(spark, ev, split, sentinel, src, sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_wau_sim(spark, ev, split, sentinel, src, sink):
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        streaming_trailing_active_users_exact,
+    )
+
+    ev.filter(F.col("ts") < split).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = streaming_trailing_active_users_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") >= split).unionByName(sentinel).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        pdf = spark.table(sink).toPandas()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
+    pdf = pdf[pdf["report_date"].astype(str) < "2030"]  # drop sentinel windows
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(pdf, "report_date date, n_active long")
+
+
+# --------------------------------------------- streaming session window
+
+# Gap-session ground truth in lag/cumsum form — the SAME break
+# semantics as Spark's session_window state machine: two events merge
+# iff gap <= GAP_MIN (verified empirically: [t, t+gap) windows merge at
+# exact adjacency, i.e. the break condition is strictly `>`), which is
+# also the batch sessionize contract, so one semantics covers engine,
+# stream, and oracle.  No session_id in the output: a running counter
+# needs a total order over a user's CLOSED sessions, which a stream
+# cannot emit-once; (user_id, session_start) is the natural key.
+_STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ids AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS total_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM ids GROUP BY user_id, sid"""
+
+
+@register(
+    "streaming_session_window",
+    _STREAM_SESSION_ORACLE,
+    survey_ids="LLM/ST streaming gap sessions (streaming/pipeline.py streaming_sessionize, native session_window state merge)",
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions maintained CONTINUOUSLY by Spark's native
+    ``session_window`` state machine, fed as two TIME-SPLIT waves —
+    the streaming twin of the batch ``sessionize_events`` row.
+
+    The split lands mid-corpus, so sessions STRADDLING the boundary
+    prove the cross-batch window merge: wave-1 leaves them un-emitted
+    in state (their end + gap is above the wave-1 watermark), wave-2
+    extends them, and the sentinel-driven final watermark closes
+    everything exactly once.  Same sentinel mechanics and rationale as
+    ``streaming_wau`` (must pass through the watermark node; excluded
+    from the result after collection)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    sentinel = spark.createDataFrame(
+        [(-1, "2035-01-01 00:00:00", "view", 0.0)],
+        ["user_id", "s", "event_type", "value"],
+    ).select("user_id", F.col("s").cast("timestamp").alias("ts"), "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    src = f"{tmp}/src"
+    sink = "streaming_session_sink"
+    try:
+        with _stream_state_scope(spark):
+            return _run_session_sim(spark, ev, split, sentinel, src, sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_session_sim(spark, ev, split, sentinel, src, sink):
+    from tg_reporting_etl_spark.streaming.pipeline import streaming_sessionize
+
+    ev.filter(F.col("ts") < split).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = streaming_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") >= split).unionByName(sentinel).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        pdf = spark.table(sink).toPandas()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
+    pdf = pdf[pdf["user_id"] >= 0]  # drop the sentinel's own session
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf,
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long, total_value double, n_event_types long",
     )

@@ -616,6 +616,43 @@ def streaming_trailing_active_users(
     )
 
 
+def streaming_trailing_active_users_exact(
+    stream: DataFrame, window_days: int = 7, watermark: str = "1 day"
+) -> DataFrame:
+    """EXACT streaming WAU via two chained stateful aggregations —
+    the oracle-checkable twin of :func:`streaming_trailing_active_users`.
+
+    Stage 1 groups by (sliding window, user_id): the groupBy IS the
+    per-window distinct, and append mode emits each (window, user) pair
+    exactly once when the watermark closes the window.  Stage 2 re-keys
+    those emissions by a 1-day tumbling window over
+    ``window_time(w)`` (= w.end - 1µs, the event-time Spark assigns a
+    closed window) and counts rows — distinct users per report window.
+    Chained stateful operators in one append-mode query are a Spark
+    3.5+/4.x capability (watermark propagation, SPARK-40925); the
+    re-window via ``window_time`` is what marks stage 2's grouping as
+    event-time so its state also evicts.
+
+    State is O(windows x users-per-window) — the exact-distinct cost
+    the HLL path avoids; use this when per-day audits must reconcile
+    to exact counts, the HLL twin for unbounded-cardinality streams.
+    ``report_date`` is the window's LAST day, matching the batch frame
+    (stage-2's tumbling window is [w.end - 1 day, w.end), so that's
+    its ``start`` date).
+    """
+    w = F.window("ts", f"{window_days} days", "1 day")
+    per_user = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "user_id")
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        per_user.groupBy(F.window(F.window_time("w"), "1 day").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .select(F.to_date("w2.start").alias("report_date"), "n_active")
+    )
+
+
 def cms_ingest_epoch(
     spark,
     deltas_path: str,

@@ -119,6 +119,12 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
 
     from tg_reporting_etl_spark.plans.llm_plans import CONSISTENCY_ORACLES
 
+    # a DUCK_NESTED_INFEASIBLE key without a consistency oracle would
+    # silently fall through to the nested oracle — the exact spill the
+    # table exists to avoid.  Fail loudly before running anything.
+    _orphans = {n for (_sf, n) in DUCK_NESTED_INFEASIBLE} - set(CONSISTENCY_ORACLES)
+    assert not _orphans, f"DUCK_NESTED_INFEASIBLE without CONSISTENCY_ORACLES entry: {_orphans}"
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
@@ -127,6 +133,7 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
         ch for n, spec in CONSISTENCY_ORACLES.items() for ch in spec["channels"]
     }
     spark_results: dict[str, pd.DataFrame] = {}  # channel reuse cache
+    verified_channels: set[str] = set()  # channels full-hash-green THIS run
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -141,12 +148,27 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
             spec = CONSISTENCY_ORACLES[name]
             # channel results: reuse this run's already-compared frames
             # (every channel registers before its consumer in the
-            # catalog); compute on demand only under a subset filter
+            # catalog).  Under an --only subset a channel may not have
+            # run through the main loop — compute it on demand AND
+            # verify it against its own nested oracle here, so the
+            # "verified channels" claim holds in every run shape.
             t0 = time.time()
+            channel_verified: dict[str, bool] = {}
             for ch in spec["channels"]:
                 if ch not in spark_results:
                     spark_results[ch] = qs[ch](spark, sf_dir).toPandas()
+                if ch not in verified_channels and ch in oracles:
+                    try:
+                        ch_odf = con.execute(oracles[ch]).df()
+                        if _canon(spark_results[ch]) == _canon(ch_odf):
+                            verified_channels.add(ch)
+                    except Exception:
+                        pass  # recorded as unverified below
+                channel_verified[ch] = ch in verified_channels
                 con.register(f"ch_{ch}", spark_results[ch])
+            if not all(channel_verified.values()):
+                bad = [c for c, v in channel_verified.items() if not v]
+                failures.append((name, f"consistency channels not hash-verified this run: {bad}"))
             try:
                 odf = con.execute(spec["sql"]).df()
             except Exception as exc:
@@ -174,6 +196,7 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
                 "mode": "oracle_consistency",
                 "nested_oracle_skipped": nested_infeasible,
                 "channels": list(spec["channels"]),
+                "channel_verified": channel_verified,
                 "ok": ok,
                 "rows_match": sn == on,
                 "schema_match": scols == ocols,
@@ -262,6 +285,8 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
         }
         if oracle_retried:
             records[name]["oracle_retried"] = True
+        if ok and name in needed_channels:
+            verified_channels.add(name)
         if not ok:
             failures.append((name, f"rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
             if scols == ocols and sn and on:
