@@ -113,6 +113,14 @@ PROBE_QUERIES = [
     # components face 2k replica-cliques of 10 (90k+ edges)
     "doc_novelty",
     "embedding_dup_components",
+    # round-13: the streaming session_window sim at 10x events (~1M
+    # rows/wave through the state machine, sessions straddling the
+    # wave boundary) — the catalog's only streaming row with per-key
+    # UNBOUNDED-cardinality state, so it is the one whose scale claim
+    # needs a probe receipt (WAU's exact twin is windows x users state
+    # by design and stays at catalog sfs; its HLL twin is the 100 TB
+    # path)
+    "streaming_session_window",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan) —
