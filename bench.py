@@ -81,6 +81,56 @@ def _scan_exceptions(path: str, limit: int = 8) -> tuple[list[str], list[str]]:
     return anomalies, probes
 
 
+def _regression_watch(
+    here: str, sf: float, timings: dict[str, float]
+) -> tuple[dict[str, float], list[str]]:
+    """Per-sf regression base: (prev same-sf query map, regressed names).
+
+    The base lives in a PER-SF sidecar (BENCH_HISTORY.json:
+    {str(sf): queries}) so a mid-round profiling run at another sf
+    cannot wipe the comparison — round 13 shipped a vacuous
+    ``watch_regressions: []`` because a 10x probe overwrote
+    BENCH_FULL.json and the single-slot prev map with it.
+    BENCH_FULL.json remains a same-sf fallback for repos predating the
+    sidecar.  A query regresses if its min grew >1.3x AND >0.15 s —
+    the two guards together ignore sub-noise-floor micro-deltas.
+    This run's timings are written back to the sidecar under str(sf),
+    leaving every other sf's history intact.
+    """
+    hist_path = os.path.join(here, "BENCH_HISTORY.json")
+    history: dict[str, dict[str, float]] = {}
+    try:
+        with open(hist_path) as fh:
+            loaded = json.load(fh)
+        if isinstance(loaded, dict):
+            history = {k: v for k, v in loaded.items() if isinstance(v, dict)}
+    except (OSError, ValueError):
+        pass
+    prev_queries: dict[str, float] = history.get(str(sf), {})
+    if not prev_queries:
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                prev_queries = prev.get("queries", {})
+        except (OSError, ValueError):
+            pass
+    watch = sorted(
+        n
+        for n, t in timings.items()
+        if n in prev_queries
+        and t > 1.3 * prev_queries[n]
+        and t - prev_queries[n] > 0.15
+    )
+    history[str(sf)] = timings
+    try:
+        with open(hist_path, "w") as fh:
+            json.dump(history, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return prev_queries, watch
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -210,27 +260,17 @@ def main() -> None:
     except OSError:
         pass
 
-    # Self-comparing artifact: read the PREVIOUS run's per-query map
-    # back before overwriting BENCH_FULL.json, and name the queries
-    # whose min regressed >1.3x AND >0.15 s at the same sf — the two
-    # guards together ignore sub-noise-floor micro-deltas.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    prev_queries: dict[str, float] = {}
-    watch: list[str] = []
-    try:
-        with open(full_path) as fh:
-            prev = json.load(fh)
-        if prev.get("sf") == sf:
-            prev_queries = prev.get("queries", {})
-            watch = sorted(
-                n
-                for n, t in timings.items()
-                if n in prev_queries
-                and t > 1.3 * prev_queries[n]
-                and t - prev_queries[n] > 0.15
-            )
-    except (OSError, ValueError):
-        pass
+    # Self-comparing artifact: the regression base is kept PER-SF in a
+    # sidecar (BENCH_HISTORY.json: {str(sf): queries}) so a mid-round
+    # profiling run at a different sf cannot wipe the comparison base —
+    # round 13 shipped a vacuous ``watch_regressions: []`` because a
+    # 10x probe overwrote BENCH_FULL.json and the single-slot prev map
+    # with it.  BENCH_FULL.json remains a same-sf fallback for repos
+    # that predate the sidecar.  Watch = min regressed >1.3x AND
+    # >0.15 s at the same sf — the two guards together ignore
+    # sub-noise-floor micro-deltas.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_queries, watch = _regression_watch(here, sf, timings)
 
     full = {
         "metric": "total_query_wall_seconds",

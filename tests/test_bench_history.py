@@ -1,0 +1,55 @@
+"""Per-sf bench regression history (round-13 verdict, What's wrong #2).
+
+Round 13's committed BENCH_FULL.json carried ``prev_queries: {}``
+because a mid-round 10x profiling run overwrote the single-slot prev
+map, making ``watch_regressions`` vacuous.  The fix keys history by sf
+in a sidecar; these tests pin that a foreign-sf run cannot wipe the
+same-sf comparison base.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(HERE, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_foreign_sf_run_does_not_wipe_same_sf_base(tmp_path):
+    bench = _bench()
+    root = str(tmp_path)
+    # round N: a real sf0.1 run establishes the base
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 1.0, "q2": 0.2})
+    assert prev == {} and watch == []
+    # mid-round: a 10x profiling run at sf1.0 (the round-13 wipe vector)
+    prev, watch = bench._regression_watch(root, 1.0, {"q1": 9.0})
+    assert prev == {}
+    # round N close: the sf0.1 base SURVIVED and regressions are caught
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 2.0, "q2": 0.21})
+    assert prev == {"q1": 1.0, "q2": 0.2}
+    assert watch == ["q1"]  # 2x and +1.0s; q2's +0.01s is sub-floor
+    hist = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert set(hist) == {"0.1", "1.0"}
+
+
+def test_bench_full_is_fallback_when_sidecar_absent(tmp_path):
+    bench = _bench()
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0}})
+    )
+    prev, watch = bench._regression_watch(str(tmp_path), 0.1, {"q1": 1.6})
+    assert prev == {"q1": 1.0}
+    assert watch == ["q1"]
+    # but a DIFFERENT-sf BENCH_FULL is never used as a base
+    prev, watch = bench._regression_watch(str(tmp_path), 1.0, {"q1": 50.0})
+    assert prev == {} and watch == []

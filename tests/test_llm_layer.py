@@ -599,15 +599,17 @@ def test_tau_fraction_small_denominator_rounds_down():
         assert p * (2**32) < 2**63 and (p + q) * (2**32) < 2**63
 
 
-def test_tau_fraction_degenerate_tau_keeps_p_positive():
-    """tau below 1e-6 must not produce p=0 (filter-free prefixes =
-    silent full-cartesian candidate set); the clamp keeps p>=1 and the
-    fraction <= any tau >= 1e-6, so pruning stays lossless."""
+def test_tau_fraction_rejects_sub_1e6_tau():
+    """tau below 1e-6 is OUT of the supported range: the old clamp to
+    1/10**6 exceeded such taus, so on ~1e6-shingle docs the lossless
+    filters could prune a true pair with jaccard in [tau, 1e-6) that
+    exact-verify can never recover.  Rejecting beats silent loss."""
+    import pytest as _pytest
+
     for tau in (1e-7, 1e-9, 5e-7):
-        p, q = dd._tau_fraction(tau)
-        assert p >= 1, (tau, p, q)
-        assert q <= 10**6, (tau, p, q)
-    # and exact behavior right at the boundary
+        with _pytest.raises(ValueError, match="supported minimum"):
+            dd._tau_fraction(tau)
+    # exact behavior right at the supported boundary
     p, q = dd._tau_fraction(1e-6)
     assert (p, q) == (1, 10**6)
 

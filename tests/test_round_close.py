@@ -95,3 +95,69 @@ def test_check_artifacts_freshness_boundary(tmp_path, monkeypatch):
     assert round_close.check_artifacts(["a.json"], not_before=0.0) == []
     bad = round_close.check_artifacts(["a.json", "b.json"], not_before=time.time() + 60)
     assert any("stale" in b for b in bad) and any("missing" in b for b in bad)
+
+
+def test_check_artifacts_tolerates_1s_mtime_granularity(tmp_path, monkeypatch):
+    """An artifact written in the same second the run starts can get an
+    mtime truncated just below t_start on coarse filesystems; the
+    epsilon must absorb that without admitting genuinely old files."""
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    p = tmp_path / "a.json"
+    p.write_text("{}")
+    now = time.time()
+    os.utime(p, (now - 1.0, now - 1.0))  # truncated-by-granularity case
+    assert round_close.check_artifacts(["a.json"], not_before=now) == []
+    os.utime(p, (now - 10.0, now - 10.0))  # genuinely stale
+    assert round_close.check_artifacts(["a.json"], not_before=now) != []
+
+
+def test_resume_skips_only_completed_steps_when_tree_unchanged(tmp_path, monkeypatch):
+    """A killed close re-run completes only the missing steps (r13
+    verdict task 4): bench + verify completed in run 1, run 2 must skip
+    them and execute scale_probe + coverage_guard only."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    # run 1: scale_probe dies (rc 1, no artifact) -> close fails
+    broken = dict(effects)
+    broken["scale_probe"] = (1, [])
+    r1 = _stub_runner(broken)
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 1
+    assert r1.calls == ["bench", "verify_local", "scale_probe", "coverage_guard"]
+    # run 2, same tree: bench + verify_local resume from their receipts
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert r2.calls == ["scale_probe", "coverage_guard"]
+
+
+def test_resume_reruns_everything_when_source_tree_changed(tmp_path, monkeypatch):
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    r1 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 0
+    # code changed after the green close -> every step re-runs
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T2") == 0
+    assert r2.calls == ["bench", "verify_local", "scale_probe", "coverage_guard"]
+
+
+def test_resume_reruns_step_whose_artifact_was_deleted(tmp_path, monkeypatch):
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    r1 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 0
+    os.unlink(tmp_path / f"VERIFY_LOCAL_{tag}.json")
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    # verify_local re-ran; bench and scale_probe resumed
+    assert r2.calls == ["verify_local", "coverage_guard"]
+
+
+def test_git_failure_disables_resume_not_the_close(tmp_path, monkeypatch):
+    """tree_hash outside a git repo returns a unique token each call,
+    so resume silently degrades to run-everything."""
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    h1, h2 = round_close.tree_hash(), round_close.tree_hash()
+    assert h1 != h2 and h1.startswith("no-resume-")

@@ -365,15 +365,25 @@ def _tau_fraction(tau: float) -> tuple[int, int]:
     larger one could prune true pairs.  The exact-verify stage still
     filters on the caller's float tau, so results are unchanged.
 
-    p is clamped to >= 1: a tau so small that floor(tau·10**6) = 0
-    would make every filter vacuous (p=0 prunes nothing — lossless but
-    a silent full-cartesian prefix); p=1/q keeps the machinery
-    non-degenerate and is still <= any tau >= 1e-6.  Callers pass tau
-    in (0, 1]; sub-1e-6 taus are semantically "keep every pair" and
-    the exact-verify float filter governs.
+    Supported range is tau in [1e-6, 1].  A tau below 1e-6 is REJECTED
+    rather than clamped: the old p>=1 clamp produced an effective
+    threshold 1/10**6 that is GREATER than such a tau, so on corpora
+    with ~10**6-shingle documents the prefix/length/positional filters
+    could prune a true pair with jaccard in [tau, 1e-6) — and the
+    exact-verify stage cannot recover a pruned candidate.  Rejecting is
+    honest; a caller that truly wants "keep every pair" should not be
+    routing through threshold-pruned PPJoin at all.
     """
     from fractions import Fraction
 
+    if tau < 1e-6:
+        raise ValueError(
+            f"tau={tau!r} below supported minimum 1e-6: the integer filter "
+            "arithmetic cannot represent it losslessly (an effective "
+            "threshold of 1/10**6 would exceed tau and prune true pairs "
+            "on >=1e6-shingle docs). Use tau >= 1e-6, or an unpruned "
+            "pairing path for keep-every-pair semantics."
+        )
     exact = Fraction(str(tau))
     frac = exact.limit_denominator(10**6)
     if frac > exact:
