@@ -31,7 +31,12 @@ _RISKY = (
     f"OR profit_amount >= {_CFG['profit_unconditional']} THEN 1 ELSE 0 END AS INT) AS is_risky"
 )
 
-_P5_CTES = f"""
+def _p5_ctes(gte: str, lt: str) -> str:
+    """p5 + p5f CTEs over an arbitrary half-open window — the batch
+    tiers bake in the full lineitem range; the streaming parity row
+    (plans/streaming_plans.py) narrows to a one-year slice to bound
+    complete-mode state at the test sfs."""
+    return f"""
 p5 AS (
   SELECT {_KEYS},
          time_bucket(INTERVAL '5 minutes', round_time) AS start_time,
@@ -49,7 +54,7 @@ p5 AS (
          SUM(cancel_value) AS cancel_amount
   FROM player_profit_log
   WHERE is_robot = 0
-    AND round_time >= TIMESTAMP '{LINEITEM_GTE}' AND round_time < TIMESTAMP '{LINEITEM_LT}'
+    AND round_time >= TIMESTAMP '{gte}' AND round_time < TIMESTAMP '{lt}'
   GROUP BY 1, 2, 3, 4, 5, 6
 ),
 p5f AS (
@@ -64,6 +69,9 @@ p5f AS (
     LEFT JOIN game_sites gs ON p.platform = gs.platform AND p.site_code = gs.code
   )
 )"""
+
+
+_P5_CTES = _p5_ctes(LINEITEM_GTE, LINEITEM_LT)
 
 
 def _rollup_cte(name: str, prev: str, unit: str) -> str:

@@ -670,3 +670,181 @@ def _run_session_sim(spark, ev, split, sentinel, src, sink):
         "user_id long, session_start timestamp, session_end timestamp,"
         " n_events long, total_value double, n_event_types long",
     )
+
+
+# --------------------------------------- player_summary 5min parity (r14)
+
+# One-year slice of the bet-round log: the player grain is ~7x finer
+# than trans (562k windows at sf0.1 over the full lineitem range) and
+# this row runs in COMPLETE mode (cross-batch partial-agg revision is
+# the semantics under test), so the slice bounds the re-emitted state
+# at the trans row's scale while still spanning a wave boundary.
+_PLAYER_GTE, _PLAYER_LT = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+def _stream_p5_oracle() -> str:
+    """Same p5f closed form as the batch tier (player_plans._p5_ctes),
+    narrowed to the one-year slice and WITHOUT the tier's derived
+    date-key columns — the streaming plan emits the raw window start
+    (the r12/r13 shared-oracle precedent)."""
+    from tg_reporting_etl_spark.plans.player_plans import _COMMON, _KEYS, _p5_ctes
+
+    return orc.with_ctes(
+        f"SELECT {_KEYS}, {_COMMON},\n       start_time\nFROM p5f",
+        "player_profit_log",
+        "game_sites",
+        extra=[_p5_ctes(_PLAYER_GTE, _PLAYER_LT).strip()],
+    )
+
+
+@register(
+    "streaming_player_summary_5min",
+    _stream_p5_oracle(),
+    survey_ids="ST1 ST2 A1 A2 A4 J1 F6 F7 (streaming/pipeline.py streaming_player_summary_5min, pre-agg stream-static dim join)",
+)
+def q_streaming_player_summary_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND report spine (player grain) as a
+    streaming plan, fed as two micro-batch waves split by ROW-CONTENT
+    HASH (not time): the fixture's round_time is date-granular, so a
+    time split would never place two rows of one (keys, window) group
+    in different waves — the hash split puts ~half of EVERY multi-row
+    group in each wave, so wave 1 emits those groups partial and wave 2
+    must revise them (verified empirically: complete mode aggregates
+    event times far below the watermark — state is never dropped — so
+    out-of-time-order waves are safe here, unlike append mode).
+
+    Also under test beyond the trans twin: the pre-agg STREAM-STATIC
+    broadcast dim join (Structured Streaming forbids joins after a
+    streaming aggregation, so game_sites joins the event stream BEFORE
+    the groupBy and rides through as min(ratio) — exact because ratio
+    is functionally dependent on the platform/site group keys), and the
+    derived-measure recompute (rtp, revenue split, is_risky) on every
+    cross-batch revision."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.operators.player_summary import (
+        GROUP_KEYS as P_KEYS,
+        OUT_COLUMNS as P_OUT,
+    )
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        start_memory_sink,
+        streaming_player_summary_5min,
+    )
+
+    # watermarks need TIMESTAMP (the adapter yields NTZ from lineitem dates)
+    ppl = (
+        td.player_profit_log(spark, sf_dir)
+        .withColumn("round_time", F.col("round_time").cast("timestamp"))
+        .filter(
+            (F.col("round_time") >= F.lit(_PLAYER_GTE).cast("timestamp"))
+            & (F.col("round_time") < F.lit(_PLAYER_LT).cast("timestamp"))
+        )
+    )
+    sites = td.game_sites(spark, sf_dir)
+    # deterministic row-content split: every multi-row group straddles it
+    wave1 = F.crc32(F.concat_ws("|", "player_name", "game_code", F.col("bet").cast("string"))) % 2 == 0
+    tmp = tempfile.mkdtemp(prefix="stream_p5_")
+    src = f"{tmp}/src"
+    sink = "streaming_player_summary_5min_sink"
+    try:
+        with _stream_state_scope(spark):
+            ppl.filter(wave1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", "8")
+                .parquet(src)
+            )
+            q = start_memory_sink(
+                streaming_player_summary_5min(stream, sites), sink, mode="complete"
+            )
+            try:
+                q.processAllAvailable()
+                ppl.filter(~wave1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = round_doubles(
+                    spark.table(sink).select(*P_KEYS, *P_OUT, "start_time")
+                ).toPandas()
+            finally:
+                q.stop()
+                spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf,
+        "platform string, site_code string, game_code string, player_name string,"
+        " country string, b_count long, b_amount double, w_amount double,"
+        " fee_amount double, profit_amount double, refund_amount double,"
+        " normal_amount double, bonus_amount double, free_amount double,"
+        " jp_amount double, valid_amount double, cancel_amount double,"
+        " p_before_amount double, p_after_amount double, tg_after_amount double,"
+        " ratio double, rtp double, is_risky int, start_time timestamp",
+    )
+
+
+# ------------------------------------- embedding near-dup index parity (r14)
+
+def _stream_emb_oracle() -> str:
+    """Closed form of the incremental embedding index: the pairs table
+    any wave decomposition converges to is 'sign-LSH band-colliding
+    pairs with exact cosine >= tau' over the whole corpus — exactly the
+    batch ``embedding_dup_pairs_banded`` oracle (one oracle string,
+    two engines: the r12 continuous-top-k precedent)."""
+    from tg_reporting_etl_spark.plans.llm_plans import _BANDED_DUP_ORACLE
+
+    return _BANDED_DUP_ORACLE
+
+
+@register(
+    "streaming_embedding_dup_index",
+    _stream_emb_oracle(),
+    survey_ids="LLM streaming embedding-cosine near-dup index (streaming/pipeline.py start_embedding_dup_sink)",
+)
+def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed the embeddings corpus through the incremental sign-LSH +
+    exact-cosine index as TWO overlapping micro-batch waves (vec_id%3
+    in {0,1}, then {1,2} — the overlap re-delivers a third of the
+    corpus, proving merge_into idempotency), then return the persistent
+    pairs table.  Same skeleton as the green minhash-LSH row; the
+    semantic upgrade under test is the exact-cosine verify against the
+    FULL-vector history index (a near-dup arriving in wave 2 pairs with
+    its wave-1 partner at its exact similarity, not an estimate).
+
+    Band parameters (8 x 8 over the 64-dim corpus) and tau are pinned
+    to the batch row's so both engines share one oracle string."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.plans.llm_plans import COSINE_TAU
+    from tg_reporting_etl_spark.streaming.pipeline import start_embedding_dup_sink
+
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ed_")
+    src = f"{tmp}/src"
+    try:
+        with _stream_state_scope(spark):
+            vecs.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+            q = start_embedding_dup_sink(
+                stream, f"{tmp}/index", f"{tmp}/ckpt", tau=COSINE_TAU, bands=8, dims_per_band=8
+            )
+            try:
+                q.processAllAvailable()
+                vecs.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = (
+                    spark.read.parquet(f"{tmp}/index/pairs")
+                    .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+                    .toPandas()
+                )
+            finally:
+                q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(pdf, "vec_a long, vec_b long, cos_sim double")
