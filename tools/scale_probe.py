@@ -121,6 +121,17 @@ PROBE_QUERIES = [
     # by design and stays at catalog sfs; its HLL twin is the 100 TB
     # path)
     "streaming_session_window",
+    # round-14: the streaming embedding index sim at 10x vectors (50k
+    # across two overlapping waves, replica-clique band collisions) —
+    # probes the per-batch history-probe join + keyed merge churn at
+    # volume; its banded oracle is the same tractable closed form the
+    # batch row already runs here.  streaming_player_summary_5min is
+    # deliberately absent: complete-mode full-state re-emission is the
+    # parity-proof HARNESS, not the production path (that is update
+    # mode + start_partitioned_sink, whose merge grain is probed via
+    # the report-spine rows) — 10x-ing the harness would measure the
+    # memory sink, not the engine.
+    "streaming_embedding_dup_index",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan) —
