@@ -270,6 +270,7 @@ def main() -> None:
     # >0.15 s at the same sf — the two guards together ignore
     # sub-noise-floor micro-deltas.
     here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
     prev_queries, watch = _regression_watch(here, sf, timings)
 
     full = {

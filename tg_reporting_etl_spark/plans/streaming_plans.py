@@ -848,3 +848,137 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
     return spark.createDataFrame(pdf, "vec_a long, vec_b long, cos_sim double")
+
+# ------------------------------------------ CMS counter convergence (r14)
+
+def _stream_cms_oracle() -> str:
+    """Converged closed form of the per-epoch CMS deltas: summing the
+    keyed (epoch, d, idx) rows over ANY disjoint wave decomposition is
+    the batch ``cms_build`` counter table over the whole corpus —
+    addition is the sketch's merge operator.  Same md5 bucket family as
+    the batch corpus_token_cms oracle."""
+    from tg_reporting_etl_spark.plans.llm_plans import _CMS_IDX, _CMS_VALS
+
+    return f"""WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+stream AS (
+  SELECT s.d, {_CMS_IDX.format(tok='t.tok')} AS idx
+  FROM toks t CROSS JOIN (VALUES {_CMS_VALS}) s(d)
+)
+SELECT d, idx, CAST(count(*) AS BIGINT) AS c FROM stream GROUP BY 1, 2"""
+
+
+@register(
+    "streaming_cms_counters",
+    _stream_cms_oracle(),
+    survey_ids="LLM streaming count-min heavy-hitter counters (streaming/pipeline.py start_cms_sink, per-epoch keyed deltas)",
+)
+def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a count-min sketch over the documents' token stream as
+    two DISJOINT micro-batch waves (doc_id%2), then return the live
+    counter view (epoch-delta sum).  Waves are disjoint BY DESIGN: the
+    sink's idempotency contract is per-epoch (a REPLAYED epoch rewrites
+    its keyed (epoch, d, idx) rows byte-identically — pinned in
+    tests/test_streaming.py), so overlapping waves would legitimately
+    double-count; what the catalog row proves is cross-epoch ADDITIVE
+    convergence — the summed deltas equal the batch cms_build counter
+    table, at O(D x W) state per epoch and no per-key state at all."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.streaming.pipeline import cms_counters, start_cms_sink
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    src = f"{tmp}/src"
+    try:
+        with _stream_state_scope(spark):
+            docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src)
+                .select(F.explode(F.split("text", " ")).alias("tok"))
+            )
+            q = start_cms_sink(stream, f"{tmp}/deltas", f"{tmp}/ckpt")
+            try:
+                q.processAllAvailable()
+                docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = cms_counters(spark, f"{tmp}/deltas").toPandas()
+            finally:
+                q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(pdf, "d int, idx long, c long")
+
+
+# ------------------------------------------- per-epoch quality audit (r14)
+
+def _stream_dq_oracle() -> str:
+    """Per-epoch twin of the batch _DQ_ORACLE: wave k (event_id%2 == k)
+    is exactly micro-batch epoch k (one file wave = one trigger), so
+    the audit table's closed form is the batch rule set evaluated per
+    wave with the epoch literal attached."""
+    from tg_reporting_etl_spark.plans.events_plans import _DQ_ORACLE
+
+    per_epoch = []
+    for epoch in (0, 1):
+        body = _DQ_ORACLE.replace(
+            "FROM events", f"FROM events WHERE event_id % 2 = {epoch}"
+        )
+        per_epoch.append(
+            f"SELECT CAST({epoch} AS BIGINT) AS epoch_id, rule, n_violations FROM ({body}\n)"
+        )
+    return "\nUNION ALL\n".join(per_epoch)
+
+
+@register(
+    "streaming_quality_audit",
+    _stream_dq_oracle(),
+    survey_ids="streaming data-quality audit (streaming/pipeline.py start_quality_audit_sink, per-epoch violation attribution)",
+)
+def q_streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the declarative quality rule set over every micro-batch and
+    APPEND (epoch_id, rule, n_violations) to a durable audit table —
+    violations attributed to the exact batch that carried them.  Fed as
+    two event_id-parity waves (one wave = one trigger = one epoch, so
+    the attribution is deterministic and the oracle reproduces it);
+    the rule set is the batch events_quality_report's, so each epoch's
+    rows are that oracle narrowed to the wave."""
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.plans.events_plans import _QUALITY_RULES
+    from tg_reporting_etl_spark.streaming.pipeline import start_quality_audit_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_dq_")
+    src = f"{tmp}/src"
+    try:
+        with _stream_state_scope(spark):
+            ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = start_quality_audit_sink(
+                stream, dict(_QUALITY_RULES), f"{tmp}/audit", f"{tmp}/ckpt"
+            )
+            try:
+                q.processAllAvailable()
+                ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = (
+                    spark.read.parquet(f"{tmp}/audit")
+                    .select("epoch_id", "rule", "n_violations")
+                    .toPandas()
+                )
+            finally:
+                q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(pdf, "epoch_id long, rule string, n_violations long")
