@@ -416,20 +416,29 @@ def start_embedding_dup_sink(
     cos_sim).  Per-batch cost is O(batch x band-collisions): history is
     touched via the (band, band_key) equi-join (batch side broadcast)
     and the candidate-keyed vector lookup, never rescanned.  All three
-    merges are keyed, so re-delivered batches are idempotent.
+    tables are INSERT-only (vectors and band rows are content-derived,
+    a pair's exact cosine likewise), so idempotency is an anti-join +
+    APPEND of never-seen keys — O(new) writes per batch, never
+    O(index), the same r10 rewrite the MinHash sink got (a long-running
+    stream cannot afford whole-index rewrites per trigger).  Replay
+    after a torn append self-heals: the anti-join re-inserts only what
+    is missing.
     """
     import os
 
     from tg_reporting_etl_spark.functions.similarity import cosine, sign_lsh_bands
-    from tg_reporting_etl_spark.sources.writers import (
-        _fs_path,
-        _release_local_checkpoint,
-        merge_into,
-    )
+    from tg_reporting_etl_spark.sources.readers import read_parquet_if_committed
+    from tg_reporting_etl_spark.sources.writers import _release_local_checkpoint
 
     vec_path = os.path.join(index_dir, "vectors")
     band_path = os.path.join(index_dir, "bands")
     pairs_path = os.path.join(index_dir, "pairs")
+
+    # Fixed on-disk schemas: declared reads skip the per-batch parquet
+    # footer-inference job (three index tables x every micro-batch).
+    vec_schema = "vec_id bigint, embedding array<float>"
+    band_schema = "vec_id bigint, band int, band_key string"
+    pairs_schema = "vec_a bigint, vec_b bigint, cos_sim double"
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -444,7 +453,6 @@ def start_embedding_dup_sink(
             return
         bands_b = sign_lsh_bands(vec_b, bands, dims_per_band)
 
-        fs, jband = _fs_path(spark, band_path)
         cand_frames = [
             bands_b.alias("a").join(
                 bands_b.alias("b"),
@@ -453,10 +461,14 @@ def start_embedding_dup_sink(
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )
         ]
-        hist_vecs = None
-        if fs.exists(jband):
-            hist = spark.read.parquet(band_path)
-            hist_vecs = spark.read.parquet(vec_path)
+        hist = read_parquet_if_committed(spark, band_path, band_schema)
+        # vectors read INDEPENDENTLY of bands: writes are ordered
+        # pairs->vectors->bands, so a crash between the vectors and
+        # bands appends leaves vectors committed with bands absent —
+        # gating this read on `hist` would skip the vectors anti-join
+        # on replay and append the batch's rows a second time
+        hist_vecs = read_parquet_if_committed(spark, vec_path, vec_schema)
+        if hist is not None:
             # history never collides with itself — those pairs were
             # reported when their younger vector arrived
             cand_frames.append(
@@ -491,9 +503,25 @@ def start_embedding_dup_sink(
             .select("vec_a", "vec_b", "cos_sim")
         )
 
-        merge_into(spark, pairs_path, pairs, keys=["vec_a", "vec_b"])
-        merge_into(spark, vec_path, vec_b, keys=["vec_id"])
-        merge_into(spark, band_path, bands_b, keys=["vec_id", "band"])
+        old_pairs = read_parquet_if_committed(spark, pairs_path, pairs_schema)
+        new_pairs = (
+            pairs
+            if old_pairs is None
+            else pairs.join(old_pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_anti")
+        )
+        new_pairs.write.mode("append").parquet(pairs_path)
+        new_vecs = (
+            vec_b
+            if hist_vecs is None
+            else vec_b.join(hist_vecs.select("vec_id"), "vec_id", "left_anti")
+        )
+        new_vecs.write.mode("append").parquet(vec_path)
+        new_bands = (
+            bands_b
+            if hist is None
+            else bands_b.join(hist.select("vec_id", "band"), ["vec_id", "band"], "left_anti")
+        )
+        new_bands.write.mode("append").parquet(band_path)
 
     return (
         stream.writeStream.outputMode("append")
