@@ -627,11 +627,11 @@ def test_prefix_filter_lossless_with_long_decimal_tau(spark):
     ]
     rows += [(100 + j, rows[j][1] + " tail") for j in range(6)]
     corpus = spark.createDataFrame(rows, ["doc_id", "text"])
-    # 1e-7 exercises the degenerate-tau clamp (p=1, q=1e6): at doc
-    # sizes far below 1e6 shingles the prefix stays full-length and the
-    # positional/length thresholds stay vacuous, so the clamp never
-    # prunes a true pair.
-    for tau in (1 / 3, 1e-7):
+    # 1e-6 is the supported floor and exercises the degenerate-tau
+    # machinery (p=1, q=1e6): at doc sizes far below 1e6 shingles the
+    # prefix stays full-length and the positional/length thresholds
+    # stay vacuous, so the floor fraction never prunes a true pair.
+    for tau in (1 / 3, 1e-6):
         brute = {
             (r.doc_a, r.doc_b): round(r.jaccard, 9)
             for r in dd.jaccard_pairs(dd.char_shingles(corpus), tau).collect()
@@ -642,6 +642,13 @@ def test_prefix_filter_lossless_with_long_decimal_tau(spark):
         }
         assert brute, tau
         assert fast == brute, tau
+    # below the floor the PUBLIC path refuses instead of silently using
+    # a LARGER effective threshold (which could prune true pairs on
+    # >=1e6-shingle docs — r13 advice item)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="supported minimum"):
+        dd.ngram_jaccard_dedup(corpus, 1e-7, on_blowup="force").collect()
 
 
 def test_repetition_stats_on_constructed_docs(spark):
