@@ -53,7 +53,7 @@ def test_green_close_requires_every_step_and_fresh_artifacts(tmp_path, monkeypat
     runner = _stub_runner(effects)
     assert round_close.main([tag], runner=runner) == 0
     # step ORDER is the contract: bench -> verify -> probe -> guard
-    assert runner.calls == ["bench", "verify_local", "scale_probe", "coverage_guard"]
+    assert runner.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
 
 
 def test_red_step_fails_close_but_still_runs_remaining_steps(tmp_path, monkeypatch):
@@ -64,7 +64,7 @@ def test_red_step_fails_close_but_still_runs_remaining_steps(tmp_path, monkeypat
     runner = _stub_runner(effects)
     assert round_close.main([tag], runner=runner) == 1
     # fail-open: the probe and guard still ran so the report is complete
-    assert runner.calls == ["bench", "verify_local", "scale_probe", "coverage_guard"]
+    assert runner.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
 
 
 def test_missing_artifact_fails_even_when_rc_is_zero(tmp_path, monkeypatch):
@@ -123,8 +123,8 @@ def test_resume_skips_only_completed_steps_when_tree_unchanged(tmp_path, monkeyp
     broken["scale_probe"] = (1, [])
     r1 = _stub_runner(broken)
     assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 1
-    assert r1.calls == ["bench", "verify_local", "scale_probe", "coverage_guard"]
-    # run 2, same tree: bench + verify_local resume from their receipts
+    assert r1.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
+    # run 2, same tree: bench/verify_local/pytest resume from receipts
     r2 = _stub_runner(effects)
     assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
     assert r2.calls == ["scale_probe", "coverage_guard"]
@@ -139,7 +139,7 @@ def test_resume_reruns_everything_when_source_tree_changed(tmp_path, monkeypatch
     # code changed after the green close -> every step re-runs
     r2 = _stub_runner(effects)
     assert round_close.main([tag], runner=r2, hash_fn=lambda: "T2") == 0
-    assert r2.calls == ["bench", "verify_local", "scale_probe", "coverage_guard"]
+    assert r2.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
 
 
 def test_resume_reruns_step_whose_artifact_was_deleted(tmp_path, monkeypatch):

@@ -475,6 +475,18 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(sink)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # click_event_id is NULLABLE (a purchase with no prior click): on a
+    # non-Arrow toPandas it lands as float64-with-NaN, and the non-Arrow
+    # createDataFrame verifier rejects 8513.0 for LongType — normalize
+    # to int-or-None so the row is session-config-agnostic (the driver
+    # runs a vanilla session).
+    import pandas as pd
+
+    pdf["click_event_id"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in pdf["click_event_id"]],
+        index=pdf.index,
+        dtype=object,  # a bare list assignment re-coerces to float64/NaN
+    )
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
     return spark.createDataFrame(
         pdf,

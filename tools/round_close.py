@@ -67,6 +67,16 @@ def steps_for(round_tag: str) -> list[dict]:
             "env": {},
             "artifacts": [sf1],
         },
+        # the suite runs AFTER verify: tests/test_coverage_guard.py needs
+        # this round's verify artifact to exist, and rounds 12-13 both
+        # ended red precisely because the suite was a separate checklist
+        # item — a round whose tests fail cannot close
+        {
+            "name": "pytest",
+            "argv": [sys.executable, "-m", "pytest", os.path.join(ROOT, "tests"), "-q"],
+            "env": {},
+            "artifacts": [],
+        },
         {
             "name": "coverage_guard",
             "argv": [sys.executable, os.path.join(ROOT, "tools", "coverage_guard.py"), round_tag],
