@@ -836,10 +836,20 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
+    # Size the sim's exchange width to the DATA, not a flat 4: the
+    # foreachBatch body shuffles ~bands x n_vecs band rows plus the
+    # verified pair set, so at the catalog sfs (<=5k vectors) 4
+    # partitions win on task-launch overhead, while the 10x probe
+    # (50k vectors, replica-clique collisions) is data-bound — 4
+    # partitions serialize it (measured 99 s vs 41 s at 16).  ~25k
+    # band rows per partition, clamped to [4, 32]; exactly the
+    # state-volume sizing a real cluster would apply.
+    n_vecs = vecs.count()
+    parts = max(4, min(32, (8 * n_vecs) // 25_000))
     tmp = tempfile.mkdtemp(prefix="stream_ed_")
     src = f"{tmp}/src"
     try:
-        with _stream_state_scope(spark):
+        with _stream_state_scope(spark, parts):
             vecs.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
             stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
             q = start_embedding_dup_sink(
