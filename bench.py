@@ -122,7 +122,17 @@ def _regression_watch(
         and t > 1.3 * prev_queries[n]
         and t - prev_queries[n] > 0.15
     )
-    history[str(sf)] = timings
+    # Anti-ratchet: a query that fired the watch keeps its PREVIOUS base
+    # (min(prev, current) == prev when current > 1.3*prev), so one transient
+    # slow run cannot raise the comparison base and read as "recovered" on
+    # the next run.  A genuine, accepted slowdown is re-pinned explicitly
+    # with SPARK_GRAFT_BENCH_REPIN=1.
+    repin = os.environ.get("SPARK_GRAFT_BENCH_REPIN", "") == "1"
+    new_base = dict(timings)
+    if not repin:
+        for n in watch:
+            new_base[n] = min(prev_queries[n], timings[n])
+    history[str(sf)] = new_base
     try:
         with open(hist_path, "w") as fh:
             json.dump(history, fh, indent=1, sort_keys=True)

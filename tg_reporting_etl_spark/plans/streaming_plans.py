@@ -883,6 +883,7 @@ def _stream_cms_oracle() -> str:
 
     return f"""WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE doc_id IS NOT NULL
 ),
 stream AS (
   SELECT s.d, {_CMS_IDX.format(tok='t.tok')} AS idx
@@ -952,7 +953,8 @@ def _stream_dq_oracle() -> str:
     per_epoch = []
     for epoch in (0, 1):
         body = _DQ_ORACLE.replace(
-            "FROM events", f"FROM events WHERE event_id % 2 = {epoch}"
+            "FROM events",
+            f"FROM events WHERE event_id IS NOT NULL AND event_id % 2 = {epoch}",
         )
         per_epoch.append(
             f"SELECT CAST({epoch} AS BIGINT) AS epoch_id, rule, n_violations FROM ({body}\n)"

@@ -442,7 +442,16 @@ def start_embedding_dup_sink(
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        vec_b = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+        # In-batch dedup: the anti-joins below only protect against rows
+        # already COMMITTED to the index — a micro-batch carrying the same
+        # vec_id twice would otherwise append duplicate vector/band rows
+        # (pairs stay correct via cands.distinct(), but the index tables
+        # grow dirty rows that every later batch re-joins against).
+        vec_b = (
+            batch.select("vec_id", "embedding")
+            .dropDuplicates(["vec_id"])
+            .localCheckpoint(eager=True)
+        )
         try:
             _dup_batch(spark, vec_b)
         finally:

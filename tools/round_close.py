@@ -213,12 +213,18 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
     for step in steps_for(round_tag):
         rec = state.get(step["name"])
         resumable = step["name"] != "coverage_guard"
+        # A record without a positive numeric started_at is non-resumable:
+        # defaulting the freshness floor to 0.0 would let ANY pre-existing
+        # artifact (however stale) satisfy check_artifacts.
+        rec_started = rec.get("started_at") if isinstance(rec, dict) else None
         if (
             resumable
             and isinstance(rec, dict)
             and rec.get("rc") == 0
             and rec.get("tree_hash") == current_hash
-            and not check_artifacts(step["artifacts"], float(rec.get("started_at", 0.0)))
+            and isinstance(rec_started, (int, float))
+            and rec_started > 0
+            and not check_artifacts(step["artifacts"], float(rec_started))
         ):
             print(f"== {step['name']}: SKIP (completed at {rec.get('finished_at')}, source tree unchanged, artifacts fresh)")
             continue
