@@ -70,10 +70,16 @@ def _trailing_stats(tier_1d: DataFrame, keys: list[str], gte_key: int, lt_key: i
         .groupBy("summary_date", *keys)
         .agg(*[F.sum(src).alias(f"_daily_{pfx}") for src, pfx in prefix_map.items()])
     )
+    # wma/wmasd are rounded to 5 decimals BEFORE the floor/sigma/score
+    # arithmetic: sum/stddev_pop merge order differs between engines at
+    # the 1e-12 level, and the sigma division amplifies that past the
+    # output's 6-decimal grid at 10x row counts (r14 probe: one row
+    # passed only via 1e-6 tolerance).  An order-stable surface makes
+    # the downstream chain bit-deterministic; oracle mirrors ROUND(x,5).
     aggs = []
     for pfx in prefix_map.values():
-        aggs.append((F.sum(f"_daily_{pfx}") / 7).alias(f"{pfx}_wma"))
-        aggs.append(F.stddev_pop(f"_daily_{pfx}").alias(f"{pfx}_wmasd"))
+        aggs.append(F.round(F.sum(f"_daily_{pfx}") / 7, 5).alias(f"{pfx}_wma"))
+        aggs.append(F.round(F.stddev_pop(f"_daily_{pfx}"), 5).alias(f"{pfx}_wmasd"))
     return daily.groupBy(*keys).agg(*aggs)
 
 
@@ -135,9 +141,11 @@ def _trailing_stats_for_anchors(
         .rangeBetween(-lookback_days, -1)
     )
     stats = u
+    # same 5-decimal order-stable surface as _trailing_stats (the
+    # per-day/multi-day equivalence pytest holds because both round)
     for pfx in prefix_map.values():
-        stats = stats.withColumn(f"{pfx}_wma", F.sum(f"_daily_{pfx}").over(w) / 7)
-        stats = stats.withColumn(f"{pfx}_wmasd", F.stddev_pop(f"_daily_{pfx}").over(w))
+        stats = stats.withColumn(f"{pfx}_wma", F.round(F.sum(f"_daily_{pfx}").over(w) / 7, 5))
+        stats = stats.withColumn(f"{pfx}_wmasd", F.round(F.stddev_pop(f"_daily_{pfx}").over(w), 5))
     out_cols = [c for pfx in prefix_map.values() for c in (f"{pfx}_wma", f"{pfx}_wmasd")]
     return stats.filter(F.col("_anchor") == 1).select("summary_date", *keys, *out_cols)
 

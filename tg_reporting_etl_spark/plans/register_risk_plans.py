@@ -107,8 +107,8 @@ def _risk_player_oracle() -> str:
   GROUP BY 1, 2, 3, 4
 )""",
         f"""pw AS (
-  SELECT {_RKEYS}, SUM(b_amount) / 7 AS b_wma, SUM(p_amount) / 7 AS p_wma,
-         stddev_pop(b_amount) AS b_wmasd, stddev_pop(p_amount) AS p_wmasd
+  SELECT {_RKEYS}, ROUND(SUM(b_amount) / 7, 5) AS b_wma, ROUND(SUM(p_amount) / 7, 5) AS p_wma,
+         ROUND(stddev_pop(b_amount), 5) AS b_wmasd, ROUND(stddev_pop(p_amount), 5) AS p_wmasd
   FROM (
     SELECT {_DATE_KEY.format(c='round_time')} AS summary_date, {_RKEYS},
            SUM(bet) AS b_amount, SUM(profit) AS p_amount
@@ -118,8 +118,8 @@ def _risk_player_oracle() -> str:
   ) GROUP BY 1, 2, 3, 4
 )""",
         f"""tw AS (
-  SELECT {_RKEYS}, SUM(net_trans_amount) / 7 AS net_trans_wma,
-         stddev_pop(net_trans_amount) AS net_trans_wmasd
+  SELECT {_RKEYS}, ROUND(SUM(net_trans_amount) / 7, 5) AS net_trans_wma,
+         ROUND(stddev_pop(net_trans_amount), 5) AS net_trans_wmasd
   FROM (
     SELECT {_DATE_KEY.format(c='trade_time')} AS summary_date, {_RKEYS},
            SUM(CASE WHEN trade_type = 'OUT' THEN value ELSE 0.0 END)
@@ -200,8 +200,8 @@ def _risk_game_oracle() -> str:
   GROUP BY 1, 2, 3, 4
 )""",
         f"""pw AS (
-  SELECT {_GKEYS}, SUM(b_amount) / 7 AS b_wma, SUM(p_amount) / 7 AS p_wma,
-         stddev_pop(b_amount) AS b_wmasd, stddev_pop(p_amount) AS p_wmasd
+  SELECT {_GKEYS}, ROUND(SUM(b_amount) / 7, 5) AS b_wma, ROUND(SUM(p_amount) / 7, 5) AS p_wma,
+         ROUND(stddev_pop(b_amount), 5) AS b_wmasd, ROUND(stddev_pop(p_amount), 5) AS p_wmasd
   FROM (
     SELECT {_DATE_KEY.format(c='round_time')} AS summary_date, {_GKEYS},
            SUM(bet) AS b_amount, SUM(profit) AS p_amount

@@ -163,11 +163,12 @@ ORACLE_SKIP = {
     "embedding_dup_components": "recursive-CTE closure over the replica-clique banded pair graph (92k edges, m^2 reach rows per merged component) — measured >14 min in duck at 10x; oracle-exact proof stands at sf0.01/sf0.1",
 }
 
-#: absolute tolerance for the numeric fallback compare: a 10x-row
-#: aggregation legitimately flips the 6th rounded decimal between
-#: Spark's and DuckDB's summation orders (measured 1e-6 on
-#: risk_ctrl_player_1d's trailing stddev); anything beyond 5e-6 is a
-#: real defect and still FAILs.
+#: absolute tolerance for the numeric fallback compare — kept as a
+#: BACKSTOP only: as of r15 no probe row uses it (the one historical
+#: user, risk_ctrl_player_1d's trailing stddev, was made order-stable
+#: by rounding the wma/wmasd chain to 5 decimals on both sides and now
+#: full-hash matches at 10x).  Anything beyond 5e-6 is a real defect
+#: and still FAILs.
 ATOL = 5e-6
 
 
