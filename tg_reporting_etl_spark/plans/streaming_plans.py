@@ -211,6 +211,152 @@ def q_streaming_trans_summary_5min(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ------------------------------------- trans 5min DEPLOYMENT shape (r15)
+
+# The complete-mode row above proves cross-batch partial-agg MERGE
+# (state = every window ever seen — fine in a harness, unbounded at
+# 100 TB).  This row is the DEPLOYMENT shape the reference's ST2+ST3
+# semantics want at scale: UPDATE output mode (only changed windows
+# re-emitted), a WATERMARK bounding window state to the late-data
+# horizon, and the partitioned idempotent merge sink (ST6) as the
+# durable table.  The oracle is the same full-month closed form PLUS
+# the sink's partition-key derivation — if the watermark wrongly
+# dropped the late wave, or the merge grain wiped same-window rows for
+# keys absent from a batch, the hash breaks.
+_STREAM_T5_UPDATE_ORACLE = orc.with_ctes(
+    f"""SELECT platform, site_code, player_name, country,
+       ROUND(trans_in_amount, 6) + 0.0 AS trans_in_amount,
+       ROUND(trans_out_amount, 6) + 0.0 AS trans_out_amount,
+       trans_in_count, trans_out_count,
+       ROUND(trans_out_lost_amount, 6) + 0.0 AS trans_out_lost_amount,
+       start_time,
+       CAST(year(start_time) * 10000 + month(start_time) * 100 + day(start_time) AS INT) AS summary_date,
+       CAST(hour(start_time) AS INT) AS hours,
+       CAST(minute(start_time) AS INT) AS mins
+FROM (
+  SELECT platform, site_code, player_name, country,
+         time_bucket(INTERVAL '5 minutes', trade_time) AS start_time,
+         SUM(CASE WHEN trade_type = 'IN' THEN value ELSE 0.0 END) AS trans_in_amount,
+         SUM(CASE WHEN trade_type = 'OUT' THEN value ELSE 0.0 END) AS trans_out_amount,
+         CAST(SUM(CASE WHEN trade_type = 'IN' THEN 1 ELSE 0 END) AS BIGINT) AS trans_in_count,
+         CAST(SUM(CASE WHEN trade_type = 'OUT' THEN 1 ELSE 0 END) AS BIGINT) AS trans_out_count,
+         SUM(CASE WHEN trade_type = 'OUT' THEN before_value ELSE 0.0 END)
+           - SUM(CASE WHEN trade_type = 'OUT' THEN after_value ELSE 0.0 END)
+           - SUM(CASE WHEN trade_type = 'OUT' THEN value ELSE 0.0 END) AS trans_out_lost_amount
+  FROM player_value_log
+  WHERE trade_status = 'SUCCESS'
+    AND trade_time >= TIMESTAMP '{EVENTS_GTE}' AND trade_time < TIMESTAMP '{EVENTS_LT}'
+  GROUP BY 1, 2, 3, 4, 5
+)""",
+    "player_value_log",
+)
+
+
+@register(
+    "streaming_trans_summary_update",
+    _STREAM_T5_UPDATE_ORACLE,
+    survey_ids="ST2 ST3 ST6 (streaming/pipeline.py streaming_trans_summary_5min + start_partitioned_sink, update mode + watermark)",
+)
+def q_streaming_trans_summary_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the 5-min trans aggregation in UPDATE mode with a 3-day
+    watermark through the partitioned merge sink, with a LATE wave:
+
+    - wave 1: days 1-10; wave 2: days 11-20 EXCEPT day 19's OUT rows
+      (held back); wave 3: the held-back OUT rows — more than a day
+      late in event time but inside the 3-day horizon, so the runtime
+      must RE-aggregate their windows (day-19 windows were already
+      emitted IN-only and merged to the sink; the revision overwrites
+      them at the (keys, start_time) grain); wave 4: rest of the month.
+    - update mode re-emits ONLY changed windows per batch; the sink
+      merges each batch at TRANS_5MIN_GRAIN into a
+      (summary_date, hours, mins)-partitioned table — the reference's
+      delete-before-insert keys, touched partitions only.
+
+    The final durable table must hash-match the batch closed form over
+    the whole month: a watermark mis-drop of the late wave or a merge
+    at the wrong grain both break the hash.
+    """
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        TRANS_5MIN_GRAIN,
+        start_partitioned_sink,
+        streaming_trans_summary_5min,
+    )
+
+    pvl = td.player_value_log(spark, sf_dir).filter(
+        (F.col("trade_time") >= F.lit(EVENTS_GTE).cast("timestamp"))
+        & (F.col("trade_time") < F.lit(EVENTS_LT).cast("timestamp"))
+    )
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    straggler = (
+        (F.col("trade_time") >= t("2024-01-19 00:00:00"))
+        & (F.col("trade_time") < t("2024-01-20 00:00:00"))
+        & (F.col("trade_type") == "OUT")
+    )
+    in_range = lambda lo, hi: (F.col("trade_time") >= t(lo)) & (F.col("trade_time") < t(hi))  # noqa: E731
+    waves = [
+        pvl.filter(in_range(EVENTS_GTE, "2024-01-11 00:00:00")),
+        pvl.filter(in_range("2024-01-11 00:00:00", "2024-01-21 00:00:00") & ~straggler),
+        pvl.filter(straggler),  # LATE: watermark is ~Jan 17 when this lands
+        pvl.filter(in_range("2024-01-21 00:00:00", EVENTS_LT)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_t5u_")
+    src, table, ckpt = f"{tmp}/src", f"{tmp}/table", f"{tmp}/ckpt"
+    try:
+        with _stream_state_scope(spark):
+            waves[0].write.mode("append").parquet(src)
+            stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+            agg = streaming_trans_summary_5min(stream, watermark="3 days")
+            # day-grain directories: each wave's merge rewrites O(days
+            # touched) partitions, not O(5-min windows touched) — the
+            # deployment grain for a month-span backfill (hours/mins
+            # stay as table COLUMNS either way)
+            q = start_partitioned_sink(
+                agg, table, ckpt, keys=TRANS_5MIN_GRAIN, partition_cols=["summary_date"]
+            )
+            try:
+                q.processAllAvailable()
+                for w in waves[1:]:
+                    w.write.mode("append").parquet(src)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            # explicit select: the partition column reads back LAST in
+            # the file schema, and createDataFrame(pdf, schema) maps
+            # positionally
+            pdf = (
+                round_doubles(
+                    spark.read.parquet(table).select(
+                        "platform",
+                        "site_code",
+                        "player_name",
+                        "country",
+                        "trans_in_amount",
+                        "trans_out_amount",
+                        "trans_in_count",
+                        "trans_out_count",
+                        "trans_out_lost_amount",
+                        "start_time",
+                        F.col("summary_date").cast("int").alias("summary_date"),
+                        F.col("hours").cast("int").alias("hours"),
+                        F.col("mins").cast("int").alias("mins"),
+                    )
+                ).toPandas()
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf,
+        "platform string, site_code string, player_name string, country string, "
+        "trans_in_amount double, trans_out_amount double, trans_in_count long, "
+        "trans_out_count long, trans_out_lost_amount double, start_time timestamp, "
+        "summary_date int, hours int, mins int",
+    )
+
+
 # ------------------------------------------------- minhash-LSH index parity
 
 def _stream_near_dup_oracle() -> str:

@@ -110,7 +110,11 @@ def start_memory_sink(agg: DataFrame, name: str, mode: str = "update") -> Stream
 
 
 def start_partitioned_sink(
-    agg: DataFrame, path: str, checkpoint: str, keys: list[str]
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Production shape: exactly-once-ish idempotent window sink (ST6).
 
@@ -125,13 +129,19 @@ def start_partitioned_sink(
     stream at the trans grain).  A plain partition overwrite — even at
     (date, hour, min) granularity — would likewise wipe same-window
     rows for keys absent from the batch.  Re-delivered batches merge to
-    the same rows (idempotent).  Partitioned by (summary_date, hours,
-    mins): the merge reads and rewrites only the touched window
-    partitions, the reference's delete keys.
+    the same rows (idempotent).  ``partition_cols`` picks the DIRECTORY
+    grain (default (summary_date, hours, mins) — the reference's delete
+    keys): the merge reads and rewrites only the touched partitions.
+    All three derived time columns are always present in the table; at
+    deployment scale a coarser directory grain (e.g. ["summary_date"])
+    keeps the per-trigger filesystem metadata cost at O(touched days)
+    instead of O(touched 5-min windows) — thousands of tiny directory
+    overwrites per micro-batch is a real small-files scale-killer.
     """
     missing = [k for k in keys if k not in agg.columns]
     if missing:
         raise ValueError(f"sink grain columns not in the aggregation output: {missing}")
+    part_cols = partition_cols or ["summary_date", "hours", "mins"]
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         from tg_reporting_etl_spark.sources.writers import merge_into
@@ -149,7 +159,7 @@ def start_partitioned_sink(
             path,
             out,
             keys=keys,
-            partition_cols=["summary_date", "hours", "mins"],
+            partition_cols=part_cols,
         )
 
     return (
