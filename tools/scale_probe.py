@@ -33,11 +33,12 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.probe_checks import (  # noqa: E402
+    INDEPENDENT_CHECKS,
+    OFFSET,  # per-replica id offset — far above any key in the source tables
+    REPLICAS,
+)
 from tools.verify_local import TABLES, _canon  # noqa: E402
-
-REPLICAS = 10
-#: per-replica id offset — far above any key in the source tables
-OFFSET = 10_000_000_000
 
 #: (table, [bigint id columns to shift]) — dims without entries copy as-is
 SHIFT_COLS = {
@@ -152,15 +153,19 @@ PLAN_EVIDENCE = {
 #: queries whose DUCKDB ORACLE is itself quadratic on the dup-heavy
 #: derived corpus (n-gram CTEs / recursive closure over a pair graph
 #: with C(10,2)-per-group fan-out — the first probe run was OOM-killed
-#: inside one of these oracles).  The ENGINE side still runs and is
-#: timed; correctness at this scale is rows-only, with the oracle-exact
-#: proof standing at sf0.01/sf0.1 where the oracle is tractable.
-ORACLE_SKIP = {
+#: inside one of these oracles).  As of r15 these rows are NOT skipped:
+#: each runs the scale-feasible independent checks in
+#: tools/probe_checks.py (replica-symmetry + exact base tie-out +
+#: sampled raw-text Jaccard recomputation for the pair rows; full
+#: driver-side union-find + structural invariants for the components
+#: rows) — together a full oracle built from linear/bounded work.  This
+#: dict only records WHY the nested duck mirror is not the mechanism.
+DUCK_ORACLE_INFEASIBLE = {
     "doc_minhash_lsh_dups": "minhash-mirror oracle enumerates per-bucket pairs; dup-heavy corpus fans each bucket x45",
     "doc_ngram_jaccard_dups": "n-gram shingle CTE + capped candidate join is quadratic in duck on the 10x-dup corpus",
     "doc_ngram_jaccard_lsh": "same shingle CTE + LSH candidate mirror",
     "doc_dup_components": "recursive-CTE reachability closure over the x45-fanned pair graph",
-    "embedding_dup_components": "recursive-CTE closure over the replica-clique banded pair graph (92k edges, m^2 reach rows per merged component) — measured >14 min in duck at 10x; oracle-exact proof stands at sf0.01/sf0.1",
+    "embedding_dup_components": "recursive-CTE closure over the replica-clique banded pair graph (92k edges, m^2 reach rows per merged component) — measured >14 min in duck at 10x",
 }
 
 #: absolute tolerance for the numeric fallback compare — kept as a
@@ -377,12 +382,19 @@ def main() -> int:
             records[name] = rec
             print(f"  {name:34s} ERROR {rec['error'][:80]}")
             continue
-        if name in ORACLE_SKIP:
-            rec.update(
-                mode="rows_only",
-                ok=rec["spark_rows"] > 0,
-                oracle_skipped=ORACLE_SKIP[name],
-            )
+        if name in INDEPENDENT_CHECKS:
+            t0 = time.time()
+            try:
+                res = INDEPENDENT_CHECKS[name](spark, con, sdf, out, src)
+                rec.update(
+                    mode="independent_check",
+                    ok=bool(res.pop("ok")) and rec["spark_rows"] > 0,
+                    checks=res,
+                    check_s=round(time.time() - t0, 2),
+                    duck_oracle_infeasible=DUCK_ORACLE_INFEASIBLE[name],
+                )
+            except Exception as exc:
+                rec.update(mode="independent_check", ok=False, error=repr(exc)[:300])
         elif name in oracles:
             try:
                 t0 = time.time()
