@@ -161,3 +161,74 @@ def test_git_failure_disables_resume_not_the_close(tmp_path, monkeypatch):
     monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
     h1, h2 = round_close.tree_hash(), round_close.tree_hash()
     assert h1 != h2 and h1.startswith("no-resume-")
+
+
+def test_green_close_stamps_vs_prev_round_and_snapshot(tmp_path, monkeypatch):
+    """A green close writes the round-tagged BENCH_FULL snapshot with a
+    vs_prev_round field (r14 verdict task 6) — even when there is no
+    prior snapshot to compare against."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    assert round_close.main([tag], runner=_stub_runner(effects)) == 0
+    import json
+
+    snap = json.loads((tmp_path / f"BENCH_FULL_{tag}.json").read_text())
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert snap == full
+    assert full["vs_prev_round"]["prev_round"] is None  # bootstrap case
+
+
+def test_stamp_like_for_like_ratio_over_common_queries(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    (tmp_path / "BENCH_FULL_r98.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.0, "b": 2.0, "gone": 5.0}})
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 0.5, "b": 1.0, "new": 9.0}})
+    )
+    round_close._stamp_like_for_like("r99")
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    v = full["vs_prev_round"]
+    assert v["prev_round"] == 98
+    assert v["common_queries"] == 2
+    assert v["prev_common_total_s"] == 3.0 and v["cur_common_total_s"] == 1.5
+    assert v["ratio"] == 0.5
+    assert v["new_queries"] == ["new"] and v["removed_queries"] == ["gone"]
+    # snapshot written and identical
+    assert json.loads((tmp_path / "BENCH_FULL_r99.json").read_text()) == full
+
+
+def test_stamp_like_for_like_sf_mismatch_has_no_ratio(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    (tmp_path / "BENCH_FULL_r98.json").write_text(
+        json.dumps({"sf": 0.01, "queries": {"a": 1.0}})
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 0.5}})
+    )
+    round_close._stamp_like_for_like("r99")
+    v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
+    assert v["prev_round"] == 98 and "ratio" not in v and "mismatch" in v["note"]
+
+
+def test_stamp_like_for_like_picks_latest_prior_round_only(tmp_path, monkeypatch):
+    """r101 must compare against r100, never r99 — and never a FUTURE
+    snapshot left by a re-run."""
+    import json
+
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    for n, t in (("r99", 8.0), ("r100", 4.0), ("r102", 1.0)):
+        (tmp_path / f"BENCH_FULL_{n}.json").write_text(
+            json.dumps({"sf": 0.1, "queries": {"a": t}})
+        )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 2.0}})
+    )
+    round_close._stamp_like_for_like("r101")
+    v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
+    assert v["prev_round"] == 100 and v["ratio"] == 0.5

@@ -13,7 +13,9 @@ remember.  This tool makes the close sequence un-skippable: it runs
 and refuses to exit 0 unless every step succeeded AND every expected
 artifact exists with an mtime newer than the step's start (a stale
 artifact from a previous round cannot masquerade as this round's
-receipt).  There are no skip flags by design; if a step is genuinely
+receipt).  A green close additionally stamps the round-over-round
+like-for-like ratio into BENCH_FULL.json (``vs_prev_round``) and
+snapshots it as BENCH_FULL_r{N}.json — the base for the next round.  There are no skip flags by design; if a step is genuinely
 impossible in some environment, that environment cannot close a round.
 
 Re-entry is idempotent (round-13 verdict, task 4): a close killed by
@@ -160,6 +162,69 @@ def tree_hash() -> str:
     return h.hexdigest()
 
 
+def _stamp_like_for_like(round_tag: str) -> None:
+    """Write the round-over-round like-for-like ratio INTO the bench
+    receipt (round-14 verdict, task 6): the judge was computing "r(N)
+    vs r(N-1) over common queries" by hand from two artifacts; now a
+    green close records it in BENCH_FULL.json under ``vs_prev_round``
+    and snapshots the full per-query report as BENCH_FULL_r{N}.json —
+    the committed round-tagged base the NEXT round's close compares
+    against (the driver's BENCH_r{N}.json truncates to the 5 slowest
+    queries, so it cannot serve as the base).
+    """
+    import glob as _glob
+    import json
+
+    n = int(round_tag[1:])
+    full_path = os.path.join(ROOT, "BENCH_FULL.json")
+    try:
+        with open(full_path) as fh:
+            cur = json.load(fh)
+    except (OSError, ValueError):
+        return
+    best_path, best_n = None, -1
+    for p in _glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m and best_n < int(m.group(1)) < n:
+            best_n, best_path = int(m.group(1)), p
+    field: dict = {"prev_round": None, "note": "no prior BENCH_FULL_r*.json snapshot"}
+    if best_path:
+        try:
+            with open(best_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        pq, cq = prev.get("queries") or {}, cur.get("queries") or {}
+        common = sorted(set(pq) & set(cq))
+        if prev.get("sf") != cur.get("sf"):
+            field = {
+                "prev_round": best_n,
+                "note": f"sf mismatch (prev {prev.get('sf')} vs cur {cur.get('sf')})",
+            }
+        elif common:
+            pt = round(sum(pq[q] for q in common), 3)
+            ct = round(sum(cq[q] for q in common), 3)
+            field = {
+                "prev_round": best_n,
+                "common_queries": len(common),
+                "prev_common_total_s": pt,
+                "cur_common_total_s": ct,
+                "ratio": round(ct / pt, 4) if pt else None,
+                "new_queries": sorted(set(cq) - set(pq)),
+                "removed_queries": sorted(set(pq) - set(cq)),
+            }
+        else:
+            field = {"prev_round": best_n, "note": "no common queries"}
+    cur["vs_prev_round"] = field
+    for p in (full_path, os.path.join(ROOT, f"BENCH_FULL_{round_tag}.json")):
+        try:
+            with open(p, "w") as fh:
+                json.dump(cur, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
+
+
 def _state_path(round_tag: str) -> str:
     return os.path.join(ROOT, f".round_close_{round_tag}.state.json")
 
@@ -254,6 +319,9 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
         for f in failures:
             print(f"  {f}")
         return 1
+    # Only a GREEN close gets to define the round's bench receipt and
+    # the round-tagged base the next round compares against.
+    _stamp_like_for_like(round_tag)
     print(f"\nround {round_tag} close: all steps green, artifacts fresh — commit them")
     return 0
 
