@@ -2123,6 +2123,45 @@ CONSISTENCY_ORACLES: dict[str, dict] = {
 }
 
 
+#: STAGED nested oracles (r15): the SAME ground truth as the nested
+#: one-statement forms above, but with the shared stages materialized
+#: as DuckDB TEMP TABLES so each is evaluated ONCE — the one-statement
+#: plans re-evaluated the whole CTE chain per branch/reference, which
+#: is what spilled >90 GB (agreement) / blew the 30 GB cap (funnel) at
+#: sf0.1.  Every staged table is built from the IDENTICAL SQL string
+#: its own catalog row is full-hash-checked against, and the final
+#: statement is the shared rollup template (_agreement_rollup /
+#: _funnel_rollup), so neither the channel ground truth nor the rollup
+#: logic can drift from the nested forms.  Unlike CONSISTENCY_ORACLES,
+#: no engine result is an input: the check is 100% duck-side from base
+#: parquet.  verify_local uses this as the PRIMARY mechanism at
+#: DUCK_NESTED_INFEASIBLE keys; the consistency oracle remains the
+#: recorded fallback if staging itself fails on a given box.
+STAGED_ORACLES: dict[str, list[str]] = {
+    "doc_dedup_agreement": [
+        f"CREATE OR REPLACE TEMP TABLE stg_agr_jp AS {_NGRAM_ORACLE}",
+        f"CREATE OR REPLACE TEMP TABLE stg_agr_mp AS {_minhash_oracle()}",
+        f"CREATE OR REPLACE TEMP TABLE stg_agr_sh AS {_simhash_oracle()}",
+        _agreement_rollup("stg_agr_jp", "stg_agr_mp", "stg_agr_sh"),
+    ],
+    "corpus_curation_funnel": [
+        f"CREATE OR REPLACE TEMP TABLE stg_fun_comp AS {_COMPONENTS_ORACLE}",
+        "CREATE OR REPLACE TEMP TABLE stg_fun_qual AS "
+        f"SELECT doc_id, n_tokens, quality FROM ({_quality_oracle()})",
+        "CREATE OR REPLACE TEMP TABLE stg_fun_rep AS "
+        f"SELECT doc_id, dup_token_fraction FROM ({_REPETITION_ORACLE})",
+        _funnel_rollup(
+            """WITH base AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, r.dup_token_fraction,
+         q.doc_id IN (SELECT doc_id FROM stg_fun_comp
+                      WHERE doc_id != component_id) AS is_dropped
+  FROM stg_fun_qual q JOIN stg_fun_rep r USING (doc_id)
+)"""
+        ),
+    ],
+}
+
+
 @register(
     "doc_fingerprint",
     f"""SELECT doc_id,

@@ -24,17 +24,21 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-#: NESTED oracles DuckDB cannot evaluate at the named sf on this box —
-#: the doc_dedup_agreement mirror (three dedup families in one SQL
-#: plan) spilled >90 GB of temp at sf0.1 and took the whole run down
-#: with a disk-full IOException; the funnel's base CTE chain is
-#: re-evaluated per UNION branch and blew a 30 GB spill cap.  At these
-#: (sf token, query) keys the harness switches to the CONSISTENCY
-#: oracle (plans.llm_plans.CONSISTENCY_ORACLES): the SAME rollup SQL,
-#: evaluated by DuckDB over the engine's channel-query results — each
-#: channel independently full-hash-verified against its own nested
-#: oracle at the same sf in the same run.  Full-hash compare, not
-#: rows-only.  The nested oracle remains the check everywhere else.
+#: NESTED one-statement oracles DuckDB cannot evaluate at the named sf
+#: on this box — the doc_dedup_agreement mirror (three dedup families
+#: in one SQL plan) spilled >90 GB of temp at sf0.1 and took the whole
+#: run down with a disk-full IOException; the funnel's base CTE chain
+#: is re-evaluated per UNION branch and blew a 30 GB spill cap.  At
+#: these (sf token, query) keys the harness now runs the STAGED nested
+#: oracle (plans.llm_plans.STAGED_ORACLES, r15): the same ground truth
+#: with shared stages materialized as duck temp tables so each is
+#: evaluated once — fully duck-side, full-hash.  If staging itself
+#: fails, the recorded fallback is the CONSISTENCY oracle
+#: (plans.llm_plans.CONSISTENCY_ORACLES): the SAME rollup SQL evaluated
+#: by DuckDB over the engine's channel-query results — each channel
+#: independently full-hash-verified against its own nested oracle at
+#: the same sf in the same run.  The one-statement nested oracle
+#: remains the check everywhere else.
 DUCK_NESTED_INFEASIBLE = {
     ("sf0.1", "doc_dedup_agreement"): "nested oracle spills >90GB in duck at sf0.1",
     ("sf0.1", "corpus_curation_funnel"): "nested oracle's per-branch CTE re-eval exceeds a 30GB duck spill cap at sf0.1",
@@ -117,7 +121,7 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    from tg_reporting_etl_spark.plans.llm_plans import CONSISTENCY_ORACLES
+    from tg_reporting_etl_spark.plans.llm_plans import CONSISTENCY_ORACLES, STAGED_ORACLES
 
     # a DUCK_NESTED_INFEASIBLE key without a consistency oracle would
     # silently fall through to the nested oracle — the exact spill the
@@ -144,6 +148,56 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
             spark_results[name] = sdf
         sf_token = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1] if "sf" in sf_dir else sf_dir
         nested_infeasible = DUCK_NESTED_INFEASIBLE.get((sf_token, name))
+        staged_error = None
+        if nested_infeasible and name in STAGED_ORACLES:
+            # PRIMARY at infeasible keys (r15): the staged nested oracle —
+            # identical ground truth to the one-statement nested form, but
+            # shared stages materialized as temp tables so duck evaluates
+            # each once instead of re-deriving the CTE chain per branch
+            # (the re-derivation is what spilled 30-90 GB at sf0.1).
+            # 100% duck-side from base parquet; no engine result is an
+            # input.  On failure, fall through to the consistency oracle
+            # with the error recorded.
+            try:
+                t0 = time.time()
+                stage_s = []
+                for stmt in STAGED_ORACLES[name][:-1]:
+                    ts = time.time()
+                    con.execute(stmt)
+                    stage_s.append(round(time.time() - ts, 2))
+                odf = con.execute(STAGED_ORACLES[name][-1]).df()
+                t_duck = time.time() - t0
+                sn, scols, shash = _canon(sdf)
+                on, ocols, ohash = _canon(odf)
+                ok = (sn == on) and (scols == ocols) and (shash == ohash)
+                status = "OK " if ok else "FAIL"
+                print(
+                    f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s"
+                    f"  (staged nested oracle, {len(stage_s)} temp-table stages)"
+                )
+                records[name] = {
+                    "mode": "oracle_staged_nested",
+                    "nested_one_statement_infeasible": nested_infeasible,
+                    "ok": ok,
+                    "rows_match": sn == on,
+                    "schema_match": scols == ocols,
+                    "hash_match": shash == ohash,
+                    "spark_rows": sn,
+                    "oracle_rows": on,
+                    "spark_s": round(t_spark, 2),
+                    "duck_s": round(t_duck, 2),
+                    "stage_s": stage_s,
+                }
+                if not ok:
+                    failures.append((name, f"staged nested: rows {sn} vs {on}; hash {'=' if shash == ohash else '!='}"))
+                    if scols == ocols and sn and on:
+                        merged = _diff_sample(sdf, odf)
+                        if merged is not None:
+                            print(merged)
+                continue
+            except Exception as exc:
+                staged_error = f"staged nested oracle failed: {exc!r}"[:200]
+                print(f"  {name}: {staged_error} — falling back to consistency oracle")
         if nested_infeasible and name in CONSISTENCY_ORACLES:
             spec = CONSISTENCY_ORACLES[name]
             # channel results: reuse this run's already-compared frames
@@ -195,6 +249,7 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
             records[name] = {
                 "mode": "oracle_consistency",
                 "nested_oracle_skipped": nested_infeasible,
+                **({"staged_error": staged_error} if staged_error else {}),
                 "channels": list(spec["channels"]),
                 "channel_verified": channel_verified,
                 "ok": ok,
