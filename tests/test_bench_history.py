@@ -53,3 +53,32 @@ def test_bench_full_is_fallback_when_sidecar_absent(tmp_path):
     # but a DIFFERENT-sf BENCH_FULL is never used as a base
     prev, watch = bench._regression_watch(str(tmp_path), 1.0, {"q1": 50.0})
     assert prev == {} and watch == []
+
+
+def test_watched_regression_does_not_ratchet_base(tmp_path):
+    """A run that FIRES the watch must not raise the comparison base
+    (r14 advice): the next run at the old speed would otherwise read as
+    'recovered' against a base the transient slow run itself set."""
+    bench = _bench()
+    root = str(tmp_path)
+    bench._regression_watch(root, 0.1, {"q1": 1.0})
+    # transient 3x slow run fires the watch...
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 3.0})
+    assert watch == ["q1"]
+    # ...and the base KEPT the previous value, so a still-slow run
+    # fires again instead of reading as recovered
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 2.9})
+    assert prev == {"q1": 1.0} and watch == ["q1"]
+
+
+def test_explicit_repin_accepts_a_slowdown(tmp_path, monkeypatch):
+    bench = _bench()
+    root = str(tmp_path)
+    bench._regression_watch(root, 0.1, {"q1": 1.0})
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPIN", "1")
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 3.0})
+    assert watch == ["q1"]  # still reported...
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REPIN")
+    # ...but the base was re-pinned to the accepted 3.0
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 3.0})
+    assert prev == {"q1": 3.0} and watch == []

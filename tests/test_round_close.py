@@ -232,3 +232,23 @@ def test_stamp_like_for_like_picks_latest_prior_round_only(tmp_path, monkeypatch
     round_close._stamp_like_for_like("r101")
     v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
     assert v["prev_round"] == 100 and v["ratio"] == 0.5
+
+
+def test_resume_record_without_started_at_reruns_the_step(tmp_path, monkeypatch):
+    """A state record missing started_at is non-resumable (r14 advice):
+    defaulting the freshness floor to 0.0 would let ANY pre-existing
+    artifact, however stale, satisfy the check."""
+    import json
+
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    r1 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 0
+    state_p = tmp_path / f".round_close_{tag}.state.json"
+    st = json.loads(state_p.read_text())
+    del st["verify_local"]["started_at"]  # corrupt / hand-edited record
+    state_p.write_text(json.dumps(st))
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert "verify_local" in r2.calls  # re-ran despite rc=0 receipt

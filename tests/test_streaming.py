@@ -1007,3 +1007,35 @@ def test_near_dup_index_schemas_match_disk_and_replay_heals(spark, tmp_path):
         q2.stop()
     healed = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{idx}/pairs").collect()}
     assert healed == {(r.doc_a, r.doc_b) for r in pairs_before}
+
+
+def test_streaming_embedding_index_dedups_within_batch(spark, tmp_path):
+    """A micro-batch carrying the same vec_id twice must append ONE
+    vector row and one band-row set (r14 advice): the anti-joins only
+    protect against rows already committed, so without in-batch dedup
+    the index tables grow dirty duplicate rows."""
+    import os
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_embedding_dup_sink
+
+    base = [float(i % 5 + 1) for i in range(16)]
+    schema = "vec_id long, embedding array<float>"
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src, exist_ok=True)
+    # same vec_id twice IN ONE batch (identical content)
+    spark.createDataFrame([(1, base), (1, list(base)), (2, [-v for v in base])], schema)\
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_embedding_dup_sink(
+        stream, str(tmp_path / "dd_index"), str(tmp_path / "dd_ckpt"), tau=0.95
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vecs = spark.read.parquet(str(tmp_path / "dd_index" / "vectors")).collect()
+    assert sorted(r.vec_id for r in vecs) == [1, 2]
+    bands = spark.read.parquet(str(tmp_path / "dd_index" / "bands")).toPandas()
+    assert bands.groupby("vec_id").band.count().tolist() == [4, 4]
+    assert not bands.duplicated(["vec_id", "band"]).any()
