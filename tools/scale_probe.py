@@ -133,6 +133,14 @@ PROBE_QUERIES = [
     # the report-spine rows) — 10x-ing the harness would measure the
     # memory sink, not the engine.
     "streaming_embedding_dup_index",
+    # round-15: the DEPLOYMENT-shape streaming spine row (update mode +
+    # 3-day watermark + partitioned merge sink, late straggler wave) at
+    # 10x volume — unlike the complete-mode twins (deliberately absent,
+    # see above), this row's state and sink writes are the production
+    # path, so its scale claim deserves a probe receipt: 4 waves,
+    # ~240k windows, O(touched partitions) merges, full-hash vs the
+    # batch closed form (measured 33 s spark / 0.8 s duck at 10x).
+    "streaming_trans_summary_update",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan) —
