@@ -82,3 +82,25 @@ def test_explicit_repin_accepts_a_slowdown(tmp_path, monkeypatch):
     # ...but the base was re-pinned to the accepted 3.0
     prev, watch = bench._regression_watch(root, 0.1, {"q1": 3.0})
     assert prev == {"q1": 3.0} and watch == []
+
+
+def test_vs_latest_close_self_report(tmp_path):
+    """bench self-reports vs the latest close snapshot (r15): the field
+    survives BENCH_FULL.json overwrites because every run recomputes it."""
+    import json as _json
+
+    bench = _bench()
+    root = str(tmp_path)
+    assert bench._vs_latest_close(root, 0.1, {"q1": 1.0})["close_round"] is None
+    (tmp_path / "BENCH_FULL_r14.json").write_text(
+        _json.dumps({"sf": 0.1, "queries": {"q1": 2.0, "q2": 2.0}})
+    )
+    (tmp_path / "BENCH_FULL_r9.json").write_text(
+        _json.dumps({"sf": 0.1, "queries": {"q1": 50.0}})
+    )
+    v = bench._vs_latest_close(root, 0.1, {"q1": 1.0, "q3": 9.0})
+    assert v["close_round"] == 14  # latest by round number, not r9
+    assert v["common_queries"] == 1 and v["ratio"] == 0.5
+    # sf mismatch degrades to a note
+    v = bench._vs_latest_close(root, 0.01, {"q1": 1.0})
+    assert "note" in v and "ratio" not in v
