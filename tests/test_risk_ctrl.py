@@ -189,3 +189,65 @@ def test_division_sites_survive_ansi_zero_divisors(spark):
         _upper_sigma(F.col("cur"), F.col("wma"), F.col("sd")).alias("s")
     ).collect()[0]
     assert sig.s == 0.0  # zero deviation floor -> 0, not DIVIDE_BY_ZERO
+
+
+def test_grid5_cross_engine_determinism(spark):
+    """r15 residual 1: the wma/wmasd 5-decimal surface must map the SAME
+    double to the SAME grid value on Spark and DuckDB.
+
+    ROUND(x, 5) demonstrably cannot: Spark rounds the double's exact
+    decimal expansion (BigDecimal HALF_UP) while DuckDB rounds x*1e5
+    computed in floating point, and on a witness like
+    23.410574999999998 (exact expansion just BELOW the ...5 half-point,
+    but x*1e5 lands at/above it) the engines split.  _grid5 /
+    _GRID5 run the literally identical IEEE operation sequence
+    (multiply, exact floor, divide), so they cannot split on any input.
+    """
+    import math
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from tg_reporting_etl_spark.operators.risk_ctrl import _grid5
+
+    # adversarial sweep: exact half-points (2M+1)/2e5 and grid points
+    # M/1e5 with +-2 ulp perturbations, the known ROUND witnesses, and
+    # negatives (floor is toward -inf on both engines).
+    vals = [23.410574999999998, 17.195835, 14.585915, 99.06820499999999,
+            5.3322449999999995]
+    for base in [x / 200000.0 for x in (1, 3, 2468013579, 19999999999)] + [
+        x / 100000.0 for x in (1, 7, 1234567, 99999999)
+    ]:
+        for sgn in (1.0, -1.0):
+            x = base * sgn
+            lo = hi = x
+            vals.append(x)
+            for _ in range(2):
+                lo = math.nextafter(lo, -math.inf)
+                hi = math.nextafter(hi, math.inf)
+                vals.extend((lo, hi))
+    vals.extend([0.0, -0.0])
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.col("x"), _grid5(F.col("x")).alias("g"), F.round("x", 5).alias("r")
+    )
+    srows = {r.x: (r.g, r.r) for r in sdf.collect()}
+    con = duckdb.connect()
+    mismatched_round = 0
+    for v in vals:
+        dg, dr = con.execute(
+            # the oracle's _GRID5 shape, incl. the -0.0 -> +0.0 normalizer
+            # (Spark's FLOOR returns a long, so its zero is always +0.0)
+            "SELECT FLOOR(?::DOUBLE * 100000.0) / 100000.0 + 0.0, ROUND(?::DOUBLE, 5)",
+            [v, v],
+        ).fetchone()
+        sg, sr = srows[v]
+        # the NEW scheme: bit-identical on every adversarial input
+        assert sg == dg and math.copysign(1.0, sg) == math.copysign(1.0, dg), (
+            f"_grid5 split on {v!r}: spark={sg!r} duck={dg!r}"
+        )
+        if sr != dr:
+            mismatched_round += 1
+    con.close()
+    # the OLD scheme: provably CAN split (the flake class being retired)
+    assert mismatched_round >= 1, "expected ROUND(x,5) witness to disagree"

@@ -57,6 +57,24 @@ def _upper_sigma(cur: Column, wma: Column, wmasd: Column) -> Column:
     )
 
 
+def _grid5(c: Column) -> Column:
+    """5-decimal grid snap: ``floor(x * 1e5) / 1e5`` — one IEEE-754
+    multiply, an exact ``floor``, one exact-operand divide.  The oracle
+    runs the literally identical operation sequence
+    (``FLOOR(x * 100000.0) / 100000.0``), so the same double in gives
+    the same double out on BOTH engines by construction.  ``ROUND(x,5)``
+    could not promise that: Spark rounds the double's exact decimal
+    expansion (BigDecimal HALF_UP) while DuckDB rounds ``x*1e5``
+    computed in floating point, and the two implementations can land on
+    opposite sides of a ``x.xxxxx5`` half-point even for the SAME input
+    double (SURVEY §6 r15 residual 1; adversarial witness in
+    tests/test_risk_ctrl.py::test_grid5_cross_engine_determinism).
+    NULL propagates (floor(NULL)=NULL); |x| must stay below 2^63/1e5
+    ≈ 9.2e13 — report measures are amounts, orders of magnitude under.
+    """
+    return F.floor(c * F.lit(100000.0)) / F.lit(100000.0)
+
+
 def _trailing_stats(tier_1d: DataFrame, keys: list[str], gte_key: int, lt_key: int, prefix_map: dict[str, str]) -> DataFrame:
     """Two-level trailing aggregation (A5): per-day sums re-aggregated to
     SUM/7 means and population stddevs (risk_ctrl_player_1d.py:97-130;
@@ -70,16 +88,17 @@ def _trailing_stats(tier_1d: DataFrame, keys: list[str], gte_key: int, lt_key: i
         .groupBy("summary_date", *keys)
         .agg(*[F.sum(src).alias(f"_daily_{pfx}") for src, pfx in prefix_map.items()])
     )
-    # wma/wmasd are rounded to 5 decimals BEFORE the floor/sigma/score
+    # wma/wmasd snap to a 5-decimal grid BEFORE the floor/sigma/score
     # arithmetic: sum/stddev_pop merge order differs between engines at
     # the 1e-12 level, and the sigma division amplifies that past the
     # output's 6-decimal grid at 10x row counts (r14 probe: one row
     # passed only via 1e-6 tolerance).  An order-stable surface makes
-    # the downstream chain bit-deterministic; oracle mirrors ROUND(x,5).
+    # the downstream chain bit-deterministic; oracle mirrors _grid5
+    # operation-for-operation (register_risk_plans._GRID5).
     aggs = []
     for pfx in prefix_map.values():
-        aggs.append(F.round(F.sum(f"_daily_{pfx}") / 7, 5).alias(f"{pfx}_wma"))
-        aggs.append(F.round(F.stddev_pop(f"_daily_{pfx}"), 5).alias(f"{pfx}_wmasd"))
+        aggs.append(_grid5(F.sum(f"_daily_{pfx}") / 7).alias(f"{pfx}_wma"))
+        aggs.append(_grid5(F.stddev_pop(f"_daily_{pfx}")).alias(f"{pfx}_wmasd"))
     return daily.groupBy(*keys).agg(*aggs)
 
 
@@ -142,10 +161,10 @@ def _trailing_stats_for_anchors(
     )
     stats = u
     # same 5-decimal order-stable surface as _trailing_stats (the
-    # per-day/multi-day equivalence pytest holds because both round)
+    # per-day/multi-day equivalence pytest holds because both _grid5)
     for pfx in prefix_map.values():
-        stats = stats.withColumn(f"{pfx}_wma", F.round(F.sum(f"_daily_{pfx}").over(w) / 7, 5))
-        stats = stats.withColumn(f"{pfx}_wmasd", F.round(F.stddev_pop(f"_daily_{pfx}").over(w), 5))
+        stats = stats.withColumn(f"{pfx}_wma", _grid5(F.sum(f"_daily_{pfx}").over(w) / 7))
+        stats = stats.withColumn(f"{pfx}_wmasd", _grid5(F.stddev_pop(f"_daily_{pfx}").over(w)))
     out_cols = [c for pfx in prefix_map.values() for c in (f"{pfx}_wma", f"{pfx}_wmasd")]
     return stats.filter(F.col("_anchor") == 1).select("summary_date", *keys, *out_cols)
 

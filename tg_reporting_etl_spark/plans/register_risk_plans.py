@@ -40,6 +40,20 @@ _RKEYS = "platform, site_code, player_name, country"
 _GKEYS = "platform, site_code, game_code, country"
 
 
+def _GRID5(expr: str) -> str:
+    """Oracle twin of ``operators.risk_ctrl._grid5``: snap the wma/wmasd
+    surface to a 5-decimal grid with ``FLOOR(x*1e5)/1e5`` — the SAME
+    IEEE multiply + exact floor + divide the Spark side runs, so
+    identical pre-grid doubles give identical grid values on both
+    engines by construction.  ``ROUND(x, 5)`` could not: DuckDB rounds
+    ``x*1e5`` in floating point while Spark rounds the double's exact
+    decimal expansion (BigDecimal HALF_UP), and the two can disagree on
+    the same input near a half-point (SURVEY §6 r15 residual 1).
+    The trailing ``+ 0.0`` normalizes ``-0.0`` to ``+0.0``: Spark's
+    FLOOR returns a long (zero sign lost), DuckDB's stays double."""
+    return f"FLOOR(({expr}) * 100000.0) / 100000.0 + 0.0"
+
+
 # ---------------------------------------------------------------- new_register
 
 _NR_ORACLE = orc.with_ctes(
@@ -107,8 +121,8 @@ def _risk_player_oracle() -> str:
   GROUP BY 1, 2, 3, 4
 )""",
         f"""pw AS (
-  SELECT {_RKEYS}, ROUND(SUM(b_amount) / 7, 5) AS b_wma, ROUND(SUM(p_amount) / 7, 5) AS p_wma,
-         ROUND(stddev_pop(b_amount), 5) AS b_wmasd, ROUND(stddev_pop(p_amount), 5) AS p_wmasd
+  SELECT {_RKEYS}, {_GRID5('SUM(b_amount) / 7')} AS b_wma, {_GRID5('SUM(p_amount) / 7')} AS p_wma,
+         {_GRID5('stddev_pop(b_amount)')} AS b_wmasd, {_GRID5('stddev_pop(p_amount)')} AS p_wmasd
   FROM (
     SELECT {_DATE_KEY.format(c='round_time')} AS summary_date, {_RKEYS},
            SUM(bet) AS b_amount, SUM(profit) AS p_amount
@@ -118,8 +132,8 @@ def _risk_player_oracle() -> str:
   ) GROUP BY 1, 2, 3, 4
 )""",
         f"""tw AS (
-  SELECT {_RKEYS}, ROUND(SUM(net_trans_amount) / 7, 5) AS net_trans_wma,
-         ROUND(stddev_pop(net_trans_amount), 5) AS net_trans_wmasd
+  SELECT {_RKEYS}, {_GRID5('SUM(net_trans_amount) / 7')} AS net_trans_wma,
+         {_GRID5('stddev_pop(net_trans_amount)')} AS net_trans_wmasd
   FROM (
     SELECT {_DATE_KEY.format(c='trade_time')} AS summary_date, {_RKEYS},
            SUM(CASE WHEN trade_type = 'OUT' THEN value ELSE 0.0 END)
@@ -200,8 +214,8 @@ def _risk_game_oracle() -> str:
   GROUP BY 1, 2, 3, 4
 )""",
         f"""pw AS (
-  SELECT {_GKEYS}, ROUND(SUM(b_amount) / 7, 5) AS b_wma, ROUND(SUM(p_amount) / 7, 5) AS p_wma,
-         ROUND(stddev_pop(b_amount), 5) AS b_wmasd, ROUND(stddev_pop(p_amount), 5) AS p_wmasd
+  SELECT {_GKEYS}, {_GRID5('SUM(b_amount) / 7')} AS b_wma, {_GRID5('SUM(p_amount) / 7')} AS p_wma,
+         {_GRID5('stddev_pop(b_amount)')} AS b_wmasd, {_GRID5('stddev_pop(p_amount)')} AS p_wmasd
   FROM (
     SELECT {_DATE_KEY.format(c='round_time')} AS summary_date, {_GKEYS},
            SUM(bet) AS b_amount, SUM(profit) AS p_amount
