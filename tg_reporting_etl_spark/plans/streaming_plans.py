@@ -941,6 +941,171 @@ def q_streaming_player_summary_5min(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# ------------------------- player spine, deployment shape (update mode, r16)
+
+_P5U_GTE, _P5U_LT = "1996-06-01 00:00:00", "1996-07-01 00:00:00"
+
+
+def _stream_p5_update_oracle() -> str:
+    """Batch closed form over the one-month slice, plus the sink's three
+    derived date-key columns (the durable table carries them; the
+    complete-mode row doesn't)."""
+    from tg_reporting_etl_spark.plans.player_plans import _COMMON, _KEYS, _p5_ctes
+
+    return orc.with_ctes(
+        f"""SELECT {_KEYS}, {_COMMON},
+       start_time,
+       CAST(year(start_time) * 10000 + month(start_time) * 100 + day(start_time) AS INT) AS summary_date,
+       CAST(hour(start_time) AS INT) AS hours,
+       CAST(minute(start_time) AS INT) AS mins
+FROM p5f""",
+        "player_profit_log",
+        "game_sites",
+        extra=[_p5_ctes(_P5U_GTE, _P5U_LT).strip()],
+    )
+
+
+@register(
+    "streaming_player_summary_update",
+    _stream_p5_update_oracle(),
+    survey_ids="ST2 ST3 ST6 (streaming/pipeline.py streaming_player_summary_5min + start_partitioned_sink at PLAYER_5MIN_GRAIN, update mode + watermark, derived-measure revision under late data)",
+)
+def q_streaming_player_summary_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLAYER report spine in deployment shape: update mode + 3-day
+    watermark + the partitioned merge sink — the player twin of
+    ``streaming_trans_summary_update``, covering the surface the trans
+    row doesn't: the pre-agg stream-static dim join and the
+    derived-measure recompute (rtp, revenue split, is_risky) when a
+    LATE wave revises a group AFTER its first emission reached the
+    durable table (reference ST2: player_summary_1d.py:32-33).
+
+    Wave plan over one month (round_time is date-granular, so a
+    (keys, window) group is a (player, game, day) — and the fixture is
+    ~1 row per group, so a content-hash split of one day can NOT
+    straddle groups the way the trans row's IN/OUT split does; measured
+    r16: zero multi-row June groups at sf0.001, one at sf0.01, 90 at
+    sf0.1):
+
+    - wave 1: days 1-10; wave 2: days 11-18 EXCEPT the two straggler
+      sets; wave 3 (LATE — wave 2's max event time is Jun 18, so the
+      3-day watermark sits at Jun 15 when it lands, and every
+      straggler window is still live): (a) ALL of day 17 — whole
+      groups 1+ days late, exercising the watermark acceptance +
+      merge-into-existing-partition path at every sf, and (b) the
+      rank>=2 fragments of every multi-row group in days 15-18 —
+      genuine partial-emission REVISIONS (rtp / p_after / tg_after /
+      is_risky recomputed on rows the sink already holds) wherever the
+      fixture has the rows (sf0.1/probe only — the smaller sfs have no
+      multi-row groups in the span).  The revision surface at ANY
+      scale is deterministically pinned by
+      tests/test_streaming_restart.py on synthetic multi-row groups
+      (which also kills and restarts the query from its checkpoint
+      between waves); wave 4: days 19-30.  A straggler window farther
+      below the post-wave-2 watermark would be DROPPED, not revised —
+      the r16 first cut held back day 11-16 fragments and the hash
+      caught exactly that.
+
+    The final durable table must hash-match the batch closed form: a
+    watermark mis-drop of either straggler set, a merge at the wrong
+    grain, or a stale derived measure after revision all break the
+    hash.
+    """
+    import shutil
+    import tempfile
+
+    from tg_reporting_etl_spark.operators.player_summary import (
+        GROUP_KEYS as P_KEYS,
+        OUT_COLUMNS as P_OUT,
+    )
+    from tg_reporting_etl_spark.streaming.pipeline import (
+        PLAYER_5MIN_GRAIN,
+        start_partitioned_sink,
+        streaming_player_summary_5min,
+    )
+
+    ppl = (
+        td.player_profit_log(spark, sf_dir)
+        .withColumn("round_time", F.col("round_time").cast("timestamp"))
+        .filter(
+            (F.col("round_time") >= F.lit(_P5U_GTE).cast("timestamp"))
+            & (F.col("round_time") < F.lit(_P5U_LT).cast("timestamp"))
+        )
+    )
+    sites = td.game_sites(spark, sf_dir)
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    in_range = lambda lo, hi: (F.col("round_time") >= t(lo)) & (F.col("round_time") < t(hi))  # noqa: E731
+    from pyspark.sql import Window
+
+    from tg_reporting_etl_spark.operators.player_summary import GROUP_KEYS as _PK
+
+    # wave prep is batch-side: rank rows within each (window, keys)
+    # group so the rank>=2 fragments can be held back (ties in the
+    # order keys only move rows between waves — the waves still
+    # partition the slice, so the final table is unaffected)
+    rn = F.row_number().over(
+        Window.partitionBy("round_time", *_PK).orderBy("bet", "win", "profit", "fee")
+    )
+    ppl = ppl.withColumn("_rn", rn)
+    straggler = in_range("1996-06-17 00:00:00", "1996-06-18 00:00:00") | (
+        in_range("1996-06-15 00:00:00", "1996-06-19 00:00:00") & (F.col("_rn") >= 2)
+    )
+    waves = [
+        ppl.filter(in_range(_P5U_GTE, "1996-06-11 00:00:00")),
+        ppl.filter(in_range("1996-06-11 00:00:00", "1996-06-19 00:00:00") & ~straggler),
+        ppl.filter(straggler),  # LATE: watermark is Jun 15 when this lands
+        ppl.filter(in_range("1996-06-19 00:00:00", _P5U_LT)),
+    ]
+    waves = [w.drop("_rn") for w in waves]
+    tmp = tempfile.mkdtemp(prefix="stream_p5u_")
+    src, table, ckpt = f"{tmp}/src", f"{tmp}/table", f"{tmp}/ckpt"
+    try:
+        with _stream_state_scope(spark):
+            waves[0].write.mode("append").parquet(src)
+            stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+            agg = streaming_player_summary_5min(stream, sites, watermark="3 days")
+            # day-grain directories, as in the trans twin: O(days
+            # touched) partition rewrites per wave, not O(windows)
+            q = start_partitioned_sink(
+                agg, table, ckpt, keys=PLAYER_5MIN_GRAIN, partition_cols=["summary_date"]
+            )
+            try:
+                q.processAllAvailable()
+                for w in waves[1:]:
+                    w.write.mode("append").parquet(src)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            # explicit select: the partition column reads back LAST in
+            # the file schema, and createDataFrame(pdf, schema) maps
+            # positionally
+            pdf = (
+                round_doubles(
+                    spark.read.parquet(table).select(
+                        *P_KEYS,
+                        *P_OUT,
+                        "start_time",
+                        F.col("summary_date").cast("int").alias("summary_date"),
+                        F.col("hours").cast("int").alias("hours"),
+                        F.col("mins").cast("int").alias("mins"),
+                    )
+                ).toPandas()
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
+    return spark.createDataFrame(
+        pdf,
+        "platform string, site_code string, game_code string, player_name string,"
+        " country string, b_count long, b_amount double, w_amount double,"
+        " fee_amount double, profit_amount double, refund_amount double,"
+        " normal_amount double, bonus_amount double, free_amount double,"
+        " jp_amount double, valid_amount double, cancel_amount double,"
+        " p_before_amount double, p_after_amount double, tg_after_amount double,"
+        " ratio double, rtp double, is_risky int, start_time timestamp,"
+        " summary_date int, hours int, mins int",
+    )
+
+
 # ------------------------------------- embedding near-dup index parity (r14)
 
 def _stream_emb_oracle() -> str:

@@ -141,6 +141,12 @@ PROBE_QUERIES = [
     # ~240k windows, O(touched partitions) merges, full-hash vs the
     # batch closed form (measured 33 s spark / 0.8 s duck at 10x).
     "streaming_trans_summary_update",
+    # round-16: the PLAYER-grain deployment-shape twin — same update
+    # mode + watermark + partitioned merge sink, plus the surfaces the
+    # trans row doesn't touch: the pre-agg stream-static dim join and
+    # the derived-measure recompute (rtp / revenue split / is_risky)
+    # when a late content-hash half revises already-merged rows
+    "streaming_player_summary_update",
 ]
 
 #: record join/scan plan evidence for these (initial formatted plan) —
