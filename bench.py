@@ -141,21 +141,89 @@ def _regression_watch(
     return prev_queries, watch
 
 
-def _vs_latest_close(here: str, sf, timings: dict[str, float]) -> dict:
-    """Round-over-round self-report: this run's common-query total vs
-    the LATEST round-close snapshot (BENCH_FULL_r{N}.json, written by
-    tools/round_close.py on a green close).  Lives in bench.py so the
-    driver's own post-close runs carry the ratio too — a close-stamped
-    field alone would be wiped by the next BENCH_FULL.json overwrite.
-    """
+def latest_close_snapshot(here: str, below: int | None = None) -> tuple[int, str | None]:
+    """Largest-N ``BENCH_FULL_r{N}.json`` under ``here`` (optionally
+    restricted to N < ``below``) -> (N, path), or (-1, None) if none.
+    Shared by this module's ``_vs_latest_close`` and
+    tools/round_close.py's ``_stamp_like_for_like`` (r15 residual 4:
+    the two carried ~40 duplicated lines of discovery/ratio logic)."""
     import glob as _glob
     import re as _re
 
     best, best_n = None, -1
     for p in _glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
         m = _re.search(r"_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), p
+        if not m:
+            continue
+        n = int(m.group(1))
+        if (below is None or n < below) and n > best_n:
+            best_n, best = n, p
+    return best_n, best
+
+
+def common_query_totals(prev_q: dict, cur_q: dict) -> tuple[int, float, float, float | None]:
+    """(count, prev_total_s, cur_total_s, ratio) over the shared query
+    names of two ``queries`` timing maps; (0, 0.0, 0.0, None) when
+    disjoint.  The like-for-like core shared with round_close."""
+    common = sorted(set(prev_q) & set(cur_q))
+    if not common:
+        return 0, 0.0, 0.0, None
+    pt = round(sum(prev_q[q] for q in common), 3)
+    ct = round(sum(cur_q[q] for q in common), 3)
+    return len(common), pt, ct, (round(ct / pt, 4) if pt else None)
+
+
+def _calibration(spark) -> float:
+    """Fixed synthetic workload — 20M generated longs, one hash-mod
+    projection, one 1000-group aggregation over 32 partitions, no input
+    data, constant job count — timed min-of-3.  Run at bench start AND
+    end and recorded in BENCH_FULL.json, it turns "the 1.13x
+    like-for-like swing is session regime, not plans" from an argument
+    into a receipt (r15 verdict task 7): when the like-for-like ratio
+    moves together with the calibration ratio the machine moved; when
+    it moves alone the plans did."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = (
+            spark.range(0, 20_000_000, 1, 32)
+            .withColumn("k", (F.col("id") * 2654435761) % 1000)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .filter(F.col("c") > 0)
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        assert n == 1000
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
+def calibration_ratio(prev_cal: dict | None, cur_cal: dict | None) -> float | None:
+    """cur/prev ratio of the best (min of start/end) calibration time,
+    or None when either side lacks one.  Shared by bench's
+    ``vs_latest_close`` and round_close's ``vs_prev_round`` stamp."""
+    def _best(c):
+        vals = [c[k] for k in ("start_s", "end_s") if isinstance(c.get(k), (int, float))]
+        return min(vals) if vals else None
+
+    p = _best(prev_cal or {})
+    c = _best(cur_cal or {})
+    if not p or not c:
+        return None
+    return round(c / p, 4)
+
+
+def _vs_latest_close(here: str, sf, timings: dict[str, float], calibration: dict | None = None) -> dict:
+    """Round-over-round self-report: this run's common-query total vs
+    the LATEST round-close snapshot (BENCH_FULL_r{N}.json, written by
+    tools/round_close.py on a green close).  Lives in bench.py so the
+    driver's own post-close runs carry the ratio too — a close-stamped
+    field alone would be wiped by the next BENCH_FULL.json overwrite.
+    """
+    best_n, best = latest_close_snapshot(here)
     if best is None:
         return {"close_round": None, "note": "no BENCH_FULL_r*.json snapshot"}
     try:
@@ -165,19 +233,20 @@ def _vs_latest_close(here: str, sf, timings: dict[str, float]) -> dict:
         return {"close_round": best_n, "note": "snapshot unreadable"}
     if prev.get("sf") != sf:
         return {"close_round": best_n, "note": f"sf mismatch ({prev.get('sf')} vs {sf})"}
-    pq = prev.get("queries") or {}
-    common = sorted(set(pq) & set(timings))
-    if not common:
+    n, pt, ct, ratio = common_query_totals(prev.get("queries") or {}, timings)
+    if not n:
         return {"close_round": best_n, "note": "no common queries"}
-    pt = round(sum(pq[q] for q in common), 3)
-    ct = round(sum(timings[q] for q in common), 3)
-    return {
+    out = {
         "close_round": best_n,
-        "common_queries": len(common),
+        "common_queries": n,
         "close_common_total_s": pt,
         "cur_common_total_s": ct,
-        "ratio": round(ct / pt, 4) if pt else None,
+        "ratio": ratio,
     }
+    cal_ratio = calibration_ratio(prev.get("calibration"), calibration)
+    if cal_ratio is not None:
+        out["calibration_ratio"] = cal_ratio
+    return out
 
 
 def main() -> None:
@@ -202,6 +271,8 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not session startup.
     next(iter(qs.values()))(spark, sf_dir).count()
+
+    cal_start = _calibration(spark)
 
     # Adversarial-regime queries deliberately drive an operator in its
     # documented worst case (doc_ngram_jaccard_exact forces the lossless
@@ -258,6 +329,12 @@ def main() -> None:
             "max": round(times[-1], 3),
             "n": len(times),
         }
+    cal_end = _calibration(spark)
+    calibration = {
+        "start_s": cal_start,
+        "end_s": cal_end,
+        "workload": "range(20M,32p) hash-mod-1000 groupBy sum/count, min-of-3",
+    }
     total = round(sum(timings.values()), 3)
     # Orchestration-lifecycle queries measure fixed per-job scheduling +
     # sink overhead on constant-size board metadata, not operator
@@ -349,7 +426,8 @@ def main() -> None:
         "dispersion": dispersion,
         "prev_queries": prev_queries,
         "watch_regressions": watch,
-        "vs_latest_close": _vs_latest_close(here, sf, timings),
+        "vs_latest_close": _vs_latest_close(here, sf, timings, calibration),
+        "calibration": calibration,
         "sf": sf,
     }
     # Rounds 6 and 7 both shipped with the driver recording
@@ -381,7 +459,8 @@ def main() -> None:
         "queries_truncated_to_slowest": 5,
         "watch_regressions": watch[:6],
         "vs_latest_close": {
-            k: full["vs_latest_close"].get(k) for k in ("close_round", "ratio")
+            k: full["vs_latest_close"].get(k)
+            for k in ("close_round", "ratio", "calibration_ratio")
         },
         "full_report": "BENCH_FULL.json",
         "sf": sf,

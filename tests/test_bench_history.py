@@ -104,3 +104,43 @@ def test_vs_latest_close_self_report(tmp_path):
     # sf mismatch degrades to a note
     v = bench._vs_latest_close(root, 0.01, {"q1": 1.0})
     assert "note" in v and "ratio" not in v
+
+
+def test_calibration_ratio_best_of_start_end(tmp_path):
+    bench = _bench()
+    # min(start,end) on each side; 0.5 vs 0.4 -> 0.8
+    assert bench.calibration_ratio(
+        {"start_s": 0.6, "end_s": 0.5}, {"start_s": 0.4, "end_s": 0.9}
+    ) == 0.8
+    # missing either side -> None (pre-r16 snapshots carry none)
+    assert bench.calibration_ratio(None, {"start_s": 0.4}) is None
+    assert bench.calibration_ratio({"start_s": 0.5}, {}) is None
+    assert bench.calibration_ratio({"start_s": 0.0}, {"start_s": 0.4}) is None
+
+
+def test_vs_latest_close_carries_calibration_ratio(tmp_path):
+    bench = _bench()
+    root = str(tmp_path)
+    with open(os.path.join(root, "BENCH_FULL_r15.json"), "w") as fh:
+        json.dump(
+            {"sf": 0.1, "queries": {"a": 1.0}, "calibration": {"start_s": 1.0, "end_s": 1.2}},
+            fh,
+        )
+    out = bench._vs_latest_close(root, 0.1, {"a": 0.9}, {"start_s": 1.1, "end_s": 1.3})
+    assert out["ratio"] == 0.9
+    assert out["calibration_ratio"] == 1.1
+    # no calibration passed (or in snapshot) -> field simply absent
+    out = bench._vs_latest_close(root, 0.1, {"a": 0.9})
+    assert "calibration_ratio" not in out
+
+
+def test_latest_close_snapshot_discovery(tmp_path):
+    bench = _bench()
+    root = str(tmp_path)
+    for n in (9, 15, 12):
+        with open(os.path.join(root, f"BENCH_FULL_r{n}.json"), "w") as fh:
+            fh.write("{}")
+    assert bench.latest_close_snapshot(root) == (15, os.path.join(root, "BENCH_FULL_r15.json"))
+    # `below` restricts to earlier rounds (round_close's stamp base)
+    assert bench.latest_close_snapshot(root, below=15)[0] == 12
+    assert bench.latest_close_snapshot(str(tmp_path / "empty")) == (-1, None)

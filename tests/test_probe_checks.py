@@ -5,8 +5,9 @@ Strategy: (a) unit-test the pure check primitives on synthetic frames,
 including that each DETECTS the defect class it exists for (a check
 that cannot fail is not a check); (b) run the full pair+component check
 stack end-to-end on a real derived corpus (scale_probe.build over
-sf0.001 — same construction as the probe, 10x smaller) and require
-all-green against the real engine output.
+sf0.001 — same construction as the probe, 100x smaller: the probe
+builds from sf0.1, both with 10x replicas) and require all-green
+against the real engine output.
 """
 
 from __future__ import annotations
@@ -74,7 +75,10 @@ def test_union_find_labels_min_member():
 
 # ------------------------------------------------------------- end-to-end
 
-DERIVED = "/tmp/spark_graft_probe_checks_sf0.01"
+# built from sf0.001 with the probe's 10x replicas -> effective sf0.01;
+# the name spells out the construction so it cannot be misread as a
+# corpus derived FROM sf0.01 (r15 ADVICE item 3)
+DERIVED = "/tmp/spark_graft_probe_checks_sf0.001_x10"
 
 
 @pytest.fixture(scope="module")

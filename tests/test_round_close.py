@@ -252,3 +252,91 @@ def test_resume_record_without_started_at_reruns_the_step(tmp_path, monkeypatch)
     r2 = _stub_runner(effects)
     assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
     assert "verify_local" in r2.calls  # re-ran despite rc=0 receipt
+
+
+def test_stamp_write_failure_fails_the_close(tmp_path, monkeypatch):
+    """r15 residual 2: a close that cannot write the stamp/snapshot must
+    exit nonzero — a disk-full close may not print green while leaving
+    the next round's ratio base missing."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+
+    real_open = open
+
+    def failing_open(path, mode="r", *a, **kw):
+        if "w" in mode and f"BENCH_FULL_{tag}.json" in str(path):
+            raise OSError(28, "No space left on device")
+        return real_open(path, mode, *a, **kw)
+
+    import builtins
+
+    monkeypatch.setattr(builtins, "open", failing_open)
+    assert round_close.main([tag], runner=_stub_runner(effects)) == 1
+
+
+def test_stamp_unreadable_bench_full_fails_the_close(tmp_path, monkeypatch):
+    """The read side of the same contract: no BENCH_FULL.json at stamp
+    time (bench step lied about its artifact) -> nonzero."""
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))  # empty dir
+    out = round_close._stamp_like_for_like("r99")
+    assert out and "cannot read BENCH_FULL.json" in out[0]
+
+
+def test_fully_resumed_reentry_does_not_restamp(tmp_path, monkeypatch):
+    """r15 ADVICE item 2: green close, then a standalone bench run
+    overwrites BENCH_FULL.json, then an idempotent re-entry where every
+    step SKIPs — the round-tagged snapshot must keep the CLOSE run's
+    numbers, not be re-stamped from the standalone run's."""
+    import json
+
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T1") == 0
+    snap_before = (tmp_path / f"BENCH_FULL_{tag}.json").read_text()
+    # standalone bench run after the close
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 99.0}, "value": 99.0})
+    )
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert r2.calls == ["coverage_guard"]  # everything else resumed
+    assert (tmp_path / f"BENCH_FULL_{tag}.json").read_text() == snap_before
+
+
+def test_partially_resumed_reentry_restamps(tmp_path, monkeypatch):
+    """If any step actually re-ran (e.g. source changed), the stamp must
+    refresh: the re-run bench wrote a NEW BENCH_FULL.json and the
+    snapshot has to match it."""
+    import json
+
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T1") == 0
+    # tree changed -> full re-run; stub writes "{}" artifacts again
+    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T2") == 0
+    snap = json.loads((tmp_path / f"BENCH_FULL_{tag}.json").read_text())
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert snap == full
+
+
+def test_stamp_carries_calibration_ratio(tmp_path, monkeypatch):
+    """r15 verdict task 7: the close stamp reports the fixed-workload
+    calibration ratio next to the like-for-like ratio, so regime-vs-
+    plans is a receipt in the artifact itself."""
+    import json
+
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    (tmp_path / "BENCH_FULL_r98.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.0},
+                    "calibration": {"start_s": 1.0, "end_s": 1.1}})
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.2},
+                    "calibration": {"start_s": 1.25, "end_s": 1.3}})
+    )
+    assert round_close._stamp_like_for_like("r99") == []
+    v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
+    assert v["ratio"] == 1.2 and v["calibration_ratio"] == 1.25

@@ -1039,3 +1039,46 @@ def test_streaming_embedding_index_dedups_within_batch(spark, tmp_path):
     bands = spark.read.parquet(str(tmp_path / "dd_index" / "bands")).toPandas()
     assert bands.groupby("vec_id").band.count().tolist() == [4, 4]
     assert not bands.duplicated(["vec_id", "band"]).any()
+
+
+def test_streaming_embedding_in_batch_conflict_winner_is_deterministic(spark, tmp_path):
+    """Content-stable vec_ids are the upstream contract, but if one
+    batch DOES carry a vec_id with two DIFFERENT embeddings the elected
+    row must be deterministic (r15 residual 3): max payload xxhash64,
+    not dropDuplicates' partition-arrival order.  Run the same
+    conflicting batch through two independent sinks with the rows in
+    OPPOSITE order — both indexes must store the same embedding."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_embedding_dup_sink
+
+    a = [float(i % 5 + 1) for i in range(16)]
+    b = [float(i % 3 + 2) for i in range(16)]
+    schema = "vec_id long, embedding array<float>"
+    # expected winner: the payload with the larger xxhash64 (computed
+    # through Spark itself so the test can't drift from the engine)
+    hashed = spark.createDataFrame([(1, a), (1, b)], schema).select(
+        "embedding", F.xxhash64("embedding").alias("h")
+    ).collect()
+    expect = max(hashed, key=lambda r: r.h).embedding
+
+    stored = []
+    for tag, rows in (("fwd", [(1, a), (1, b)]), ("rev", [(1, b), (1, a)])):
+        src = str(tmp_path / f"cf_src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        spark.createDataFrame(rows, schema).repartition(2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = start_embedding_dup_sink(
+            stream, str(tmp_path / f"cf_idx_{tag}"), str(tmp_path / f"cf_ckpt_{tag}")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        vecs = spark.read.parquet(str(tmp_path / f"cf_idx_{tag}" / "vectors")).collect()
+        assert [r.vec_id for r in vecs] == [1]
+        stored.append(list(vecs[0].embedding))
+
+    assert stored[0] == stored[1] == list(expect)

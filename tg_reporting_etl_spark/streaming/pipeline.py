@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -457,9 +457,18 @@ def start_embedding_dup_sink(
         # vec_id twice would otherwise append duplicate vector/band rows
         # (pairs stay correct via cands.distinct(), but the index tables
         # grow dirty rows that every later batch re-joins against).
+        # Content-stable ids are the upstream contract, but if one batch
+        # DOES carry a vec_id with conflicting embeddings the winner must
+        # be deterministic (r15 residual 3): dropDuplicates picks an
+        # arbitrary row per partition-arrival order, so keep the max-by
+        # payload hash instead — any replica of the batch elects the
+        # same row.
+        w = Window.partitionBy("vec_id").orderBy(F.xxhash64("embedding").desc())
         vec_b = (
             batch.select("vec_id", "embedding")
-            .dropDuplicates(["vec_id"])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .localCheckpoint(eager=True)
         )
         try:

@@ -162,7 +162,7 @@ def tree_hash() -> str:
     return h.hexdigest()
 
 
-def _stamp_like_for_like(round_tag: str) -> None:
+def _stamp_like_for_like(round_tag: str) -> list[str]:
     """Write the round-over-round like-for-like ratio INTO the bench
     receipt (round-14 verdict, task 6): the judge was computing "r(N)
     vs r(N-1) over common queries" by hand from two artifacts; now a
@@ -171,22 +171,24 @@ def _stamp_like_for_like(round_tag: str) -> None:
     the committed round-tagged base the NEXT round's close compares
     against (the driver's BENCH_r{N}.json truncates to the 5 slowest
     queries, so it cannot serve as the base).
+
+    Returns failure strings instead of swallowing them (r15 residual
+    2): a close that cannot read the bench receipt or cannot write the
+    stamp/snapshot must NOT print green — the next round's ratio base
+    would silently be missing or stale.
     """
-    import glob as _glob
     import json
+
+    from bench import calibration_ratio, common_query_totals, latest_close_snapshot
 
     n = int(round_tag[1:])
     full_path = os.path.join(ROOT, "BENCH_FULL.json")
     try:
         with open(full_path) as fh:
             cur = json.load(fh)
-    except (OSError, ValueError):
-        return
-    best_path, best_n = None, -1
-    for p in _glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", p)
-        if m and best_n < int(m.group(1)) < n:
-            best_n, best_path = int(m.group(1)), p
+    except (OSError, ValueError) as e:
+        return [f"stamp: cannot read BENCH_FULL.json: {e}"]
+    best_n, best_path = latest_close_snapshot(ROOT, below=n)
     field: dict = {"prev_round": None, "note": "no prior BENCH_FULL_r*.json snapshot"}
     if best_path:
         try:
@@ -195,34 +197,40 @@ def _stamp_like_for_like(round_tag: str) -> None:
         except (OSError, ValueError):
             prev = {}
         pq, cq = prev.get("queries") or {}, cur.get("queries") or {}
-        common = sorted(set(pq) & set(cq))
+        n_common, pt, ct, ratio = common_query_totals(pq, cq)
         if prev.get("sf") != cur.get("sf"):
             field = {
                 "prev_round": best_n,
                 "note": f"sf mismatch (prev {prev.get('sf')} vs cur {cur.get('sf')})",
             }
-        elif common:
-            pt = round(sum(pq[q] for q in common), 3)
-            ct = round(sum(cq[q] for q in common), 3)
+        elif n_common:
             field = {
                 "prev_round": best_n,
-                "common_queries": len(common),
+                "common_queries": n_common,
                 "prev_common_total_s": pt,
                 "cur_common_total_s": ct,
-                "ratio": round(ct / pt, 4) if pt else None,
+                "ratio": ratio,
                 "new_queries": sorted(set(cq) - set(pq)),
                 "removed_queries": sorted(set(pq) - set(cq)),
             }
+            # regime receipt (r15 verdict task 7): the fixed-workload
+            # calibration ratio alongside the like-for-like ratio —
+            # when both move together the machine moved, not the plans
+            cal = calibration_ratio(prev.get("calibration"), cur.get("calibration"))
+            if cal is not None:
+                field["calibration_ratio"] = cal
         else:
             field = {"prev_round": best_n, "note": "no common queries"}
     cur["vs_prev_round"] = field
+    failures: list[str] = []
     for p in (full_path, os.path.join(ROOT, f"BENCH_FULL_{round_tag}.json")):
         try:
             with open(p, "w") as fh:
                 json.dump(cur, fh, indent=1)
                 fh.write("\n")
-        except OSError:
-            pass
+        except OSError as e:
+            failures.append(f"stamp: cannot write {os.path.basename(p)}: {e}")
+    return failures
 
 
 def _state_path(round_tag: str) -> str:
@@ -275,6 +283,7 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
     current_hash = hash_fn()
     state = _load_state(round_tag)
     failures: list[str] = []
+    bench_ran = False
     for step in steps_for(round_tag):
         rec = state.get(step["name"])
         resumable = step["name"] != "coverage_guard"
@@ -294,6 +303,7 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
             print(f"== {step['name']}: SKIP (completed at {rec.get('finished_at')}, source tree unchanged, artifacts fresh)")
             continue
         env = {**os.environ, **step["env"]}
+        bench_ran = bench_ran or step["name"] == "bench"
         t0 = time.time()
         print(f"== {step['name']}: {' '.join(step['argv'])}" + (f"  (env {step['env']})" if step["env"] else ""))
         proc = runner(step["argv"], env=env, cwd=ROOT)
@@ -320,8 +330,22 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
             print(f"  {f}")
         return 1
     # Only a GREEN close gets to define the round's bench receipt and
-    # the round-tagged base the next round compares against.
-    _stamp_like_for_like(round_tag)
+    # the round-tagged base the next round compares against.  When the
+    # BENCH step itself was resumed (not re-run) and the snapshot
+    # already exists, do NOT re-stamp: BENCH_FULL.json may since have
+    # been overwritten by a standalone bench run, and re-stamping would
+    # replace the round-tagged base with a non-close run's numbers
+    # (r15 ADVICE item 2).
+    snapshot = os.path.join(ROOT, f"BENCH_FULL_{round_tag}.json")
+    if not bench_ran and os.path.exists(snapshot):
+        print(f"== stamp: SKIP (bench step resumed, {os.path.basename(snapshot)} already exists)")
+    else:
+        stamp_failures = _stamp_like_for_like(round_tag)
+        if stamp_failures:
+            print("\nROUND CLOSE FAILED:")
+            for f in stamp_failures:
+                print(f"  {f}")
+            return 1
     print(f"\nround {round_tag} close: all steps green, artifacts fresh — commit them")
     return 0
 

@@ -63,6 +63,52 @@ def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(rows), list(df.columns), h
 
 
+def _record_compare(
+    name: str,
+    sdf: pd.DataFrame,
+    odf: pd.DataFrame,
+    t_spark: float,
+    t_duck: float,
+    records: dict,
+    failures: list,
+    mode: str,
+    extra: dict | None = None,
+    note: str = "",
+    canon_s: tuple | None = None,
+    canon_o: tuple | None = None,
+) -> bool:
+    """The shared canon/compare/print/record/diff block (r15 residual
+    5: staged, consistency and plain oracle branches each carried a
+    copy).  Precomputed canon tuples are accepted so the plain branch's
+    fresh-connection retry does not pay a second canonicalization."""
+    sn, scols, shash = canon_s if canon_s is not None else _canon(sdf)
+    on, ocols, ohash = canon_o if canon_o is not None else _canon(odf)
+    ok = (sn == on) and (scols == ocols) and (shash == ohash)
+    status = "OK " if ok else "FAIL"
+    print(f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s{note}")
+    records[name] = {
+        "mode": mode,
+        **(extra or {}),
+        "ok": ok,
+        "rows_match": sn == on,
+        "schema_match": scols == ocols,
+        "hash_match": shash == ohash,
+        "spark_rows": sn,
+        "oracle_rows": on,
+        "spark_s": round(t_spark, 2),
+        "duck_s": round(t_duck, 2),
+    }
+    if not ok:
+        failures.append(
+            (name, f"rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}")
+        )
+        if scols == ocols and sn and on:
+            merged = _diff_sample(sdf, odf)
+            if merged is not None:
+                print(merged)
+    return ok
+
+
 def main() -> int:
     # one sf dir, or several comma-separated (the per-round artifact
     # carries sf0.01 AND sf0.1 rows so the scale-factor proof of every
@@ -161,39 +207,31 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
             try:
                 t0 = time.time()
                 stage_s = []
-                for stmt in STAGED_ORACLES[name][:-1]:
-                    ts = time.time()
-                    con.execute(stmt)
-                    stage_s.append(round(time.time() - ts, 2))
-                odf = con.execute(STAGED_ORACLES[name][-1]).df()
+                try:
+                    for stmt in STAGED_ORACLES[name][:-1]:
+                        ts = time.time()
+                        con.execute(stmt)
+                        stage_s.append(round(time.time() - ts, 2))
+                    odf = con.execute(STAGED_ORACLES[name][-1]).df()
+                finally:
+                    # stage tables are result-sized but the connection is
+                    # shared by the whole run — drop them (r15 residual 5)
+                    import re as _re
+
+                    for stmt in STAGED_ORACLES[name][:-1]:
+                        m = _re.match(r"CREATE OR REPLACE TEMP(?:ORARY)? TABLE (\w+)", stmt, _re.I)
+                        if m:
+                            try:
+                                con.execute(f"DROP TABLE IF EXISTS {m.group(1)}")
+                            except Exception:
+                                pass
                 t_duck = time.time() - t0
-                sn, scols, shash = _canon(sdf)
-                on, ocols, ohash = _canon(odf)
-                ok = (sn == on) and (scols == ocols) and (shash == ohash)
-                status = "OK " if ok else "FAIL"
-                print(
-                    f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s"
-                    f"  (staged nested oracle, {len(stage_s)} temp-table stages)"
+                _record_compare(
+                    name, sdf, odf, t_spark, t_duck, records, failures,
+                    mode="oracle_staged_nested",
+                    extra={"nested_one_statement_infeasible": nested_infeasible, "stage_s": stage_s},
+                    note=f"  (staged nested oracle, {len(stage_s)} temp-table stages)",
                 )
-                records[name] = {
-                    "mode": "oracle_staged_nested",
-                    "nested_one_statement_infeasible": nested_infeasible,
-                    "ok": ok,
-                    "rows_match": sn == on,
-                    "schema_match": scols == ocols,
-                    "hash_match": shash == ohash,
-                    "spark_rows": sn,
-                    "oracle_rows": on,
-                    "spark_s": round(t_spark, 2),
-                    "duck_s": round(t_duck, 2),
-                    "stage_s": stage_s,
-                }
-                if not ok:
-                    failures.append((name, f"staged nested: rows {sn} vs {on}; hash {'=' if shash == ohash else '!='}"))
-                    if scols == ocols and sn and on:
-                        merged = _diff_sample(sdf, odf)
-                        if merged is not None:
-                            print(merged)
                 continue
             except Exception as exc:
                 staged_error = f"staged nested oracle failed: {exc!r}"[:200]
@@ -238,35 +276,17 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
                 failures.append((name, why))
                 continue
             t_duck = time.time() - t0
-            sn, scols, shash = _canon(sdf)
-            on, ocols, ohash = _canon(odf)
-            ok = (sn == on) and (scols == ocols) and (shash == ohash)
-            status = "OK " if ok else "FAIL"
-            print(
-                f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s"
-                f"  (consistency oracle over {len(spec['channels'])} verified channels; {nested_infeasible})"
+            _record_compare(
+                name, sdf, odf, t_spark, t_duck, records, failures,
+                mode="oracle_consistency",
+                extra={
+                    "nested_oracle_skipped": nested_infeasible,
+                    **({"staged_error": staged_error} if staged_error else {}),
+                    "channels": list(spec["channels"]),
+                    "channel_verified": channel_verified,
+                },
+                note=f"  (consistency oracle over {len(spec['channels'])} verified channels; {nested_infeasible})",
             )
-            records[name] = {
-                "mode": "oracle_consistency",
-                "nested_oracle_skipped": nested_infeasible,
-                **({"staged_error": staged_error} if staged_error else {}),
-                "channels": list(spec["channels"]),
-                "channel_verified": channel_verified,
-                "ok": ok,
-                "rows_match": sn == on,
-                "schema_match": scols == ocols,
-                "hash_match": shash == ohash,
-                "spark_rows": sn,
-                "oracle_rows": on,
-                "spark_s": round(t_spark, 2),
-                "duck_s": round(t_duck, 2),
-            }
-            if not ok:
-                failures.append((name, f"consistency: rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
-                if scols == ocols and sn and on:
-                    merged = _diff_sample(sdf, odf)
-                    if merged is not None:
-                        print(merged)
             continue
         if name not in oracles:
             print(f"  {name:34s} rows={len(sdf):7d}  (rows-only, no oracle)  spark={t_spark:.1f}s")
@@ -324,30 +344,16 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
                     ok = (sn == on) and (scols == ocols) and (shash == ohash)
             except Exception:
                 pass
-        status = "OK " if ok else "FAIL"
         retry_note = "  (oracle self-disagreed; fresh-connection rerun used)" if oracle_retried else ""
-        print(f"  {name:34s} {status} rows={sn}/{on} spark={t_spark:.1f}s duck={t_duck:.1f}s{retry_note}")
-        records[name] = {
-            "mode": "oracle",
-            "ok": ok,
-            "rows_match": sn == on,
-            "schema_match": scols == ocols,
-            "hash_match": shash == ohash,
-            "spark_rows": sn,
-            "oracle_rows": on,
-            "spark_s": round(t_spark, 2),
-            "duck_s": round(t_duck, 2),
-        }
+        ok = _record_compare(
+            name, sdf, odf, t_spark, t_duck, records, failures,
+            mode="oracle", note=retry_note,
+            canon_s=(sn, scols, shash), canon_o=(on, ocols, ohash),
+        )
         if oracle_retried:
             records[name]["oracle_retried"] = True
         if ok and name in needed_channels:
             verified_channels.add(name)
-        if not ok:
-            failures.append((name, f"rows {sn} vs {on}; cols {scols} vs {ocols}; hash {'=' if shash == ohash else '!='}"))
-            if scols == ocols and sn and on:
-                merged = _diff_sample(sdf, odf)
-                if merged is not None:
-                    print(merged)
     con.close()
     return failures, records
 
