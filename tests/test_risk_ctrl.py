@@ -192,16 +192,23 @@ def test_division_sites_survive_ansi_zero_divisors(spark):
 
 
 def test_grid5_cross_engine_determinism(spark):
-    """r15 residual 1: the wma/wmasd 5-decimal surface must map the SAME
-    double to the SAME grid value on Spark and DuckDB.
+    """r15 residual 1 + the r16 floor lesson: the wma/wmasd 5-decimal
+    surface needs BOTH properties, and each retired scheme lacked one.
 
-    ROUND(x, 5) demonstrably cannot: Spark rounds the double's exact
-    decimal expansion (BigDecimal HALF_UP) while DuckDB rounds x*1e5
-    computed in floating point, and on a witness like
-    23.410574999999998 (exact expansion just BELOW the ...5 half-point,
-    but x*1e5 lands at/above it) the engines split.  _grid5 /
-    _GRID5 run the literally identical IEEE operation sequence
-    (multiply, exact floor, divide), so they cannot split on any input.
+    P1 (same input -> same output on both engines): ROUND(x,5) fails —
+    Spark rounds the double's exact decimal expansion (BigDecimal
+    HALF_UP), DuckDB rounds x*1e5 computed in FP, and they split on
+    witnesses like 23.410574999999998.
+
+    P2 (±ulp input noise -> same output): plain FLOOR(x*1e5)/1e5 fails —
+    its boundaries sit ON exact grid values, which sum/7 of cent-grain
+    data reaches (sf0.1 caught b_wma = exactly 80028.35000 flooring to
+    different sides under per-engine summation noise).
+
+    floor(x*1e5 + 0.5)/1e5 run as the identical IEEE op sequence on
+    both engines has P1 by construction and P2 by the parity proof in
+    _grid5's docstring (boundaries = half-points, unreachable by
+    sum/7 or stddev of <=5-decimal-grain data).
     """
     import math
 
@@ -210,44 +217,62 @@ def test_grid5_cross_engine_determinism(spark):
 
     from tg_reporting_etl_spark.operators.risk_ctrl import _grid5
 
-    # adversarial sweep: exact half-points (2M+1)/2e5 and grid points
-    # M/1e5 with +-2 ulp perturbations, the known ROUND witnesses, and
-    # negatives (floor is toward -inf on both engines).
-    vals = [23.410574999999998, 17.195835, 14.585915, 99.06820499999999,
-            5.3322449999999995]
+    # -- P1 sweep: known ROUND witnesses, half-points, grid points,
+    # negatives, zeros — each with ±2 ulp perturbations.
+    witnesses = [23.410574999999998, 17.195835, 14.585915,
+                 99.06820499999999, 5.3322449999999995]
+    vals = list(witnesses)
+    # reachable rationals for P2: exact grid values M/1e5 (= 7M/7e5,
+    # so sum/7 CAN produce them — incl. the sf0.1 incident value) and
+    # sum/7 of cent data like 560198.45/7
+    reachable = [80028.35, 1.0 / 100000.0, 12.34567, 999.99999,
+                 560198.45 / 7.0, -80028.35, 0.0]
     for base in [x / 200000.0 for x in (1, 3, 2468013579, 19999999999)] + [
         x / 100000.0 for x in (1, 7, 1234567, 99999999)
     ]:
-        for sgn in (1.0, -1.0):
-            x = base * sgn
-            lo = hi = x
-            vals.append(x)
-            for _ in range(2):
-                lo = math.nextafter(lo, -math.inf)
-                hi = math.nextafter(hi, math.inf)
-                vals.extend((lo, hi))
+        vals.extend((base, -base))
+    neighborhoods: dict[float, list[float]] = {}
+    for x in reachable:
+        lo = math.nextafter(math.nextafter(x, -math.inf), -math.inf)
+        hi = math.nextafter(math.nextafter(x, math.inf), math.inf)
+        nb = sorted({lo, math.nextafter(x, -math.inf), x,
+                     math.nextafter(x, math.inf), hi})
+        neighborhoods[x] = nb
+        vals.extend(nb)
     vals.extend([0.0, -0.0])
+    vals = sorted(set(vals))
 
     sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
         F.col("x"), _grid5(F.col("x")).alias("g"), F.round("x", 5).alias("r")
     )
     srows = {r.x: (r.g, r.r) for r in sdf.collect()}
     con = duckdb.connect()
+    grid = {}
     mismatched_round = 0
     for v in vals:
         dg, dr = con.execute(
             # the oracle's _GRID5 shape, incl. the -0.0 -> +0.0 normalizer
             # (Spark's FLOOR returns a long, so its zero is always +0.0)
-            "SELECT FLOOR(?::DOUBLE * 100000.0) / 100000.0 + 0.0, ROUND(?::DOUBLE, 5)",
+            "SELECT FLOOR(?::DOUBLE * 100000.0 + 0.5) / 100000.0 + 0.0, ROUND(?::DOUBLE, 5)",
             [v, v],
         ).fetchone()
         sg, sr = srows[v]
-        # the NEW scheme: bit-identical on every adversarial input
+        # P1: bit-identical on every adversarial input
         assert sg == dg and math.copysign(1.0, sg) == math.copysign(1.0, dg), (
             f"_grid5 split on {v!r}: spark={sg!r} duck={dg!r}"
         )
+        grid[v] = sg
         if sr != dr:
             mismatched_round += 1
     con.close()
-    # the OLD scheme: provably CAN split (the flake class being retired)
+    # P1 witness: ROUND(x,5) provably CAN split (the retired flake class)
     assert mismatched_round >= 1, "expected ROUND(x,5) witness to disagree"
+    # P2: every ±2-ulp neighborhood of a reachable rational snaps to ONE
+    # grid value — cross-engine summation noise cannot flip it (plain
+    # floor demonstrably fails this at 80028.35)
+    for x, nb in neighborhoods.items():
+        outs = {grid[v] for v in nb}
+        assert len(outs) == 1, f"noise flips grid at {x!r}: {outs}"
+        floor_outs = {math.floor(v * 100000.0) / 100000.0 for v in nb}
+        if x == 80028.35:
+            assert len(floor_outs) > 1  # the bug this test exists to pin

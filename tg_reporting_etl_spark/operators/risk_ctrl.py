@@ -58,21 +58,39 @@ def _upper_sigma(cur: Column, wma: Column, wmasd: Column) -> Column:
 
 
 def _grid5(c: Column) -> Column:
-    """5-decimal grid snap: ``floor(x * 1e5) / 1e5`` — one IEEE-754
-    multiply, an exact ``floor``, one exact-operand divide.  The oracle
-    runs the literally identical operation sequence
-    (``FLOOR(x * 100000.0) / 100000.0``), so the same double in gives
-    the same double out on BOTH engines by construction.  ``ROUND(x,5)``
-    could not promise that: Spark rounds the double's exact decimal
-    expansion (BigDecimal HALF_UP) while DuckDB rounds ``x*1e5``
-    computed in floating point, and the two implementations can land on
-    opposite sides of a ``x.xxxxx5`` half-point even for the SAME input
-    double (SURVEY §6 r15 residual 1; adversarial witness in
-    tests/test_risk_ctrl.py::test_grid5_cross_engine_determinism).
-    NULL propagates (floor(NULL)=NULL); |x| must stay below 2^63/1e5
-    ≈ 9.2e13 — report measures are amounts, orders of magnitude under.
+    """5-decimal grid snap: ``floor(x*1e5 + 0.5) / 1e5`` — one IEEE-754
+    multiply, one add, an exact ``floor``, one divide.  The oracle runs
+    the literally identical operation sequence (register_risk_plans
+    ``_GRID5``), so the same double in gives the same double out on
+    BOTH engines by construction — ``ROUND(x,5)`` could not promise
+    that (Spark: BigDecimal HALF_UP on the exact expansion; DuckDB: C
+    round on ``x*1e5`` computed in FP; they split on e.g.
+    23.410574999999998).
+
+    Why the ``+ 0.5`` shift is load-bearing (r16, caught by the sf0.1
+    full-hash): the snap must also be stable under the ~1e-12
+    summation-order noise that differs BETWEEN engines, so its
+    discontinuities must be unreachable by the true values being
+    snapped.  Those values are ``sum/7`` and ``stddev_pop`` of
+    decimal-grain amounts (grain 10^-d, d <= 5).  Plain
+    ``floor(x*1e5)`` has boundaries at exact grid points M/1e5, which
+    ``sum/7`` HITS whenever 7 divides the integer amount-sum — at sf0.1
+    one game group's b_wma was exactly 80028.35000 and the two engines
+    floored to different sides.  With the half-step shift the
+    boundaries are the half-points (2M-1)/2e5, and a parity argument
+    makes them unreachable: sum/7 = N/(7*10^d) on a boundary needs
+    2*10^(5-d)*N = 7*(2M-1) — even = odd, impossible; stddev_pop =
+    sqrt(K)/(7*10^d) on one needs 2*10^(5-d)*sqrt(K) = 7*(2M-1), and
+    when sqrt(K) is rational it is an integer q giving even = odd
+    again (irrational sqrt(K) sits a generic distance away).  Minimum
+    boundary distance is 1/(14*10^5) ~ 7e-7, five orders above the
+    noise.  tests/test_risk_ctrl.py::test_grid5_cross_engine_determinism
+    pins both properties (same-input identity across engines, and
+    ±2-ulp noise immunity at reachable rationals incl. the 80028.35
+    witness).  NULL propagates; |x| must stay below 2^63/1e5 ~ 9.2e13
+    — report measures are amounts, orders of magnitude under.
     """
-    return F.floor(c * F.lit(100000.0)) / F.lit(100000.0)
+    return F.floor(c * F.lit(100000.0) + F.lit(0.5)) / F.lit(100000.0)
 
 
 def _trailing_stats(tier_1d: DataFrame, keys: list[str], gte_key: int, lt_key: int, prefix_map: dict[str, str]) -> DataFrame:

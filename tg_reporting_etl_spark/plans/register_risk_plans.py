@@ -42,16 +42,20 @@ _GKEYS = "platform, site_code, game_code, country"
 
 def _GRID5(expr: str) -> str:
     """Oracle twin of ``operators.risk_ctrl._grid5``: snap the wma/wmasd
-    surface to a 5-decimal grid with ``FLOOR(x*1e5)/1e5`` — the SAME
-    IEEE multiply + exact floor + divide the Spark side runs, so
-    identical pre-grid doubles give identical grid values on both
-    engines by construction.  ``ROUND(x, 5)`` could not: DuckDB rounds
-    ``x*1e5`` in floating point while Spark rounds the double's exact
-    decimal expansion (BigDecimal HALF_UP), and the two can disagree on
-    the same input near a half-point (SURVEY §6 r15 residual 1).
-    The trailing ``+ 0.0`` normalizes ``-0.0`` to ``+0.0``: Spark's
-    FLOOR returns a long (zero sign lost), DuckDB's stays double."""
-    return f"FLOOR(({expr}) * 100000.0) / 100000.0 + 0.0"
+    surface to a 5-decimal grid with ``FLOOR(x*1e5 + 0.5)/1e5`` — the
+    SAME IEEE multiply + add + exact floor + divide the Spark side
+    runs, so identical pre-grid doubles give identical grid values on
+    both engines by construction, and the half-step shift puts the
+    discontinuities on half-points no sum/7 or stddev of decimal-grain
+    data can reach (see ``_grid5``'s parity proof; plain FLOOR's
+    grid-point boundaries WERE reachable and split the engines on an
+    exactly-80028.35000 wma at sf0.1).  ``ROUND(x, 5)`` could not give
+    the identical-ops property: DuckDB rounds ``x*1e5`` in floating
+    point while Spark rounds the double's exact decimal expansion
+    (BigDecimal HALF_UP).  The trailing ``+ 0.0`` normalizes ``-0.0``
+    to ``+0.0``: Spark's FLOOR returns a long (zero sign lost),
+    DuckDB's stays double."""
+    return f"FLOOR(({expr}) * 100000.0 + 0.5) / 100000.0 + 0.0"
 
 
 # ---------------------------------------------------------------- new_register

@@ -186,9 +186,10 @@ DUCK_ORACLE_INFEASIBLE = {
 #: BACKSTOP only: as of r15 no probe row uses it (the one historical
 #: user, risk_ctrl_player_1d's trailing stddev, was made order-stable
 #: by snapping the wma/wmasd chain to a 5-decimal grid on both sides —
-#: r16: FLOOR(x*1e5)/1e5, the identical IEEE op sequence on both
-#: engines — and now full-hash matches at 10x).  Anything beyond 5e-6
-#: is a real defect
+#: r16: FLOOR(x*1e5 + 0.5)/1e5, the identical IEEE op sequence on both
+#: engines with boundaries parity-proven unreachable by the data's
+#: rationals — and now full-hash matches at 10x).  Anything beyond
+#: 5e-6 is a real defect
 #: and still FAILs.
 ATOL = 5e-6
 
