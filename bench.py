@@ -173,7 +173,7 @@ def common_query_totals(prev_q: dict, cur_q: dict) -> tuple[int, float, float, f
     return len(common), pt, ct, (round(ct / pt, 4) if pt else None)
 
 
-def _calibration(spark) -> float:
+def _calibration(spark) -> float | dict:
     """Fixed synthetic workload — 20M generated longs, one hash-mod
     projection, one 1000-group aggregation over 32 partitions, no input
     data, constant job count — timed min-of-3.  Run at bench start AND
@@ -181,23 +181,31 @@ def _calibration(spark) -> float:
     like-for-like swing is session regime, not plans" from an argument
     into a receipt (r15 verdict task 7): when the like-for-like ratio
     moves together with the calibration ratio the machine moved; when
-    it moves alone the plans did."""
+    it moves alone the plans did.
+
+    Returns the min-of-3 seconds, or a ``{"error": ...}`` marker — a
+    broken calibration must cost the receipt, never the bench run (and
+    with it a round close)."""
     from pyspark.sql import functions as F
 
     best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        n = (
-            spark.range(0, 20_000_000, 1, 32)
-            .withColumn("k", (F.col("id") * 2654435761) % 1000)
-            .groupBy("k")
-            .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
-            .filter(F.col("c") > 0)
-            .count()
-        )
-        dt = time.perf_counter() - t0
-        assert n == 1000
-        best = dt if best is None or dt < best else best
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = (
+                spark.range(0, 20_000_000, 1, 32)
+                .withColumn("k", (F.col("id") * 2654435761) % 1000)
+                .groupBy("k")
+                .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+                .filter(F.col("c") > 0)
+                .count()
+            )
+            dt = time.perf_counter() - t0
+            if n != 1000:
+                return {"error": f"calibration returned {n} groups, expected 1000"}
+            best = dt if best is None or dt < best else best
+    except Exception as exc:  # noqa: BLE001 — receipt, not gate
+        return {"error": f"calibration failed: {exc!r}"[:200]}
     return round(best, 3)
 
 

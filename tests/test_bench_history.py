@@ -144,3 +144,13 @@ def test_latest_close_snapshot_discovery(tmp_path):
     # `below` restricts to earlier rounds (round_close's stamp base)
     assert bench.latest_close_snapshot(root, below=15)[0] == 12
     assert bench.latest_close_snapshot(str(tmp_path / "empty")) == (-1, None)
+
+
+def test_calibration_ratio_ignores_error_markers(tmp_path):
+    """A failed calibration records {'error': ...} instead of a float
+    (it must never kill the bench run); the ratio helper treats that
+    side as absent."""
+    bench = _bench()
+    err = {"start_s": {"error": "boom"}, "end_s": {"error": "boom"}}
+    assert bench.calibration_ratio(err, {"start_s": 0.4}) is None
+    assert bench.calibration_ratio({"start_s": 0.4}, err) is None

@@ -226,7 +226,7 @@ def test_grid5_cross_engine_determinism(spark):
     # so sum/7 CAN produce them — incl. the sf0.1 incident value) and
     # sum/7 of cent data like 560198.45/7
     reachable = [80028.35, 1.0 / 100000.0, 12.34567, 999.99999,
-                 560198.45 / 7.0, -80028.35, 0.0]
+                 123456.78 / 7.0, -80028.35, 0.0]
     for base in [x / 200000.0 for x in (1, 3, 2468013579, 19999999999)] + [
         x / 100000.0 for x in (1, 7, 1234567, 99999999)
     ]:

@@ -1042,8 +1042,14 @@ def q_streaming_player_summary_update(spark: SparkSession, sf_dir: str) -> DataF
     # group so the rank>=2 fragments can be held back (ties in the
     # order keys only move rows between waves — the waves still
     # partition the slice, so the final table is unaffected)
+    # full measure tuple as the order key: exact ties would make wave
+    # MEMBERSHIP run-dependent (final table provably unaffected — the
+    # waves always partition the slice — but reproducible waves are
+    # worth one more sort key when debugging a wave-level failure)
     rn = F.row_number().over(
-        Window.partitionBy("round_time", *_PK).orderBy("bet", "win", "profit", "fee")
+        Window.partitionBy("round_time", *_PK).orderBy(
+            "bet", "win", "profit", "fee", "normal_value", "refund"
+        )
     )
     ppl = ppl.withColumn("_rn", rn)
     straggler = in_range("1996-06-17 00:00:00", "1996-06-18 00:00:00") | (

@@ -213,9 +213,12 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
                         con.execute(stmt)
                         stage_s.append(round(time.time() - ts, 2))
                     odf = con.execute(STAGED_ORACLES[name][-1]).df()
+                    t_duck = time.time() - t0
                 finally:
                     # stage tables are result-sized but the connection is
-                    # shared by the whole run — drop them (r15 residual 5)
+                    # shared by the whole run — drop them (r15 residual 5;
+                    # outside the timed window so stage_s/t_duck measure
+                    # the oracle, not the cleanup)
                     import re as _re
 
                     for stmt in STAGED_ORACLES[name][:-1]:
@@ -225,7 +228,6 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
                                 con.execute(f"DROP TABLE IF EXISTS {m.group(1)}")
                             except Exception:
                                 pass
-                t_duck = time.time() - t0
                 _record_compare(
                     name, sdf, odf, t_spark, t_duck, records, failures,
                     mode="oracle_staged_nested",
