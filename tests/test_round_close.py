@@ -340,3 +340,51 @@ def test_stamp_carries_calibration_ratio(tmp_path, monkeypatch):
     assert round_close._stamp_like_for_like("r99") == []
     v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
     assert v["ratio"] == 1.2 and v["calibration_ratio"] == 1.25
+
+
+def test_overwritten_bench_full_before_stamp_reruns_bench(tmp_path, monkeypatch):
+    """r16 ADVICE item 1: a close that dies AFTER the bench step but
+    BEFORE stamping (no BENCH_FULL_r{N}.json yet), followed by a
+    standalone bench run overwriting BENCH_FULL.json — the re-entry
+    must RE-RUN bench, not resume it, or the stamp would certify the
+    standalone run's numbers as the round's close receipt."""
+    import json
+
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    # run 1: scale_probe dies -> bench completed, close red, NO snapshot
+    broken = dict(effects)
+    broken["scale_probe"] = (1, [])
+    assert round_close.main([tag], runner=_stub_runner(broken), hash_fn=lambda: "T1") == 1
+    assert not (tmp_path / f"BENCH_FULL_{tag}.json").exists()
+    # standalone bench run overwrites BENCH_FULL.json (newer mtime)
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 99.0}, "value": 99.0})
+    )
+    os.utime(tmp_path / "BENCH_FULL.json", (time.time() + 5, time.time() + 5))
+    # run 2, same tree: bench must re-run (mtime identity broken), and the
+    # stamp then snapshots the RE-RUN's numbers, not the standalone run's
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert "bench" in r2.calls
+    snap = json.loads((tmp_path / f"BENCH_FULL_{tag}.json").read_text())
+    assert "value" not in snap or snap.get("value") != 99.0
+
+
+def test_overwritten_verify_artifact_reruns_verify(tmp_path, monkeypatch):
+    """The mtime-identity rule covers every resumable step: a verify
+    receipt overwritten after the step completed (however fresh) must
+    force the step to re-run on re-entry."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    broken = dict(effects)
+    broken["coverage_guard"] = (1, [])
+    assert round_close.main([tag], runner=_stub_runner(broken), hash_fn=lambda: "T1") == 1
+    ver = tmp_path / f"VERIFY_LOCAL_{tag}.json"
+    ver.write_text('{"foreign": true}')
+    os.utime(ver, (time.time() + 5, time.time() + 5))
+    r2 = _stub_runner(effects)
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert "verify_local" in r2.calls

@@ -123,6 +123,44 @@ def check_artifacts(paths: list[str], not_before: float) -> list[str]:
     return bad
 
 
+def _artifact_mtimes(paths: list[str]) -> dict[str, float]:
+    """Current mtime of each artifact that exists (repo-root-relative)."""
+    out: dict[str, float] = {}
+    for rel in paths:
+        try:
+            out[rel] = os.path.getmtime(os.path.join(ROOT, rel))
+        except OSError:
+            pass
+    return out
+
+
+def _artifacts_unmodified(paths: list[str], recorded) -> bool:
+    """True only when ``recorded`` — the mtime map captured at the
+    step's completion — covers every artifact and each file's mtime is
+    byte-for-byte what the step left behind.
+
+    This closes the r16 ADVICE hazard the freshness floor alone cannot:
+    ``check_artifacts`` accepts any mtime NEWER than the step's start,
+    so a standalone bench run that overwrote BENCH_FULL.json between a
+    died close and its re-entry would let the bench step resume and the
+    stamp then certify the standalone run's numbers as the round's
+    close receipt.  Requiring mtime IDENTITY (not mere freshness) makes
+    any post-step overwrite re-run the step.  Records without the map
+    (or with a missing file) fail toward re-running.
+    """
+    if not isinstance(recorded, dict):
+        return False
+    for rel in paths:
+        try:
+            cur = os.path.getmtime(os.path.join(ROOT, rel))
+        except OSError:
+            return False
+        prev = recorded.get(rel)
+        if not isinstance(prev, (int, float)) or abs(cur - float(prev)) > 1e-6:
+            return False
+    return True
+
+
 def tree_hash() -> str:
     """Fingerprint of the SOURCE tree (HEAD + dirty diff + untracked).
 
@@ -284,6 +322,7 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
     state = _load_state(round_tag)
     failures: list[str] = []
     bench_ran = False
+    snapshot = os.path.join(ROOT, f"BENCH_FULL_{round_tag}.json")
     for step in steps_for(round_tag):
         rec = state.get(step["name"])
         resumable = step["name"] != "coverage_guard"
@@ -291,6 +330,19 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
         # defaulting the freshness floor to 0.0 would let ANY pre-existing
         # artifact (however stale) satisfy check_artifacts.
         rec_started = rec.get("started_at") if isinstance(rec, dict) else None
+        # mtime IDENTITY (r16 ADVICE 1): the artifacts must be EXACTLY the
+        # files the completed step wrote, or the step re-runs — except
+        # bench after a fully STAMPED close (round snapshot exists): there
+        # a later standalone overwrite of BENCH_FULL.json is harmless,
+        # because the stamp below will SKIP and the snapshot stays the
+        # round's receipt (the pinned r15 re-entry contract).  Without the
+        # snapshot, a freshness-only check would let the stamp certify a
+        # standalone run's numbers as the close receipt.
+        unmodified = isinstance(rec, dict) and _artifacts_unmodified(
+            step["artifacts"], rec.get("artifact_mtimes")
+        )
+        if step["name"] == "bench" and not unmodified and os.path.exists(snapshot):
+            unmodified = True
         if (
             resumable
             and isinstance(rec, dict)
@@ -299,6 +351,7 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
             and isinstance(rec_started, (int, float))
             and rec_started > 0
             and not check_artifacts(step["artifacts"], float(rec_started))
+            and unmodified
         ):
             print(f"== {step['name']}: SKIP (completed at {rec.get('finished_at')}, source tree unchanged, artifacts fresh)")
             continue
@@ -322,6 +375,9 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
                 "started_at": t0,
                 "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "tree_hash": current_hash,
+                # mtime identity map: resume requires the artifacts to be
+                # EXACTLY the files this step wrote (see _artifacts_unmodified)
+                "artifact_mtimes": _artifact_mtimes(step["artifacts"]),
             }
             _save_state(round_tag, state)
     if failures:
@@ -336,7 +392,6 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
     # been overwritten by a standalone bench run, and re-stamping would
     # replace the round-tagged base with a non-close run's numbers
     # (r15 ADVICE item 2).
-    snapshot = os.path.join(ROOT, f"BENCH_FULL_{round_tag}.json")
     if not bench_ran and os.path.exists(snapshot):
         print(f"== stamp: SKIP (bench step resumed, {os.path.basename(snapshot)} already exists)")
     else:
