@@ -160,3 +160,157 @@ def test_final_table_matches_batch_closed_form(run):
         for c in [*GROUP_KEYS, *OUT_COLUMNS]:
             if c in f:
                 assert f[c] == pytest.approx(e[c]), (name, c)
+
+
+# ---------------- index-sink checkpoint-kill-restart receipts (r16 task 3)
+#
+# The replay-heal tests in test_streaming.py re-run WAVES through the
+# sinks; these kill the StreamingQuery BETWEEN waves and start a NEW
+# query on the SAME checkpoint, so recovery goes through the commit log
+# (wave 1 must NOT reprocess; wave 2 must probe the index wave 1 left on
+# disk).  The closed form: every index table is a content-derived
+# function of the ingested doc/vector set, so the restarted run must
+# equal an UNINTERRUPTED single-query run over the same two waves —
+# a restarted query that double-appends (lost commit log / skipped
+# anti-join) or loses the band index (cross-wave pair missing) breaks
+# the set equality.
+
+
+def _table_set(spark, path, cols):
+    return {tuple(r[c] for c in cols) for r in spark.read.parquet(path).collect()}
+
+
+def test_minhash_index_survives_checkpoint_restart(spark, tmp_path):
+    import os
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_near_dup_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under amber lights near the old harbor wall "
+    ) * 3
+    other = (
+        "completely different content about spark shuffle partitions and "
+        "columnar parquet encodings with dictionary pages and bloom filters "
+    ) * 3
+    schema = "doc_id long, text string"
+    wave1 = [(1, base), (10, other)]
+    wave2 = [(2, base.replace("amber", "violet")), (11, other[::-1])]
+
+    def run(tag, restart):
+        src = str(tmp_path / f"mh_{tag}_src")
+        idx = str(tmp_path / f"mh_{tag}_idx")
+        ckpt = str(tmp_path / f"mh_{tag}_ckpt")
+        os.makedirs(src, exist_ok=True)
+
+        def start():
+            stream = spark.readStream.schema(schema).parquet(src)
+            return start_near_dup_sink(stream, idx, ckpt)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            if restart:
+                q.stop()  # KILL between waves — state lives only in ckpt
+        if restart:
+            q = start()  # NEW query, SAME checkpoint
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return idx
+
+    restarted = run("restart", restart=True)
+    straight = run("straight", restart=False)
+
+    n_hashes = 16
+    sig_cols = ["doc_id", *[f"m{i}" for i in range(n_hashes)]]
+    for table, cols in (
+        ("signatures", sig_cols),
+        ("bands", ["doc_id", "band", "band_key"]),
+        ("pairs", ["doc_a", "doc_b", "est_jaccard"]),
+    ):
+        got = _table_set(spark, f"{restarted}/{table}", cols)
+        want = _table_set(spark, f"{straight}/{table}", cols)
+        assert got == want, table
+    # the two failure modes, stated directly:
+    sigs = spark.read.parquet(f"{restarted}/signatures").groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in sigs)  # no double-append after restart
+    pairs = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{restarted}/pairs").collect()}
+    assert (1, 2) in pairs  # cross-restart probe: wave 2 found wave 1's doc
+
+
+def test_embedding_index_survives_checkpoint_restart(spark, tmp_path):
+    import os
+
+    from tg_reporting_etl_spark.streaming.pipeline import start_embedding_dup_sink
+
+    base = [float(i % 5 + 1) for i in range(16)]
+    near = list(base)
+    near[0] += 0.05  # same sign pattern, cosine ~1
+    anti = [-v for v in base]
+    schema = "vec_id long, embedding array<float>"
+    wave1 = [(1, base), (10, anti)]
+    wave2 = [(2, near), (11, [v * 2 for v in anti])]
+
+    def run(tag, restart):
+        src = str(tmp_path / f"ed_{tag}_src")
+        idx = str(tmp_path / f"ed_{tag}_idx")
+        ckpt = str(tmp_path / f"ed_{tag}_ckpt")
+        os.makedirs(src, exist_ok=True)
+
+        def start():
+            stream = spark.readStream.schema(schema).parquet(src)
+            return start_embedding_dup_sink(stream, idx, ckpt, tau=0.95)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            if restart:
+                q.stop()
+        if restart:
+            q = start()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return idx
+
+    restarted = run("restart", restart=True)
+    straight = run("straight", restart=False)
+
+    for table, cols in (
+        ("vectors", ["vec_id", "embedding"]),
+        ("bands", ["vec_id", "band", "band_key"]),
+        ("pairs", ["vec_a", "vec_b", "cos_sim"]),
+    ):
+        got = _table_set(
+            spark, f"{restarted}/{table}",
+            [c for c in cols if c != "embedding"],
+        )
+        want = _table_set(
+            spark, f"{straight}/{table}",
+            [c for c in cols if c != "embedding"],
+        )
+        assert got == want, table
+    # embeddings compared as value lists (Row arrays aren't hashable)
+    emb_r = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in spark.read.parquet(f"{restarted}/vectors").collect()
+    )
+    emb_s = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in spark.read.parquet(f"{straight}/vectors").collect()
+    )
+    assert emb_r == emb_s
+    vecs = spark.read.parquet(f"{restarted}/vectors").groupBy("vec_id").count().collect()
+    assert all(r["count"] == 1 for r in vecs)  # no double-append
+    pairs = {(r.vec_a, r.vec_b) for r in spark.read.parquet(f"{restarted}/pairs").collect()}
+    assert (1, 2) in pairs  # cross-restart probe against wave 1's vector
+    assert (10, 11) in pairs  # scaled copy of the anti vector pairs too

@@ -87,10 +87,75 @@ def _grid5(c: Column) -> Column:
     noise.  tests/test_risk_ctrl.py::test_grid5_cross_engine_determinism
     pins both properties (same-input identity across engines, and
     ±2-ulp noise immunity at reachable rationals incl. the 80028.35
-    witness).  NULL propagates; |x| must stay below 2^63/1e5 ~ 9.2e13
-    — report measures are amounts, orders of magnitude under.
+    witness).  NULL propagates.
+
+    Safe magnitude (r16 ADVICE 2): the half-point clearance is a fixed
+    1/14 of a grid step in ``x*1e5`` space, but the ``x*100000.0``
+    multiply's own rounding error (<= ulp(x*1e5)/2) grows with
+    magnitude and crosses that clearance near ``|x| ~ 3e9`` — far
+    below the 2^63/1e5 ~ 9.2e13 integer-overflow bound — so the
+    noise-immunity claim is honest only for ``|x| <~ 1e9`` (where the
+    multiply error stays well under the clearance).  The snapped
+    values are per-(keys, day) trailing sums/7 and stddevs of report
+    amounts — orders of magnitude under 1e9; the premise (amount grain
+    <= 5 decimals AND daily-sum magnitude < 1e9) is a standing check:
+    :func:`amount_grain` + tests/test_grain_premise.py (r16 verdict
+    task 1).
     """
     return F.floor(c * F.lit(100000.0) + F.lit(0.5)) / F.lit(100000.0)
+
+
+def amount_grain(df: DataFrame, cols: list[str], max_d: int = 6) -> dict[str, int | None]:
+    """Measured decimal grain of each amount column: the smallest
+    ``d <= max_d`` such that every value is — within FP representation
+    tolerance — an integer multiple of ``10^-d``; ``None`` when even
+    ``max_d`` decimals cannot explain some value.
+
+    This is the standing enforcement of :func:`_grid5`'s premise (r16
+    verdict task 1): the boundary-unreachability parity proof requires
+    every aggregated amount to be a rational with <= 5-decimal grain,
+    which was previously a one-off sf0.1 measurement recorded in SURVEY
+    §6.  tests/test_grain_premise.py runs this over the fixture columns
+    that feed the wma/wmasd sums at every shipped sf and goes red if
+    any grain exceeds 5 (mutation-tested with an injected 6-decimal
+    value).
+
+    Detection is FP-honest: fixture amounts are COMPUTED doubles
+    (``profit = win - bet + ...`` cancels two ~1e4-magnitude terms), so
+    a true d-decimal rational arrives with absolute error up to a few
+    ulps of the INTERMEDIATE magnitudes (~5e-12 for 1e4-scale chains),
+    not of the result.  Per (col, d) the x-space residual
+    ``|x - round(x, d)|`` is therefore compared against an absolute
+    floor of 1e-7 (with a ``|x| * 1e-13`` relative term for large
+    magnitudes): four-plus orders above any legitimate chain error at
+    fixture magnitudes (<= ~1e6, where ulp <= 1.2e-10), and one-plus
+    orders below the >= ~1e-6 residual a genuine extra decimal digit
+    leaves.  The floor is honest only while |x| <~ 1e8 (ulp(1e8) =
+    1.5e-8 starts approaching it) — comfortably above the ~1e6 fixture
+    amounts and consistent with :func:`_grid5`'s own ~1e9 magnitude
+    bound.  All (col, d) residual ratios are computed in ONE
+    aggregation pass over the data.
+    """
+    aggs = []
+    for c in cols:
+        for d in range(max_d + 1):
+            x = F.col(c).cast("double")
+            ratio = F.abs(x - F.round(x, d)) / F.greatest(
+                F.abs(x) * F.lit(1e-13), F.lit(1e-7)
+            )
+            aggs.append(F.max(ratio).alias(f"{c}__{d}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    out: dict[str, int | None] = {}
+    for c in cols:
+        out[c] = next(
+            (
+                d
+                for d in range(max_d + 1)
+                if row[f"{c}__{d}"] is None or row[f"{c}__{d}"] <= 1.0
+            ),
+            None,
+        )
+    return out
 
 
 def _trailing_stats(tier_1d: DataFrame, keys: list[str], gte_key: int, lt_key: int, prefix_map: dict[str, str]) -> DataFrame:
