@@ -209,12 +209,65 @@ def _calibration(spark) -> float | dict:
     return round(best, 3)
 
 
-def calibration_ratio(prev_cal: dict | None, cur_cal: dict | None) -> float | None:
+def _calibration_io(spark) -> float | dict:
+    """Fixed I/O twin of :func:`_calibration` (r16 verdict task 2): the
+    CPU workload misses a whole disturbance class — the second r16
+    post-close run benched 0.95x while the CPU calibration read 0.70x,
+    i.e. the box's I/O/scheduler regime moved independently of its CPU
+    regime.  This workload is write+read bound: 2M rows x 3 columns to
+    parquet (8 files, overwrite — the delete is part of the regime being
+    measured) then a 2-column re-read aggregation, min-of-3.  Recorded
+    alongside the CPU number so the close receipt carries a {cpu, io}
+    pair and the vs_prev ratio pair becomes a triple (first cross-round
+    comparable at r18, when both sides of the compare carry it).
+
+    Same failure contract as the CPU twin: errors return a marker dict
+    and cost the receipt, never the bench run."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_cal_io_")
+    path = os.path.join(tmp, "t")
+    best = None
+    try:
+        df = spark.range(0, 2_000_000, 1, 8).select(
+            "id",
+            ((F.col("id") * 2654435761) % 1_000_000).alias("v"),
+            F.concat(F.lit("row_"), F.col("id").cast("string")).alias("s"),
+        )
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").parquet(path)
+            row = (
+                spark.read.parquet(path)
+                .agg(F.count("s").alias("n"), F.sum("v").alias("sv"))
+                .collect()[0]
+            )
+            dt = time.perf_counter() - t0
+            if row["n"] != 2_000_000:
+                return {"error": f"io calibration read back {row['n']} rows, expected 2000000"}
+            best = dt if best is None or dt < best else best
+    except Exception as exc:  # noqa: BLE001 — receipt, not gate
+        return {"error": f"io calibration failed: {exc!r}"[:200]}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return round(best, 3)
+
+
+def calibration_ratio(prev_cal: dict | None, cur_cal: dict | None, kind: str = "cpu") -> float | None:
     """cur/prev ratio of the best (min of start/end) calibration time,
-    or None when either side lacks one.  Shared by bench's
-    ``vs_latest_close`` and round_close's ``vs_prev_round`` stamp."""
+    or None when either side lacks one.  ``kind`` selects the CPU
+    fields (``start_s``/``end_s``) or the r17 I/O twin's
+    (``io_start_s``/``io_end_s``) — pre-r17 snapshots lack the latter,
+    so the io ratio is simply absent until both sides carry it.  Shared
+    by bench's ``vs_latest_close`` and round_close's ``vs_prev_round``
+    stamp."""
+    keys = ("start_s", "end_s") if kind == "cpu" else ("io_start_s", "io_end_s")
+
     def _best(c):
-        vals = [c[k] for k in ("start_s", "end_s") if isinstance(c.get(k), (int, float))]
+        vals = [c[k] for k in keys if isinstance(c.get(k), (int, float))]
         return min(vals) if vals else None
 
     p = _best(prev_cal or {})
@@ -254,6 +307,9 @@ def _vs_latest_close(here: str, sf, timings: dict[str, float], calibration: dict
     cal_ratio = calibration_ratio(prev.get("calibration"), calibration)
     if cal_ratio is not None:
         out["calibration_ratio"] = cal_ratio
+    io_ratio = calibration_ratio(prev.get("calibration"), calibration, kind="io")
+    if io_ratio is not None:
+        out["calibration_io_ratio"] = io_ratio
     return out
 
 
@@ -281,6 +337,7 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).count()
 
     cal_start = _calibration(spark)
+    cal_io_start = _calibration_io(spark)
 
     # Adversarial-regime queries deliberately drive an operator in its
     # documented worst case (doc_ngram_jaccard_exact forces the lossless
@@ -338,10 +395,14 @@ def main() -> None:
             "n": len(times),
         }
     cal_end = _calibration(spark)
+    cal_io_end = _calibration_io(spark)
     calibration = {
         "start_s": cal_start,
         "end_s": cal_end,
         "workload": "range(20M,32p) hash-mod-1000 groupBy sum/count, min-of-3",
+        "io_start_s": cal_io_start,
+        "io_end_s": cal_io_end,
+        "workload_io": "parquet overwrite 2M rows x 3 cols (8 files) + 2-col re-read agg, min-of-3",
     }
     total = round(sum(timings.values()), 3)
     # Orchestration-lifecycle queries measure fixed per-job scheduling +
@@ -466,9 +527,12 @@ def main() -> None:
         "queries": slowest,
         "queries_truncated_to_slowest": 5,
         "watch_regressions": watch[:6],
+        # drop absent ratios instead of emitting nulls (r16 ADVICE 3):
+        # pre-r16 snapshots have no calibration, pre-r17 none for io
         "vs_latest_close": {
-            k: full["vs_latest_close"].get(k)
-            for k in ("close_round", "ratio", "calibration_ratio")
+            k: v
+            for k in ("close_round", "ratio", "calibration_ratio", "calibration_io_ratio")
+            if (v := full["vs_latest_close"].get(k)) is not None
         },
         "full_report": "BENCH_FULL.json",
         "sf": sf,

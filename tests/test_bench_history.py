@@ -154,3 +154,42 @@ def test_calibration_ratio_ignores_error_markers(tmp_path):
     err = {"start_s": {"error": "boom"}, "end_s": {"error": "boom"}}
     assert bench.calibration_ratio(err, {"start_s": 0.4}) is None
     assert bench.calibration_ratio({"start_s": 0.4}, err) is None
+
+
+def test_calibration_ratio_io_kind(tmp_path):
+    """r17: kind='io' reads the I/O twin's fields and is absent until
+    BOTH sides carry them (pre-r17 snapshots never do)."""
+    bench = _bench()
+    prev = {"start_s": 1.0, "end_s": 1.2, "io_start_s": 2.0, "io_end_s": 2.5}
+    cur = {"start_s": 0.5, "io_start_s": 1.0, "io_end_s": 3.0}
+    assert bench.calibration_ratio(prev, cur, kind="io") == 0.5
+    # cpu default unchanged by the io fields
+    assert bench.calibration_ratio(prev, cur) == 0.5
+    # either side missing io fields (or carrying an error marker) -> None
+    assert bench.calibration_ratio({"start_s": 1.0}, cur, kind="io") is None
+    assert bench.calibration_ratio(prev, {"io_start_s": {"error": "x"}}, kind="io") is None
+
+
+def test_vs_latest_close_carries_io_ratio_when_both_sides_have_it(tmp_path):
+    bench = _bench()
+    root = str(tmp_path)
+    with open(os.path.join(root, "BENCH_FULL_r16.json"), "w") as fh:
+        json.dump(
+            {"sf": 0.1, "queries": {"a": 1.0},
+             "calibration": {"start_s": 1.0, "io_start_s": 2.0}},
+            fh,
+        )
+    out = bench._vs_latest_close(
+        root, 0.1, {"a": 0.9}, {"start_s": 1.1, "io_start_s": 1.0}
+    )
+    assert out["calibration_ratio"] == 1.1
+    assert out["calibration_io_ratio"] == 0.5
+    # prev without io fields -> io ratio simply absent
+    with open(os.path.join(root, "BENCH_FULL_r16.json"), "w") as fh:
+        json.dump(
+            {"sf": 0.1, "queries": {"a": 1.0}, "calibration": {"start_s": 1.0}}, fh
+        )
+    out = bench._vs_latest_close(
+        root, 0.1, {"a": 0.9}, {"start_s": 1.1, "io_start_s": 1.0}
+    )
+    assert "calibration_io_ratio" not in out

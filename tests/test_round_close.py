@@ -388,3 +388,22 @@ def test_overwritten_verify_artifact_reruns_verify(tmp_path, monkeypatch):
     r2 = _stub_runner(effects)
     assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
     assert "verify_local" in r2.calls
+
+
+def test_stamp_carries_io_calibration_ratio_when_present(tmp_path, monkeypatch):
+    """r17: the close stamp records the I/O calibration twin's ratio
+    next to the CPU one whenever both rounds carry the io fields."""
+    import json
+
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    (tmp_path / "BENCH_FULL_r98.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.0},
+                    "calibration": {"start_s": 1.0, "io_start_s": 2.0}})
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.2},
+                    "calibration": {"start_s": 1.25, "io_start_s": 1.5}})
+    )
+    assert round_close._stamp_like_for_like("r99") == []
+    v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
+    assert v["calibration_ratio"] == 1.25 and v["calibration_io_ratio"] == 0.75

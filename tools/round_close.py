@@ -257,6 +257,12 @@ def _stamp_like_for_like(round_tag: str) -> list[str]:
             cal = calibration_ratio(prev.get("calibration"), cur.get("calibration"))
             if cal is not None:
                 field["calibration_ratio"] = cal
+            # r17: the I/O twin — absent until both rounds carry it
+            cal_io = calibration_ratio(
+                prev.get("calibration"), cur.get("calibration"), kind="io"
+            )
+            if cal_io is not None:
+                field["calibration_io_ratio"] = cal_io
         else:
             field = {"prev_round": best_n, "note": "no common queries"}
     cur["vs_prev_round"] = field
