@@ -147,7 +147,23 @@ PROBE_QUERIES = [
     # the derived-measure recompute (rtp / revenue split / is_risky)
     # when a late content-hash half revises already-merged rows
     "streaming_player_summary_update",
+    # round-17 (r16 verdict task 5): the same row with the query KILLED
+    # after wave 2 and restarted from its checkpoint before the late
+    # straggler wave lands — checkpoint recovery certified at the
+    # data-bound scale against the SAME batch closed-form oracle, not
+    # just on the synthetic-fixture pytests
+    "streaming_player_summary_update_restart",
 ]
+
+#: probe-only variants: probe name -> (catalog row it re-runs, env to set
+#: while running it).  The record carries the env marker fields so the
+#: artifact states what was different about the run.
+RESTART_VARIANTS = {
+    "streaming_player_summary_update_restart": (
+        "streaming_player_summary_update",
+        {"SPARK_GRAFT_STREAM_RESTART": "1"},
+    ),
+}
 
 #: record join/scan plan evidence for these (initial formatted plan) —
 #: the scale-claim queries whose join REGIME (broadcast vs SMJ) is the
@@ -377,9 +393,20 @@ def main() -> int:
         if only and name not in only:
             continue
         rec: dict = {}
+        base_name, variant_env = RESTART_VARIANTS.get(name, (name, None))
+        if variant_env:
+            rec["restarted"] = True
+            rec["variant_of"] = base_name
+            rec["variant_env"] = variant_env
         try:
             t0 = time.time()
-            df = qs[name](spark, out)
+            if variant_env:
+                os.environ.update(variant_env)
+            try:
+                df = qs[base_name](spark, out)
+            finally:
+                for k in variant_env or ():
+                    os.environ.pop(k, None)
             if name in PLAN_EVIDENCE:
                 rec["plan"] = _plan_excerpt(df)
             sdf = df.toPandas()
@@ -412,10 +439,10 @@ def main() -> int:
                 )
             except Exception as exc:
                 rec.update(mode="independent_check", ok=False, error=repr(exc)[:300])
-        elif name in oracles:
+        elif base_name in oracles:
             try:
                 t0 = time.time()
-                odf = con.execute(oracles[name]).df()
+                odf = con.execute(oracles[base_name]).df()
                 rec["duck_s"] = round(time.time() - t0, 2)
                 sn, scols, shash = _canon(sdf)
                 on, ocols, ohash = _canon(odf)
