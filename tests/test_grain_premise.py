@@ -71,24 +71,45 @@ def test_daily_sum_magnitude_within_grid5_safe_range(spark, sf):
     stay well under ~1e9, where the x*1e5 multiply's rounding error
     would exceed the half-point clearance.  The snapped values are
     bounded by the per-(keys, day) daily sums, so measure the max
-    |daily sum| per audited measure at each sf."""
+    |daily sum| at EVERY grain the snap runs on: player AND game
+    b/profit, and the wallet net (trans_out - trans_in).  Measured
+    sf0.1 maxima are ~9.2e5 (game-grain bet); asserting < 1e7 keeps a
+    10x margin at the shipped sfs and leaves the 10x probe (~9.2e6)
+    and another 100x of growth inside the 1e9 safe range."""
     import pyspark.sql.functions as F
 
     from tg_reporting_etl_spark.adapters import testdata as td
-    from tg_reporting_etl_spark.operators.risk_ctrl import PLAYER_KEYS
+    from tg_reporting_etl_spark.operators.risk_ctrl import GAME_KEYS, PLAYER_KEYS
 
-    ppl = td.player_profit_log(spark, sf).withColumn(
-        "summary_date",
-        F.year("round_time") * 10000 + F.month("round_time") * 100 + F.dayofmonth("round_time"),
+    bound = MAGNITUDE_BOUND / 100
+
+    def day_col(ts):
+        return F.year(ts) * 10000 + F.month(ts) * 100 + F.dayofmonth(ts)
+
+    ppl = td.player_profit_log(spark, sf).withColumn("_d", day_col(F.col("round_time")))
+    for keys, tag in ((PLAYER_KEYS, "player"), (GAME_KEYS, "game")):
+        row = (
+            ppl.groupBy("_d", *keys)
+            .agg(F.sum("bet").alias("b"), F.sum("profit").alias("p"))
+            .agg(F.max(F.abs(F.col("b"))).alias("b"), F.max(F.abs(F.col("p"))).alias("p"))
+            .collect()[0]
+        )
+        assert row["b"] < bound, (tag, row["b"])
+        assert row["p"] < bound, (tag, row["p"])
+
+    net = (
+        td.player_value_log_lineitem(spark, sf)
+        .withColumn("_d", day_col(F.col("trade_time")))
+        .groupBy("_d", *PLAYER_KEYS)
+        .agg(
+            F.sum(
+                F.when(F.col("trade_type") == "OUT", F.col("value")).otherwise(-F.col("value"))
+            ).alias("n")
+        )
+        .agg(F.max(F.abs(F.col("n"))).alias("n"))
+        .collect()[0]
     )
-    daily = ppl.groupBy("summary_date", *PLAYER_KEYS).agg(
-        F.sum("bet").alias("b"), F.sum("profit").alias("p")
-    )
-    row = daily.agg(
-        F.max(F.abs(F.col("b"))).alias("b"), F.max(F.abs(F.col("p"))).alias("p")
-    ).collect()[0]
-    assert row["b"] < MAGNITUDE_BOUND / 100, row["b"]
-    assert row["p"] < MAGNITUDE_BOUND / 100, row["p"]
+    assert net["n"] < bound, ("trans_net", net["n"])
 
 
 def test_injected_six_decimal_value_is_detected(spark):
