@@ -310,3 +310,29 @@ def test_banded_embedding_dup_plan_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the candidate self-join keys on the band tuple
     assert "band_key" in plan
+
+
+def test_ngram_lsh_unique_exchange_ceiling(spark, sf_dir):
+    """r17 verdict task 3: the LSH reroute row's plan was flagged for
+    '72 exchanges' at sf0.01 — a LINE count, inflated by formatted
+    explain re-printing the shared shingle cache's build subtree (with
+    its two fan-out round-robin exchanges) under every
+    InMemoryTableScan reference.  The executed inventory is the UNIQUE
+    exchange ids; pin a ceiling on those so a refactor that adds real
+    shuffles (e.g. losing the persisted-signature reuse, or the pair
+    distinct splitting) fails here, while display repetition stays
+    free to vary with cache state."""
+    from tg_reporting_etl_spark.plans.llm_plans import q_doc_ngram_jaccard_lsh
+
+    df = q_doc_ngram_jaccard_lsh(spark, sf_dir)
+    plan = _plan(df)
+    uniq = set(_re.findall(r"^\((\d+)\) (Exchange|BroadcastExchange)\b", plan, _re.M))
+    shuffles = sum(1 for _, kind in uniq if kind == "Exchange")
+    bcasts = sum(1 for _, kind in uniq if kind == "BroadcastExchange")
+    # audited inventory at sf0.01 (r18): <= 10 shuffles — cached-subtree
+    # fan-out x2 (display-only at runtime), signature groupBy, band-join
+    # sides x2, pair distinct, collect_set sides x2, dense-dictionary
+    # build (h + single-partition rank); <= 4 broadcasts (dict + two
+    # set-side broadcasts, +1 slack for AQE variation)
+    assert shuffles <= 10, f"unique shuffle exchanges grew to {shuffles}\n{plan}"
+    assert bcasts <= 4, f"broadcast exchanges grew to {bcasts}"

@@ -575,8 +575,35 @@ def ngram_jaccard_dedup(
     ``shingles`` frame to share the explode+distinct shuffle with other
     dedup queries; ``path_sink`` (a dict) receives the chosen path and
     pricing stats for tests/observability.
+
+    KNOWN-ZERO BUDGET short-circuit (r17 verdict task 3): when both
+    budget knobs are <= 0 the budget is 0 before any data is read, and
+    a zero budget admits no candidate join — pricing could only ever
+    confirm the reroute.  (est >= 1 > 0 on any corpus where two docs
+    share a prefix shingle; a corpus where none do has NO pairs with
+    J >= tau — the prefix filter is lossless — so the 'prefix' branch
+    the old gate picked there and the LSH reroute both return empty.)
+    So the prefix frame is never built and its three pricing jobs
+    (df groupBy + rarity sort + two blocking aggregates over the full
+    shingle volume) never run: ~2.3 s off the ``doc_ngram_jaccard_lsh``
+    catalog row at sf0.1 with a hash-identical result.  ``path_sink``
+    then records ``pricing_skipped: True`` with est/n_docs None.
     """
     sh = char_shingles(docs, k) if shingles is None else shingles
+    if candidate_budget_per_doc <= 0 and budget_floor <= 0 and on_blowup != "force":
+        if on_blowup == "error":
+            raise ValueError(
+                "ngram_jaccard_dedup: candidate budget is zero (candidate_budget_per_doc"
+                " <= 0 and budget_floor <= 0), so no candidate join can fit and every"
+                " corpus reroutes. Use ngram_jaccard_dedup_capped (df-capped"
+                " approximation) or pass on_blowup='lsh' for LSH candidates + exact"
+                " verify."
+            )
+        if path_sink is not None:
+            path_sink.update(
+                path="lsh", est=None, n_docs=None, budget=0, pricing_skipped=True
+            )
+        return _jaccard_on_hashed(hash_shingles(sh), minhash_candidates(sh), tau)
     # hash_shingles over the shared persisted shingle table is a pure
     # projection — each consumer below re-reads the cached rows, so no
     # extra persist tier is needed here
