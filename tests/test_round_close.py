@@ -36,6 +36,11 @@ def _stub_runner(effects):
     return run
 
 
+def _ident(head="H1", dirty=False):
+    """Injectable git_identity stand-in: a clean tree at ``head``."""
+    return lambda: {"head": head, "dirty": dirty}
+
+
 def test_usage_rejects_missing_or_malformed_round():
     assert round_close.main([], runner=_stub_runner({})) == 2
     assert round_close.main(["13"], runner=_stub_runner({})) == 2
@@ -122,11 +127,11 @@ def test_resume_skips_only_completed_steps_when_tree_unchanged(tmp_path, monkeyp
     broken = dict(effects)
     broken["scale_probe"] = (1, [])
     r1 = _stub_runner(broken)
-    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 1
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1", ident_fn=_ident()) == 1
     assert r1.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
     # run 2, same tree: bench/verify_local/pytest resume from receipts
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     assert r2.calls == ["scale_probe", "coverage_guard"]
 
 
@@ -135,10 +140,10 @@ def test_resume_reruns_everything_when_source_tree_changed(tmp_path, monkeypatch
     monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
     effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
     r1 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     # code changed after the green close -> every step re-runs
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T2") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T2", ident_fn=_ident()) == 0
     assert r2.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
 
 
@@ -147,10 +152,10 @@ def test_resume_reruns_step_whose_artifact_was_deleted(tmp_path, monkeypatch):
     monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
     effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
     r1 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     os.unlink(tmp_path / f"VERIFY_LOCAL_{tag}.json")
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     # verify_local re-ran; bench and scale_probe resumed
     assert r2.calls == ["verify_local", "coverage_guard"]
 
@@ -244,13 +249,13 @@ def test_resume_record_without_started_at_reruns_the_step(tmp_path, monkeypatch)
     monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
     effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
     r1 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r1, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     state_p = tmp_path / f".round_close_{tag}.state.json"
     st = json.loads(state_p.read_text())
     del st["verify_local"]["started_at"]  # corrupt / hand-edited record
     state_p.write_text(json.dumps(st))
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     assert "verify_local" in r2.calls  # re-ran despite rc=0 receipt
 
 
@@ -293,14 +298,14 @@ def test_fully_resumed_reentry_does_not_restamp(tmp_path, monkeypatch):
     tag = "r99"
     monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
     effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
-    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     snap_before = (tmp_path / f"BENCH_FULL_{tag}.json").read_text()
     # standalone bench run after the close
     (tmp_path / "BENCH_FULL.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"a": 99.0}, "value": 99.0})
     )
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     assert r2.calls == ["coverage_guard"]  # everything else resumed
     assert (tmp_path / f"BENCH_FULL_{tag}.json").read_text() == snap_before
 
@@ -314,9 +319,9 @@ def test_partially_resumed_reentry_restamps(tmp_path, monkeypatch):
     tag = "r99"
     monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
     effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
-    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     # tree changed -> full re-run; stub writes "{}" artifacts again
-    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T2") == 0
+    assert round_close.main([tag], runner=_stub_runner(effects), hash_fn=lambda: "T2", ident_fn=_ident()) == 0
     snap = json.loads((tmp_path / f"BENCH_FULL_{tag}.json").read_text())
     full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
     assert snap == full
@@ -356,7 +361,7 @@ def test_overwritten_bench_full_before_stamp_reruns_bench(tmp_path, monkeypatch)
     # run 1: scale_probe dies -> bench completed, close red, NO snapshot
     broken = dict(effects)
     broken["scale_probe"] = (1, [])
-    assert round_close.main([tag], runner=_stub_runner(broken), hash_fn=lambda: "T1") == 1
+    assert round_close.main([tag], runner=_stub_runner(broken), hash_fn=lambda: "T1", ident_fn=_ident()) == 1
     assert not (tmp_path / f"BENCH_FULL_{tag}.json").exists()
     # standalone bench run overwrites BENCH_FULL.json (newer mtime)
     (tmp_path / "BENCH_FULL.json").write_text(
@@ -366,7 +371,7 @@ def test_overwritten_bench_full_before_stamp_reruns_bench(tmp_path, monkeypatch)
     # run 2, same tree: bench must re-run (mtime identity broken), and the
     # stamp then snapshots the RE-RUN's numbers, not the standalone run's
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     assert "bench" in r2.calls
     snap = json.loads((tmp_path / f"BENCH_FULL_{tag}.json").read_text())
     assert "value" not in snap or snap.get("value") != 99.0
@@ -381,12 +386,12 @@ def test_overwritten_verify_artifact_reruns_verify(tmp_path, monkeypatch):
     effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
     broken = dict(effects)
     broken["coverage_guard"] = (1, [])
-    assert round_close.main([tag], runner=_stub_runner(broken), hash_fn=lambda: "T1") == 1
+    assert round_close.main([tag], runner=_stub_runner(broken), hash_fn=lambda: "T1", ident_fn=_ident()) == 1
     ver = tmp_path / f"VERIFY_LOCAL_{tag}.json"
     ver.write_text('{"foreign": true}')
     os.utime(ver, (time.time() + 5, time.time() + 5))
     r2 = _stub_runner(effects)
-    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1") == 0
+    assert round_close.main([tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()) == 0
     assert "verify_local" in r2.calls
 
 
@@ -407,3 +412,115 @@ def test_stamp_carries_io_calibration_ratio_when_present(tmp_path, monkeypatch):
     assert round_close._stamp_like_for_like("r99") == []
     v = json.loads((tmp_path / "BENCH_FULL.json").read_text())["vs_prev_round"]
     assert v["calibration_ratio"] == 1.25 and v["calibration_io_ratio"] == 0.75
+
+
+def test_dirty_tree_marks_receipt_non_resumable(tmp_path, monkeypatch):
+    """r17 verdict task 1: a receipt produced on a source-dirty tree
+    cannot be bound to a commit, so a later re-entry re-runs every
+    step even when the tree hash never changed."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    r1 = _stub_runner(effects)
+    assert round_close.main(
+        [tag], runner=r1, hash_fn=lambda: "T1", ident_fn=_ident(dirty=True)
+    ) == 0
+    # re-entry on the now-clean tree at the same commit: nothing resumes
+    r2 = _stub_runner(effects)
+    assert round_close.main(
+        [tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident(dirty=False)
+    ) == 0
+    assert r2.calls == ["bench", "verify_local", "scale_probe", "pytest", "coverage_guard"]
+
+
+def test_currently_dirty_tree_disables_resume(tmp_path, monkeypatch):
+    """The other direction: clean-tree receipts exist, but the RE-ENTRY
+    runs on a dirty tree — steps re-run (fail toward re-running)."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    assert round_close.main(
+        [tag], runner=_stub_runner(effects), hash_fn=lambda: "T1", ident_fn=_ident()
+    ) == 0
+    r2 = _stub_runner(effects)
+    assert round_close.main(
+        [tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident(dirty=True)
+    ) == 0
+    assert "bench" in r2.calls and "verify_local" in r2.calls
+
+
+def test_commit_mismatch_marks_receipt_non_resumable(tmp_path, monkeypatch):
+    """Receipts name the commit they ran on; a re-entry at a different
+    HEAD re-runs every step even if the tree hash matched (e.g. a
+    commit --amend that left source bytes identical)."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    assert round_close.main(
+        [tag], runner=_stub_runner(effects), hash_fn=lambda: "T1", ident_fn=_ident("H1")
+    ) == 0
+    r2 = _stub_runner(effects)
+    assert round_close.main(
+        [tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident("H2")
+    ) == 0
+    assert "bench" in r2.calls and "verify_local" in r2.calls
+
+
+def test_missing_git_identity_disables_resume(tmp_path, monkeypatch):
+    """No git (or git failure) -> identity is {None, None} -> receipts
+    are written but never resumable."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    no_git = lambda: {"head": None, "dirty": None}  # noqa: E731
+    assert round_close.main(
+        [tag], runner=_stub_runner(effects), hash_fn=lambda: "T1", ident_fn=no_git
+    ) == 0
+    r2 = _stub_runner(effects)
+    assert round_close.main(
+        [tag], runner=r2, hash_fn=lambda: "T1", ident_fn=no_git
+    ) == 0
+    assert "bench" in r2.calls
+
+
+def test_state_and_stamp_carry_git_identity(tmp_path, monkeypatch):
+    """r17 verdict task 1 'done' criterion: both the state file and the
+    round-tagged bench snapshot name the commit + dirty flag, so the
+    judge can equate receipts with a git identity."""
+    import json
+
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    assert round_close.main(
+        [tag], runner=_stub_runner(effects), hash_fn=lambda: "T1",
+        ident_fn=_ident("CAFE123"),
+    ) == 0
+    st = json.loads((tmp_path / f".round_close_{tag}.state.json").read_text())
+    for name in ("bench", "verify_local", "scale_probe", "pytest"):
+        assert st[name]["git_head"] == "CAFE123" and st[name]["git_dirty"] is False
+    snap = json.loads((tmp_path / f"BENCH_FULL_{tag}.json").read_text())
+    assert snap["git"] == {"head": "CAFE123", "dirty": False}
+
+
+def test_mtime_preserving_overwrite_reruns_step(tmp_path, monkeypatch):
+    """r17 ADVICE item 2: an overwrite that preserves the artifact's
+    mtime (or lands in the same coarse-granularity second) but changes
+    its size must break resume — identity is mtime AND size."""
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    broken = dict(effects)
+    broken["coverage_guard"] = (1, [])
+    assert round_close.main(
+        [tag], runner=_stub_runner(broken), hash_fn=lambda: "T1", ident_fn=_ident()
+    ) == 1
+    ver = tmp_path / f"VERIFY_LOCAL_{tag}.json"
+    old_mtime = os.path.getmtime(ver)
+    ver.write_text('{"foreign": true, "padded": "x"}')  # different size
+    os.utime(ver, (old_mtime, old_mtime))  # mtime restored exactly
+    r2 = _stub_runner(effects)
+    assert round_close.main(
+        [tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()
+    ) == 0
+    assert "verify_local" in r2.calls

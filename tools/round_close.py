@@ -123,40 +123,52 @@ def check_artifacts(paths: list[str], not_before: float) -> list[str]:
     return bad
 
 
-def _artifact_mtimes(paths: list[str]) -> dict[str, float]:
-    """Current mtime of each artifact that exists (repo-root-relative)."""
-    out: dict[str, float] = {}
+def _artifact_mtimes(paths: list[str]) -> dict[str, list[float]]:
+    """Current [mtime, size] of each artifact that exists
+    (repo-root-relative).  Size rides along (r17 ADVICE item 2): on a
+    1 s-granularity filesystem an overwrite landing in the same second
+    as the step's own write — or any mtime-preserving overwrite —
+    passes an mtime-only identity check; mtime AND size must both
+    match for the step to resume."""
+    out: dict[str, list[float]] = {}
     for rel in paths:
         try:
-            out[rel] = os.path.getmtime(os.path.join(ROOT, rel))
+            st = os.stat(os.path.join(ROOT, rel))
+            out[rel] = [st.st_mtime, float(st.st_size)]
         except OSError:
             pass
     return out
 
 
 def _artifacts_unmodified(paths: list[str], recorded) -> bool:
-    """True only when ``recorded`` — the mtime map captured at the
-    step's completion — covers every artifact and each file's mtime is
-    byte-for-byte what the step left behind.
+    """True only when ``recorded`` — the [mtime, size] map captured at
+    the step's completion — covers every artifact and each file's
+    mtime AND size are byte-for-byte what the step left behind.
 
     This closes the r16 ADVICE hazard the freshness floor alone cannot:
     ``check_artifacts`` accepts any mtime NEWER than the step's start,
     so a standalone bench run that overwrote BENCH_FULL.json between a
     died close and its re-entry would let the bench step resume and the
     stamp then certify the standalone run's numbers as the round's
-    close receipt.  Requiring mtime IDENTITY (not mere freshness) makes
-    any post-step overwrite re-run the step.  Records without the map
-    (or with a missing file) fail toward re-running.
+    close receipt.  Requiring mtime+size IDENTITY (not mere freshness)
+    makes any post-step overwrite re-run the step.  Records without the
+    map, with a pre-r18 mtime-only record, or with a missing file fail
+    toward re-running.
     """
     if not isinstance(recorded, dict):
         return False
     for rel in paths:
         try:
-            cur = os.path.getmtime(os.path.join(ROOT, rel))
+            st = os.stat(os.path.join(ROOT, rel))
         except OSError:
             return False
         prev = recorded.get(rel)
-        if not isinstance(prev, (int, float)) or abs(cur - float(prev)) > 1e-6:
+        if not (isinstance(prev, (list, tuple)) and len(prev) == 2):
+            return False
+        pm, ps = prev
+        if not isinstance(pm, (int, float)) or not isinstance(ps, (int, float)):
+            return False
+        if abs(st.st_mtime - float(pm)) > 1e-6 or st.st_size != int(ps):
             return False
     return True
 
@@ -200,7 +212,31 @@ def tree_hash() -> str:
     return h.hexdigest()
 
 
-def _stamp_like_for_like(round_tag: str) -> list[str]:
+def git_identity() -> dict:
+    """{"head": <commit sha or None>, "dirty": <bool or None>} — the git
+    identity the close receipts bind to (r17 verdict task 1).
+
+    ``dirty`` covers SOURCE_PATHS only (like ``tree_hash``): the close
+    itself rewrites root-level receipt artifacts and the driver appends
+    to PROGRESS.jsonl, and neither changes the code under close.  Any
+    git failure returns {None, None}, which disables resume (the
+    receipt cannot be bound to an identity) but never blocks a run —
+    fail toward re-running, never toward skipping.
+    """
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True, text=True, check=True
+        ).stdout.strip()
+        diff = subprocess.run(
+            ["git", "status", "--porcelain", "--", *SOURCE_PATHS],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except (subprocess.SubprocessError, OSError):
+        return {"head": None, "dirty": None}
+    return {"head": head or None, "dirty": bool(diff.strip())}
+
+
+def _stamp_like_for_like(round_tag: str, git_ident: dict | None = None) -> list[str]:
     """Write the round-over-round like-for-like ratio INTO the bench
     receipt (round-14 verdict, task 6): the judge was computing "r(N)
     vs r(N-1) over common queries" by hand from two artifacts; now a
@@ -266,6 +302,11 @@ def _stamp_like_for_like(round_tag: str) -> list[str]:
         else:
             field = {"prev_round": best_n, "note": "no common queries"}
     cur["vs_prev_round"] = field
+    # bind the receipt to a git identity (r17 verdict task 1): the
+    # judge verifies "receipts certify HEAD" by comparing this field to
+    # the end-of-round snapshot commit's parent, instead of arguing
+    # from a hand-checked diff
+    cur["git"] = git_ident if git_ident is not None else git_identity()
     failures: list[str] = []
     for p in (full_path, os.path.join(ROOT, f"BENCH_FULL_{round_tag}.json")):
         try:
@@ -302,7 +343,12 @@ def _save_state(round_tag: str, state: dict) -> None:
         pass
 
 
-def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash) -> int:
+def main(
+    argv: list[str] | None = None,
+    runner=subprocess.run,
+    hash_fn=tree_hash,
+    ident_fn=git_identity,
+) -> int:
     """Run (or idempotently RESUME) the close sequence for ``round_tag``.
 
     Resume (round-13 verdict, task 4): rounds 12 and 13 both died at
@@ -325,6 +371,20 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
     round_tag = args[0]
     t_start = time.time()
     current_hash = hash_fn()
+    # Receipt-to-HEAD binding (r17 verdict task 1): every step record and
+    # the bench stamp carry the commit id and a source-dirty flag.  A
+    # receipt is resumable only when it was produced on a CLEAN tree at
+    # the SAME commit the re-entry runs on — a dirty tree (either run)
+    # or a commit mismatch re-runs the step, because such a receipt
+    # cannot be bound to a git identity.  tree_hash alone already caught
+    # content drift; this makes the binding an identity, not an argument.
+    current_git = ident_fn()
+    clean_identity = bool(current_git.get("head")) and current_git.get("dirty") is False
+    if not clean_identity:
+        print(
+            f"== git identity: head={current_git.get('head')} dirty={current_git.get('dirty')}"
+            " — receipts will not be resumable (commit source changes first)"
+        )
     state = _load_state(round_tag)
     failures: list[str] = []
     bench_ran = False
@@ -354,6 +414,11 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
             and isinstance(rec, dict)
             and rec.get("rc") == 0
             and rec.get("tree_hash") == current_hash
+            # identity binding: the record must name the SAME commit this
+            # re-entry runs on, and BOTH runs must be source-clean
+            and clean_identity
+            and rec.get("git_head") == current_git["head"]
+            and rec.get("git_dirty") is False
             and isinstance(rec_started, (int, float))
             and rec_started > 0
             and not check_artifacts(step["artifacts"], float(rec_started))
@@ -381,8 +446,11 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
                 "started_at": t0,
                 "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "tree_hash": current_hash,
-                # mtime identity map: resume requires the artifacts to be
-                # EXACTLY the files this step wrote (see _artifacts_unmodified)
+                # git identity the step ran on (r17 verdict task 1)
+                "git_head": current_git["head"],
+                "git_dirty": current_git["dirty"],
+                # mtime+size identity map: resume requires the artifacts to
+                # be EXACTLY the files this step wrote (see _artifacts_unmodified)
                 "artifact_mtimes": _artifact_mtimes(step["artifacts"]),
             }
             _save_state(round_tag, state)
@@ -401,7 +469,7 @@ def main(argv: list[str] | None = None, runner=subprocess.run, hash_fn=tree_hash
     if not bench_ran and os.path.exists(snapshot):
         print(f"== stamp: SKIP (bench step resumed, {os.path.basename(snapshot)} already exists)")
     else:
-        stamp_failures = _stamp_like_for_like(round_tag)
+        stamp_failures = _stamp_like_for_like(round_tag, git_ident=current_git)
         if stamp_failures:
             print("\nROUND CLOSE FAILED:")
             for f in stamp_failures:
