@@ -94,8 +94,10 @@ def _regression_watch(
     BENCH_FULL.json remains a same-sf fallback for repos predating the
     sidecar.  A query regresses if its min grew >1.3x AND >0.15 s —
     the two guards together ignore sub-noise-floor micro-deltas.
-    This run's timings are written back to the sidecar under str(sf),
-    leaving every other sf's history intact.
+    The sidecar keeps the all-time per-query BESTS at each sf; this
+    run updates only the entries it beat (append-minimal — see the
+    anti-ratchet comment below), leaving every other sf's history
+    intact and skipping the write entirely when nothing improved.
     """
     hist_path = os.path.join(here, "BENCH_HISTORY.json")
     history: dict[str, dict[str, float]] = {}
@@ -106,6 +108,7 @@ def _regression_watch(
             history = {k: v for k, v in loaded.items() if isinstance(v, dict)}
     except (OSError, ValueError):
         pass
+    sidecar_has_sf = str(sf) in history
     prev_queries: dict[str, float] = history.get(str(sf), {})
     if not prev_queries:
         try:
@@ -122,17 +125,26 @@ def _regression_watch(
         and t > 1.3 * prev_queries[n]
         and t - prev_queries[n] > 0.15
     )
-    # Anti-ratchet: a query that fired the watch keeps its PREVIOUS base
-    # (min(prev, current) == prev when current > 1.3*prev), so one transient
-    # slow run cannot raise the comparison base and read as "recovered" on
-    # the next run.  A genuine, accepted slowdown is re-pinned explicitly
-    # with SPARK_GRAFT_BENCH_REPIN=1.
+    # Anti-ratchet, append-minimal (r17 verdict task 5): the base is the
+    # all-time per-query BEST at this sf — a query's entry changes only
+    # when beaten (or first seen), so a post-close bench run rewrites a
+    # handful of sidecar lines instead of all ~100 (the r17 post-close
+    # commits were mostly this churn).  This also generalizes the r14
+    # no-ratchet rule from watch-fired queries to every query: no slow
+    # run, transient or sub-threshold, can raise the comparison base.
+    # A genuine, accepted slowdown (or a removed query's stale best) is
+    # re-pinned wholesale with SPARK_GRAFT_BENCH_REPIN=1.
     repin = os.environ.get("SPARK_GRAFT_BENCH_REPIN", "") == "1"
-    new_base = dict(timings)
-    if not repin:
-        for n in watch:
-            new_base[n] = min(prev_queries[n], timings[n])
+    if repin:
+        new_base = dict(timings)
+    else:
+        new_base = dict(prev_queries)
+        for n, t in timings.items():
+            if n not in new_base or t < new_base[n]:
+                new_base[n] = t
     history[str(sf)] = new_base
+    if sidecar_has_sf and new_base == prev_queries:
+        return prev_queries, watch  # nothing beaten: leave the sidecar untouched
     try:
         with open(hist_path, "w") as fh:
             json.dump(history, fh, indent=1, sort_keys=True)
@@ -221,6 +233,13 @@ def _calibration_io(spark) -> float | dict:
     pair and the vs_prev ratio pair becomes a triple (first cross-round
     comparable at r18, when both sides of the compare carry it).
 
+    One UNTIMED warm-up write precedes the timed loop (r17 ADVICE item
+    3): without it, iteration 1 writes to a nonexistent path — no
+    delete — and min-of-3 systematically selects that delete-free
+    iteration, excluding the delete cost this docstring claims to
+    measure.  The warm-up makes all three timed iterations true
+    overwrites.
+
     Same failure contract as the CPU twin: errors return a marker dict
     and cost the receipt, never the bench run."""
     import shutil
@@ -237,6 +256,7 @@ def _calibration_io(spark) -> float | dict:
             ((F.col("id") * 2654435761) % 1_000_000).alias("v"),
             F.concat(F.lit("row_"), F.col("id").cast("string")).alias("s"),
         )
+        df.write.mode("overwrite").parquet(path)  # warm-up: make every timed write an overwrite
         for _ in range(3):
             t0 = time.perf_counter()
             df.write.mode("overwrite").parquet(path)

@@ -193,3 +193,42 @@ def test_vs_latest_close_carries_io_ratio_when_both_sides_have_it(tmp_path):
         root, 0.1, {"a": 0.9}, {"start_s": 1.1, "io_start_s": 1.0}
     )
     assert "calibration_io_ratio" not in out
+
+
+def test_sidecar_is_append_minimal_bests(tmp_path):
+    """r17 verdict task 5: the sidecar holds all-time per-query bests —
+    a run that beats nothing leaves the file byte-identical (no commit
+    churn), and a run that beats one query rewrites only that entry."""
+    bench = _bench()
+    root = str(tmp_path)
+    bench._regression_watch(root, 0.1, {"q1": 1.0, "q2": 2.0})
+    sidecar = tmp_path / "BENCH_HISTORY.json"
+    before = sidecar.read_bytes()
+    mtime = os.path.getmtime(sidecar)
+    # slower-but-sub-watch run: nothing beaten -> file untouched
+    prev, watch = bench._regression_watch(root, 0.1, {"q1": 1.2, "q2": 2.1})
+    assert watch == [] and prev == {"q1": 1.0, "q2": 2.0}
+    assert sidecar.read_bytes() == before
+    assert os.path.getmtime(sidecar) == mtime
+    # one query beaten -> only that entry changes
+    bench._regression_watch(root, 0.1, {"q1": 0.8, "q2": 2.5})
+    hist = json.loads(sidecar.read_text())
+    assert hist["0.1"] == {"q1": 0.8, "q2": 2.0}
+
+
+def test_sidecar_keeps_best_for_new_and_removed_queries(tmp_path):
+    """New queries seed their best; removed queries keep their stale
+    best until an explicit repin (the cleanup valve) drops them."""
+    bench = _bench()
+    root = str(tmp_path)
+    bench._regression_watch(root, 0.1, {"q1": 1.0, "gone": 5.0})
+    bench._regression_watch(root, 0.1, {"q1": 1.5, "new": 0.5})
+    hist = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert hist["0.1"] == {"q1": 1.0, "gone": 5.0, "new": 0.5}
+    os.environ["SPARK_GRAFT_BENCH_REPIN"] = "1"
+    try:
+        bench._regression_watch(root, 0.1, {"q1": 1.5, "new": 0.6})
+    finally:
+        del os.environ["SPARK_GRAFT_BENCH_REPIN"]
+    hist = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert hist["0.1"] == {"q1": 1.5, "new": 0.6}
