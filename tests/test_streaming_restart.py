@@ -314,3 +314,34 @@ def test_embedding_index_survives_checkpoint_restart(spark, tmp_path):
     pairs = {(r.vec_a, r.vec_b) for r in spark.read.parquet(f"{restarted}/pairs").collect()}
     assert (1, 2) in pairs  # cross-restart probe against wave 1's vector
     assert (10, 11) in pairs  # scaled copy of the anti vector pairs too
+
+
+def test_embedding_catalog_row_env_gated_restart(spark, sf_dir, monkeypatch):
+    """r17 verdict task 4 plumbing: SPARK_GRAFT_STREAM_RESTART=1 must
+    route the CATALOG row (the surface tools/scale_probe.py's
+    ``streaming_embedding_dup_index_restart`` variant drives) through a
+    kill + checkpoint recovery — pinned by counting sink starts — and
+    produce the identical frame."""
+    from tg_reporting_etl_spark.plans.streaming_plans import (
+        q_streaming_embedding_dup_index,
+    )
+    from tg_reporting_etl_spark.streaming import pipeline as pl
+
+    real_start = pl.start_embedding_dup_sink
+    starts = []
+
+    def counting_start(*a, **kw):
+        starts.append(1)
+        return real_start(*a, **kw)
+
+    monkeypatch.setattr(pl, "start_embedding_dup_sink", counting_start)
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_RESTART", raising=False)
+    base = q_streaming_embedding_dup_index(spark, sf_dir).collect()
+    assert len(starts) == 1  # uninterrupted: one query start
+
+    starts.clear()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_RESTART", "1")
+    restarted = q_streaming_embedding_dup_index(spark, sf_dir).collect()
+    assert len(starts) == 2  # killed after wave 1, recovered for wave 2
+    assert sorted(map(tuple, restarted)) == sorted(map(tuple, base))

@@ -1158,7 +1158,19 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
     its wave-1 partner at its exact similarity, not an estimate).
 
     Band parameters (8 x 8 over the 64-dim corpus) and tau are pinned
-    to the batch row's so both engines share one oracle string."""
+    to the batch row's so both engines share one oracle string.
+
+    Under ``SPARK_GRAFT_STREAM_RESTART=1`` (r17 verdict task 4, set by
+    tools/scale_probe.py's ``streaming_embedding_dup_index_restart``
+    probe row) the query is KILLED after wave 1 and a NEW query started
+    on the SAME checkpoint before wave 2 lands — so the cross-batch
+    surface this row exists to prove (a wave-2 vector pairing with its
+    wave-1 partner out of the durable index) must survive checkpoint
+    recovery: the recovered query re-probes the on-disk history index,
+    and the overlap third of the corpus re-delivered in wave 2 must
+    stay merge-idempotent across the restart.  Same closed-form oracle
+    either way — a dropped wave-1 probe or a double-append would break
+    the full hash."""
     import shutil
     import tempfile
 
@@ -1180,17 +1192,27 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
     # state-volume sizing a real cluster would apply.
     n_vecs = vecs.count()
     parts = max(4, min(32, (8 * n_vecs) // 25_000))
+    restart_between_waves = os.environ.get("SPARK_GRAFT_STREAM_RESTART") == "1"
     tmp = tempfile.mkdtemp(prefix="stream_ed_")
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark, parts):
             vecs.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
-            stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
-            q = start_embedding_dup_sink(
-                stream, f"{tmp}/index", f"{tmp}/ckpt", tau=COSINE_TAU, bands=8, dims_per_band=8
-            )
+
+            def _start():
+                stream = spark.readStream.schema(
+                    "vec_id long, embedding array<float>"
+                ).parquet(src)
+                return start_embedding_dup_sink(
+                    stream, f"{tmp}/index", f"{tmp}/ckpt", tau=COSINE_TAU, bands=8, dims_per_band=8
+                )
+
+            q = _start()
             try:
                 q.processAllAvailable()
+                if restart_between_waves:
+                    q.stop()  # KILL with the wave-1 index only on disk
+                    q = _start()  # NEW query, SAME checkpoint + index
                 vecs.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
                 q.processAllAvailable()
                 pdf = (

@@ -153,6 +153,14 @@ PROBE_QUERIES = [
     # data-bound scale against the SAME batch closed-form oracle, not
     # just on the synthetic-fixture pytests
     "streaming_player_summary_update_restart",
+    # round-18 (r17 verdict task 4): the second restart certification —
+    # an INDEX sink this time.  The embedding dup index is killed after
+    # wave 1 and recovered from its checkpoint before wave 2 (with its
+    # replica-clique collisions and the re-delivered overlap third)
+    # lands: the recovered query must still probe the wave-1 history
+    # index and stay merge-idempotent, full-hash vs the same banded
+    # closed form the uninterrupted row checks at 10x.
+    "streaming_embedding_dup_index_restart",
 ]
 
 #: probe-only variants: probe name -> (catalog row it re-runs, env to set
@@ -161,6 +169,10 @@ PROBE_QUERIES = [
 RESTART_VARIANTS = {
     "streaming_player_summary_update_restart": (
         "streaming_player_summary_update",
+        {"SPARK_GRAFT_STREAM_RESTART": "1"},
+    ),
+    "streaming_embedding_dup_index_restart": (
+        "streaming_embedding_dup_index",
         {"SPARK_GRAFT_STREAM_RESTART": "1"},
     ),
 }
@@ -398,16 +410,34 @@ def main() -> int:
             rec["restarted"] = True
             rec["variant_of"] = base_name
             rec["variant_env"] = variant_env
+        if base_name.startswith("streaming_"):
+            # r17 ADVICE item 1: the artifact states the EFFECTIVE mode
+            # the row ran in (the variant's env wins over the ambient
+            # one) — if the restart var leaks in from outside, a
+            # non-variant row visibly ran in restart mode instead of
+            # silently masquerading as the base row
+            rec["stream_restart_env"] = (variant_env or {}).get(
+                "SPARK_GRAFT_STREAM_RESTART", os.environ.get("SPARK_GRAFT_STREAM_RESTART")
+            )
         try:
             t0 = time.time()
+            # snapshot/restore (r17 ADVICE item 1): popping the var
+            # would clobber an externally-exported value; restore the
+            # exact prior state instead
+            saved = {k: os.environ.get(k) for k in variant_env or ()}
             if variant_env:
                 os.environ.update(variant_env)
             try:
                 df = qs[base_name](spark, out)
             finally:
-                for k in variant_env or ():
-                    os.environ.pop(k, None)
-            if name in PLAN_EVIDENCE:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            # keyed by base_name (r17 ADVICE item 4): a restart variant
+            # of a plan-evidence row must record the same evidence
+            if base_name in PLAN_EVIDENCE:
                 rec["plan"] = _plan_excerpt(df)
             sdf = df.toPandas()
             rec["spark_s"] = round(time.time() - t0, 2)
@@ -426,16 +456,21 @@ def main() -> int:
             records[name] = rec
             print(f"  {name:34s} ERROR {rec['error'][:80]}")
             continue
-        if name in INDEPENDENT_CHECKS:
+        if base_name in INDEPENDENT_CHECKS:
+            # keyed by base_name (r17 ADVICE item 4): a restart variant
+            # of an independent-check row runs the same full check —
+            # looked up by the variant name it would silently fall to
+            # the rows_only branch and the recovery claim would go
+            # unverified
             t0 = time.time()
             try:
-                res = INDEPENDENT_CHECKS[name](spark, con, sdf, out, src)
+                res = INDEPENDENT_CHECKS[base_name](spark, con, sdf, out, src)
                 rec.update(
                     mode="independent_check",
                     ok=bool(res.pop("ok")) and rec["spark_rows"] > 0,
                     checks=res,
                     check_s=round(time.time() - t0, 2),
-                    duck_oracle_infeasible=DUCK_ORACLE_INFEASIBLE[name],
+                    duck_oracle_infeasible=DUCK_ORACLE_INFEASIBLE[base_name],
                 )
             except Exception as exc:
                 rec.update(mode="independent_check", ok=False, error=repr(exc)[:300])
@@ -462,6 +497,10 @@ def main() -> int:
                 rec.update(mode="oracle_error", ok=False, error=repr(exc)[:300])
         else:
             rec.update(mode="rows_only", ok=rec["spark_rows"] > 0)
+        # r17 ADVICE item 4: every probe record must end with an
+        # explicit verdict — a branch miss that left ok unset would
+        # deflate n_ok without ever appearing in the failure list
+        assert "ok" in rec, f"{name}: record has no explicit ok verdict: {rec}"
         if not rec["ok"]:
             failures.append((name, json.dumps({k: rec[k] for k in rec if k != "plan"})[:200]))
         status = "OK " if rec["ok"] else "FAIL"
