@@ -524,3 +524,25 @@ def test_mtime_preserving_overwrite_reruns_step(tmp_path, monkeypatch):
         [tag], runner=r2, hash_fn=lambda: "T1", ident_fn=_ident()
     ) == 0
     assert "verify_local" in r2.calls
+
+
+def test_close_verify_step_is_full_catalog_at_both_sfs():
+    """r17 verdict task 7: the driver's correctness sample has been the
+    same 50 rows for rounds — verify_local inside the close is the ONLY
+    complete gate.  Pin that the close's verify step runs the FULL
+    catalog (no query-subset args) at BOTH catalog sfs, and that the
+    probe step likewise names no subset — a future 'fast close' cannot
+    quietly thin the gate."""
+    steps = {s["name"]: s for s in round_close.steps_for("r99")}
+    v = steps["verify_local"]["argv"]
+    # argv shape: [python, .../verify_local.py, "<sf0.01>,<sf0.1>"] —
+    # anything after the sf list would be a query subset
+    assert len(v) == 3 and v[2] == round_close.SF_BOTH
+    assert "sf0.01" in round_close.SF_BOTH and "sf0.1" in round_close.SF_BOTH
+    p = steps["scale_probe"]["argv"]
+    # [python, .../scale_probe.py, out_json] — extra args would subset
+    # PROBE_QUERIES
+    assert len(p) == 3 and p[2].startswith("VERIFY_LOCAL_sf1_")
+    # and pytest runs the whole tests/ tree, unfiltered
+    t = steps["pytest"]["argv"]
+    assert t[-2:] == [os.path.join(round_close.ROOT, "tests"), "-q"]
