@@ -324,15 +324,37 @@ def test_ngram_lsh_unique_exchange_ceiling(spark, sf_dir):
     free to vary with cache state."""
     from tg_reporting_etl_spark.plans.llm_plans import q_doc_ngram_jaccard_lsh
 
-    df = q_doc_ngram_jaccard_lsh(spark, sf_dir)
-    plan = _plan(df)
-    uniq = set(_re.findall(r"^\((\d+)\) (Exchange|BroadcastExchange)\b", plan, _re.M))
-    shuffles = sum(1 for _, kind in uniq if kind == "Exchange")
-    bcasts = sum(1 for _, kind in uniq if kind == "BroadcastExchange")
-    # audited inventory at sf0.01 (r18): <= 10 shuffles — cached-subtree
-    # fan-out x2 (display-only at runtime), signature groupBy, band-join
-    # sides x2, pair distinct, collect_set sides x2, dense-dictionary
-    # build (h + single-partition rank); <= 4 broadcasts (dict + two
-    # set-side broadcasts, +1 slack for AQE variation)
-    assert shuffles <= 10, f"unique shuffle exchanges grew to {shuffles}\n{plan}"
-    assert bcasts <= 4, f"broadcast exchanges grew to {bcasts}"
+    def counts():
+        plan = _plan(q_doc_ngram_jaccard_lsh(spark, sf_dir))
+        uniq = set(
+            _re.findall(r"^\((\d+)\) (Exchange|BroadcastExchange)\b", plan, _re.M)
+        )
+        shuffles = sum(1 for _, kind in uniq if kind == "Exchange")
+        bcasts = sum(1 for _, kind in uniq if kind == "BroadcastExchange")
+        return shuffles, bcasts, plan
+
+    def check():
+        shuffles, bcasts, plan = counts()
+        # audited inventory at sf0.01 (r18): <= 10 shuffles — cached-
+        # subtree fan-out x2 (display-only at runtime), signature
+        # groupBy, band-join sides x2, pair distinct, collect_set sides
+        # x2, dense-dictionary build (h + single-partition rank); <= 4
+        # broadcasts (dict + two set-side broadcasts, +1 slack for AQE
+        # variation)
+        assert shuffles <= 10, f"unique shuffle exchanges grew to {shuffles}\n{plan}"
+        assert bcasts <= 4, f"broadcast exchanges grew to {bcasts}"
+
+    try:
+        check()
+    except AssertionError:
+        # same contract as the catalog sweep above: the ceiling is
+        # calibrated against the query's DESIGNED cache state; under
+        # arbitrary suite order stale/unpersisted shared caches expand
+        # the cached subtree with fresh live exchanges.  Reset to the
+        # designed state and re-derive once.
+        from tg_reporting_etl_spark.plans import util as _plan_util
+
+        spark.catalog.clearCache()
+        _plan_util._DF_CACHE.clear()
+        _plan_util._BUILD_TIMES.clear()
+        check()
