@@ -346,6 +346,7 @@ def main() -> None:
     os.dup2(errfile.fileno(), 2)
 
     import __spark_entry__ as entry_mod
+    from tg_reporting_etl_spark.functions.persist import release_persists
     from tg_reporting_etl_spark.session import get_spark
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
@@ -414,6 +415,17 @@ def main() -> None:
             "max": round(times[-1], 3),
             "n": len(times),
         }
+        # Pump the engine's long-lived-driver release valve BETWEEN
+        # queries (r18): each repeat's tracked intra-query persists
+        # (dedup sig/set tables, rtp chains) otherwise accumulate across
+        # the 102-query session until executor storage evicts the SHARED
+        # cached_df frames — the r18 close measured the resulting
+        # excursion as 3x shared-cache rebuilds and a 6-row watch
+        # cluster that a fresh session couldn't reproduce.  Releasing
+        # after the timing loop keeps within-query reuse (repeats 2..n
+        # still hit repeat 1's persists, so min-of-N is unaffected)
+        # while preventing cross-query pile-up.
+        release_persists()
     cal_end = _calibration(spark)
     cal_io_end = _calibration_io(spark)
     calibration = {

@@ -401,9 +401,15 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     records: dict[str, dict] = {}
     failures = []
+    from tg_reporting_etl_spark.functions.persist import release_persists
+
     for name in PROBE_QUERIES:
         if only and name not in only:
             continue
+        # release the previous row's tracked intra-plan persists — at
+        # 10x block sizes the cross-row pile-up (r18 bench finding)
+        # evicts shared caches far sooner than at catalog sfs
+        release_persists()
         rec: dict = {}
         base_name, variant_env = RESTART_VARIANTS.get(name, (name, None))
         if variant_env:

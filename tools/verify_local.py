@@ -167,6 +167,7 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from tg_reporting_etl_spark.functions.persist import release_persists
     from tg_reporting_etl_spark.plans.llm_plans import CONSISTENCY_ORACLES, STAGED_ORACLES
 
     # a DUCK_NESTED_INFEASIBLE key without a consistency oracle would
@@ -187,6 +188,11 @@ def _run_sf(spark, entry_mod, sf_dir: str, only: set[str]):
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # release the PREVIOUS query's tracked intra-plan persists (r18:
+        # they otherwise accumulate across the 102-query session until
+        # executor storage evicts the shared cached_df frames; top of
+        # loop so the early-continue record paths below can't skip it)
+        release_persists()
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
