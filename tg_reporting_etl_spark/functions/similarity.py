@@ -596,3 +596,99 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    tau: float,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+    pair_budget_per_vec: int = _PAIR_BUDGET_PER_VEC,
+    budget_floor: int = _PAIR_BUDGET_FLOOR,
+    path_sink: dict | None = None,
+) -> DataFrame:
+    """Cell-bounded semantic dedup (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then look for near-dups only
+    WITHIN each cell — the pair space is sum-of-cell-C(c,2), never n²/2,
+    and the operator's scale knob is ``n_cells`` (size it so cells stay
+    bounded as the corpus grows; the paper runs 50k clusters on LAION).
+
+    Semantics (deterministic, engine-portable):
+
+    - assignment = nearest centroid by squared L2, ties to the lower
+      ``cell_id`` (:func:`ivf_assign` — the same coarse quantizer the
+      IVF index uses; ``centroids=None`` is the fixed oracle-checked
+      quantizer, pass :func:`kmeans_centroids` output in production);
+    - within a cell, vector ``b`` is REMOVED iff some other member
+      ``a`` of the same cell has ``round(cos(a, b), 6) >= tau`` and
+      ``a`` is PREFERRED — lower centroid-cosine first (the paper keeps
+      the member FARTHEST from the centroid, maximizing retained
+      diversity), then lower ``vec_id``.  The preference order is total,
+      so exactly the non-minimal members of every near-dup relation are
+      removed — no transitive closure and no RNG, which keeps the DuckDB
+      oracle a single EXISTS join (catalog row ``embedding_semdedup``).
+
+    Degenerate (all-zero) vectors have NULL cosine everywhere (family
+    contract, :func:`cosine`): they are never removed and never remove
+    others — every preference comparison and tau test against them is
+    NULL.
+
+    Cost shape and gate: candidate generation is an equi-join on
+    ``cell_id`` (one shuffle of n rows each side); the exact cosines run
+    over the BOUNDED within-cell pair set via the Arrow verify path
+    (:func:`verify_cosine_pairs`).  Before any quadratic work starts,
+    the within-cell pair count ``sum_c c·(c-1)/2`` — a k-row aggregate,
+    k = n_cells — is priced against the family's scale-linear budget
+    (``max(n · pair_budget_per_vec, budget_floor)``), and a breach
+    raises with the remedy named (raise ``n_cells``: more cells = both
+    smaller pairs AND a finer dedup radius, the paper's own scaling
+    story).  A skewed mega-cell therefore fails loudly instead of
+    detonating a shuffle.
+    """
+    from tg_reporting_etl_spark.functions.persist import tracked_persist
+
+    cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
+    assigned = tracked_persist(ivf_assign(embeddings, n_cells, cents))
+
+    sizes = assigned.groupBy("cell_id").count().collect()  # bounded: <= n_cells rows
+    n = sum(int(r["count"]) for r in sizes)
+    est = sum(int(r["count"]) * (int(r["count"]) - 1) // 2 for r in sizes)
+    budget = max(n * pair_budget_per_vec, budget_floor)
+    if path_sink is not None:
+        path_sink.update(n_vecs=n, est_pairs=est, budget=budget, n_cells=n_cells)
+    if est > budget:
+        raise ValueError(
+            f"semdedup: within-cell pair space is {est:,} exact cosines for "
+            f"{n:,} vectors in {n_cells} cells (budget {budget:,}) — the cells "
+            f"are too coarse for this corpus. Raise n_cells (smaller cells = "
+            f"fewer pairs and a finer dedup radius) or raise the budget "
+            f"explicitly."
+        )
+
+    members = assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("centroid_cos"),
+    )
+    a = members.select(
+        F.col("vec_id").alias("vec_a"), "cell_id", F.col("centroid_cos").alias("_ca")
+    )
+    b = members.select(
+        F.col("vec_id").alias("vec_b"), "cell_id", F.col("centroid_cos").alias("_cb")
+    )
+    preferred = (F.col("_ca") < F.col("_cb")) | (
+        (F.col("_ca") == F.col("_cb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    cands = a.join(b, "cell_id").filter(preferred).select("vec_a", "vec_b")
+    removed = (
+        verify_cosine_pairs(embeddings, cands, tau)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return members.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        "centroid_cos",
+        F.coalesce(F.col("_removed"), F.lit(False)).alias("removed"),
+    )

@@ -974,6 +974,57 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=3)
 
 
+_SEMDEDUP_ORACLE = f"""WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_D2.format(a='e.embedding', b='c.c_emb')} ASC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT a.vec_id, a.cell_id, a.embedding,
+         ROUND({_cos('a.embedding', 'c.c_emb')}, 6) AS centroid_cos
+  FROM assigned a JOIN cents c USING (cell_id)
+),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM members a JOIN members b
+    ON a.cell_id = b.cell_id
+   AND (a.centroid_cos < b.centroid_cos
+        OR (a.centroid_cos = b.centroid_cos AND a.vec_id < b.vec_id))
+  WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= {COSINE_TAU}
+)
+SELECT m.vec_id, m.cell_id, m.centroid_cos,
+       (r.vec_id IS NOT NULL) AS removed
+FROM members m LEFT JOIN removed r ON m.vec_id = r.vec_id"""
+
+
+@register(
+    "embedding_semdedup",
+    _SEMDEDUP_ORACLE,
+    survey_ids="LLM: cell-bounded semantic dedup (SemDeDup)",
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-quantize the corpus with
+    the IVF cell machinery, then near-dup ONLY within each cell —
+    keepers are the members FARTHEST from their centroid (retained
+    diversity), removal is the preference-ordered EXISTS so the oracle
+    needs no transitive closure.  Pair space is sum-of-cell-C(c,2),
+    priced against the family budget before any quadratic work (the
+    self-pricing-gate contract of the other dedup channels); the scale
+    knob is n_cells.  Fixed quantizer here so DuckDB reproduces the
+    assignment row-for-row; production swaps in kmeans_centroids —
+    same shape, same plan."""
+    return sim.semdedup(_emb(spark, sf_dir), COSINE_TAU)
+
+
+
+
 # ------------------------------------------------------- decontamination
 
 #: Benchmark-holdout sources for the decontamination query: a fixed 25%
