@@ -116,6 +116,27 @@ def test_gate_prices_before_quadratic_work(spark, two_cells):
     assert sink["est_pairs"] == 3 and sink["budget"] > 0
 
 
+def test_auto_cell_count_scales_with_corpus(spark):
+    """n_cells=None sizes the quantizer to max(16, n // 64): expected
+    occupancy — and the within-cell pair space per vector — is constant
+    in n, the property that keeps the operator linear at 100 TB."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    emb = _df(
+        spark, [(i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(2048)]
+    )
+    sink: dict = {}
+    out = sim.semdedup(emb, 0.99, path_sink=sink)
+    assert sink["n_cells"] == 32  # 2048 // 64
+    assert out.count() == 2048
+    # small corpora never drop below the 16-cell floor
+    small = _df(spark, [(i, [float(i), 1.0]) for i in range(40)])
+    sink2: dict = {}
+    sim.semdedup(small, 0.99, path_sink=sink2).count()
+    assert sink2["n_cells"] == 16
+
+
 def test_fixed_quantizer_matches_catalog_row_shape(spark):
     """Default (no centroids) path: first-n_cells fixed quantizer, the
     oracle-checked variant the catalog row runs — schema and row count

@@ -234,19 +234,43 @@ def ivf_assign(
     (:func:`_fixed_centroids`); pass :func:`kmeans_centroids` output for
     the trained index.  Assignment is one broadcast nested-loop over
     n x k rows (k tiny), argmin by (distance, centroid id).
-    """
-    from pyspark.sql import Window as W
 
+    The argmin is ``min(struct(d2, cell_id))`` — lexicographic struct
+    ordering IS (distance asc, centroid id asc), the same
+    tie-deterministic rule a row_number window would give, but with
+    map-side partial aggregation: only the NARROW (vec_id, d2, cell_id)
+    triple crosses the n x k expansion, never the embedding payload
+    (with auto-sized k ~ n/64 the payload-through-window shape shuffles
+    ~k copies of the corpus; the narrow agg collapses per-vector before
+    the exchange).  The embedding rejoins by vec_id afterwards — one
+    n-row equi-join instead of an n x k wide shuffle.
+    """
     cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
-    scored = embeddings.join(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cell_id", _dist2(F.col("embedding"), F.col("c_emb")).alias("d2")
+    # the expansion multiplies ROWS x k but inherits the input's
+    # PARTITION count — a small-file corpus (the sf fixtures arrive as
+    # 1-2 parquet splits) would run the k-per-row distance folds nearly
+    # serially.  Fan out to the cluster width first when the source is
+    # narrower than it; a corpus that already has >= cores partitions
+    # (any real 100 TB table) is left untouched, so no corpus-sized
+    # shuffle is ever added at scale.
+    src = embeddings.select("vec_id", "embedding")
+    width = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < width:
+        src = src.repartition(width)
+    best = (
+        src.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                _dist2(F.col("embedding"), F.col("c_emb")).alias("d2"),
+                F.col("cell_id").alias("cell_id"),
+            ).alias("_dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("_dc").alias("_m"))
+        .select("vec_id", F.col("_m.cell_id").alias("cell_id"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
+    return embeddings.join(best, "vec_id").select("vec_id", "embedding", "cell_id")
 
 
 def ivf_topk(
@@ -601,7 +625,7 @@ def ivf_index_topk(
 def semdedup(
     embeddings: DataFrame,
     tau: float,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     centroids: DataFrame | None = None,
     pair_budget_per_vec: int = _PAIR_BUDGET_PER_VEC,
     budget_floor: int = _PAIR_BUDGET_FLOOR,
@@ -615,6 +639,12 @@ def semdedup(
 
     Semantics (deterministic, engine-portable):
 
+    - ``n_cells=None`` (default) AUTO-SIZES the cell count to
+      ``max(16, n // 64)`` — expected cell occupancy stays ~64 however
+      large the corpus, so the within-cell pair space stays LINEAR in n
+      (the paper's own scaling story: 50k clusters for LAION).  The
+      DuckDB oracle derives the same k from ``count(*)``, so the
+      auto-sized operator stays exact-checkable at every scale;
     - assignment = nearest centroid by squared L2, ties to the lower
       ``cell_id`` (:func:`ivf_assign` — the same coarse quantizer the
       IVF index uses; ``centroids=None`` is the fixed oracle-checked
@@ -647,6 +677,10 @@ def semdedup(
     """
     from tg_reporting_etl_spark.functions.persist import tracked_persist
 
+    if n_cells is None and centroids is None:
+        # auto-size BEFORE any quadratic shape exists: one metadata-cheap
+        # count, then k grows linearly with the corpus (occupancy ~64)
+        n_cells = max(16, embeddings.count() // 64)
     cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
     assigned = tracked_persist(ivf_assign(embeddings, n_cells, cents))
 
@@ -665,30 +699,52 @@ def semdedup(
             f"explicitly."
         )
 
+    # centroid_cos stays a JVM-side fold (same sequential double math as
+    # the DuckDB oracle — bit-identical at the 6dp round); the pandas
+    # stage below consumes it for the preference order and returns it
+    # unchanged, so the only numpy float path is the pairwise cosine
+    # matrix, whose 6dp GEMM-vs-fold agreement the blocked-GEMM row
+    # already pins oracle-exact
     members = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id",
         "cell_id",
+        "embedding",
         F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("centroid_cos"),
     )
-    a = members.select(
-        F.col("vec_id").alias("vec_a"), "cell_id", F.col("centroid_cos").alias("_ca")
-    )
-    b = members.select(
-        F.col("vec_id").alias("vec_b"), "cell_id", F.col("centroid_cos").alias("_cb")
-    )
-    preferred = (F.col("_ca") < F.col("_cb")) | (
-        (F.col("_ca") == F.col("_cb")) & (F.col("vec_a") < F.col("vec_b"))
-    )
-    cands = a.join(b, "cell_id").filter(preferred).select("vec_a", "vec_b")
-    removed = (
-        verify_cosine_pairs(embeddings, cands, tau)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_removed", F.lit(True))
-    )
-    return members.join(removed, "vec_id", "left").select(
-        "vec_id",
-        "cell_id",
-        "centroid_cos",
-        F.coalesce(F.col("_removed"), F.lit(False)).alias("removed"),
+
+    def _cell_dedup(pdf):
+        import numpy as np
+
+        E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        defined = (norms > 0.0).ravel()  # degenerate vectors: NULL cosine
+        U = E / np.maximum(norms, 1e-300)
+        C = np.round(U @ U.T, 6)
+        ccos = pdf["centroid_cos"].to_numpy(dtype="float64")  # NaN when NULL
+        ids = pdf["vec_id"].to_numpy()
+        # preference matrix P[i, j]: i preferred over j — strictly lower
+        # rounded centroid cosine, then lower vec_id; any comparison
+        # against a NULL centroid cosine is NULL -> no preference
+        cdef = defined & ~np.isnan(ccos)
+        both = np.outer(cdef, cdef)
+        P = both & (
+            (ccos[:, None] < ccos[None, :])
+            | ((ccos[:, None] == ccos[None, :]) & (ids[:, None] < ids[None, :]))
+        )
+        removed = (P & (C >= tau)).any(axis=0)
+        out = pdf.assign(removed=removed)[["vec_id", "cell_id", "centroid_cos", "removed"]]
+        # NULL centroid_cos crossed Arrow as NaN; send it back as NULL
+        # (the family's degenerate-vector contract), never NaN
+        if np.isnan(ccos).any():
+            out = out.assign(
+                centroid_cos=[None if np.isnan(c) else float(c) for c in ccos]
+            )
+        return out
+
+    # ONE shuffle on cell_id; each cell is a bounded GEMM (the gate above
+    # refused any corpus whose cells grew quadratic-large), so the whole
+    # dedup is a single applyInPandas pass — the paper's implementation
+    # shape, with no materialized pair table
+    return members.groupBy("cell_id").applyInPandas(
+        _cell_dedup, "vec_id long, cell_id long, centroid_cos double, removed boolean"
     )

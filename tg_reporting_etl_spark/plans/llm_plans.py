@@ -974,8 +974,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), F.col("vec_id") < 10, k=3)
 
 
-_SEMDEDUP_ORACLE = f"""WITH cents AS (
-  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16
+_SEMDEDUP_ORACLE = f"""WITH params AS (
+  SELECT GREATEST(16, count(*) // 64) AS k FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < (SELECT k FROM params)
 ),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
@@ -1016,10 +1020,12 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity), removal is the preference-ordered EXISTS so the oracle
     needs no transitive closure.  Pair space is sum-of-cell-C(c,2),
     priced against the family budget before any quadratic work (the
-    self-pricing-gate contract of the other dedup channels); the scale
-    knob is n_cells.  Fixed quantizer here so DuckDB reproduces the
-    assignment row-for-row; production swaps in kmeans_centroids —
-    same shape, same plan."""
+    self-pricing-gate contract of the other dedup channels); n_cells
+    AUTO-SIZES to max(16, n // 64) so expected occupancy — and with it
+    the pair space per vector — stays constant at any corpus size, and
+    the oracle derives the same k from count(*).  Fixed quantizer here
+    so DuckDB reproduces the assignment row-for-row; production swaps
+    in kmeans_centroids — same shape, same plan."""
     return sim.semdedup(_emb(spark, sf_dir), COSINE_TAU)
 
 

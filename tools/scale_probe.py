@@ -114,6 +114,13 @@ PROBE_QUERIES = [
     # components face 2k replica-cliques of 10 (90k+ edges)
     "doc_novelty",
     "embedding_dup_components",
+    # round-18: cell-bounded semantic dedup at 10x vectors — the
+    # auto-sized quantizer (max(16, n // 64) -> 312 cells here) keeps
+    # within-cell pair space linear while the 2k replica-cliques of 10
+    # land whole inside single cells (the worst case for cell-local
+    # pair counts); the dynamic-k DuckDB oracle reproduces the
+    # assignment, preference order, and removal set row-for-row
+    "embedding_semdedup",
     # round-13: the streaming session_window sim at 10x events (~1M
     # rows/wave through the state machine, sessions straddling the
     # wave boundary) — the catalog's only streaming row with per-key
