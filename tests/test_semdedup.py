@@ -116,6 +116,30 @@ def test_gate_prices_before_quadratic_work(spark, two_cells):
     assert sink["est_pairs"] == 3 and sink["budget"] > 0
 
 
+def test_semdedup_composes_with_trained_quantizer(spark):
+    """Production path: kmeans_centroids output drops straight in as
+    ``centroids`` — on clustered data every near-dup clique lands whole
+    inside one trained cell, so exactly one member per clique survives
+    (its farthest-from-centroid representative)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (8, 8))
+    # 8 tight cliques of 20: perturbation sigma 0.02 vs center spread
+    # sigma 10 puts intra-clique cosine ~0.999998, cross-clique far below
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.normal(0, 0.02, 8)])
+        for i in range(160)
+    ]
+    emb = _df(spark, rows)
+    cents = sim.kmeans_centroids(emb, n_cells=8, seed=7)
+    out = sim.semdedup(emb, 0.999, centroids=cents)
+    kept = out.filter(~F.col("removed")).count()
+    # 8 tight cliques of 20 near-identical members -> 8 survivors
+    assert kept == 8
+    assert out.count() == 160
+
+
 def test_auto_cell_count_scales_with_corpus(spark):
     """n_cells=None sizes the quantizer to max(16, n // 64): expected
     occupancy — and the within-cell pair space per vector — is constant
