@@ -217,6 +217,9 @@ _BNLJ_ALLOWED = {
     "doc_unigram_logprob",
     # skew profile cross-joins the ONE-ROW (total, n_keys) aggregate
     "events_key_skew_profile",
+    # semdedup's cell assignment is the IVF path's deliberate n x k
+    # centroid cross join (narrow projection, map-side argmin combine)
+    "embedding_semdedup",
 }
 
 import pytest as _pytest
