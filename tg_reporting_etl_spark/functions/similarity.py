@@ -667,8 +667,9 @@ def semdedup(
     ``cell_id`` (one shuffle of n rows each side); the exact cosines run
     over the BOUNDED within-cell pair set via the Arrow verify path
     (:func:`verify_cosine_pairs`).  Before any quadratic work starts,
-    the within-cell pair count ``sum_c c·(c-1)/2`` — a k-row aggregate,
-    k = n_cells — is priced against the family's scale-linear budget
+    the within-cell pair count ``sum_c c·(c-1)/2`` — one scalar
+    aggregate row, however many cells — is priced against the family's
+    scale-linear budget
     (``max(n · pair_budget_per_vec, budget_floor)``), and a breach
     raises with the remedy named (raise ``n_cells``: more cells = both
     smaller pairs AND a finer dedup radius, the paper's own scaling
@@ -684,9 +685,22 @@ def semdedup(
     cents = _fixed_centroids(embeddings, n_cells) if centroids is None else centroids
     assigned = tracked_persist(ivf_assign(embeddings, n_cells, cents))
 
-    sizes = assigned.groupBy("cell_id").count().collect()  # bounded: <= n_cells rows
-    n = sum(int(r["count"]) for r in sizes)
-    est = sum(int(r["count"]) * (int(r["count"]) - 1) // 2 for r in sizes)
+    # price the within-cell pair space as a SCALAR aggregate — with the
+    # auto-sized quantizer k grows ~n/64, so a per-cell collect would
+    # itself scale with the corpus; the two sums reduce to one row
+    # however many cells exist (same `c * (c - 1) div 2` slot algebra
+    # as the banded gate's pricing)
+    stats = (
+        assigned.groupBy("cell_id")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.expr("c * (c - 1) div 2")).alias("est"),
+        )
+        .first()
+    )
+    n = int(stats["n"] or 0)
+    est = int(stats["est"] or 0)
     budget = max(n * pair_budget_per_vec, budget_floor)
     if path_sink is not None:
         path_sink.update(n_vecs=n, est_pairs=est, budget=budget, n_cells=n_cells)
