@@ -96,21 +96,26 @@ def q_streaming_exact_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame
     src = f"{tmp}/src"
     sink = "streaming_exact_dedup_index_sink"
     try:
-        base.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "doc_id long, text string, ingest_time timestamp"
-        ).parquet(src)
-        q = start_memory_sink(streaming_exact_dedup(stream), sink, mode="append")
-        try:
-            q.processAllAvailable()
-            # second wave lands while the query runs: %3==1 docs replay
-            # (cross-batch duplicates -> dropped by state), %3==2 are new
-            base.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
-            q.processAllAvailable()
-            pdf = spark.sql(f"SELECT digest FROM {sink}").toPandas()
-        finally:
-            q.stop()
-            spark.catalog.dropTempView(sink)
+        # r18: state scope (4 partitions) — dropDuplicatesWithinWatermark
+        # keys per-partition state stores; at the fixture's batch sizes
+        # the per-trigger cost is state commits x partitions, not data
+        # (same rationale/measurement as the r13 rows already scoped)
+        with _stream_state_scope(spark):
+            base.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ingest_time timestamp"
+            ).parquet(src)
+            q = start_memory_sink(streaming_exact_dedup(stream), sink, mode="append")
+            try:
+                q.processAllAvailable()
+                # second wave lands while the query runs: %3==1 docs replay
+                # (cross-batch duplicates -> dropped by state), %3==2 are new
+                base.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = spark.sql(f"SELECT digest FROM {sink}").toPandas()
+            finally:
+                q.stop()
+                spark.catalog.dropTempView(sink)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
@@ -181,27 +186,32 @@ def q_streaming_trans_summary_5min(spark: SparkSession, sf_dir: str) -> DataFram
     src = f"{tmp}/src"
     sink = "streaming_trans_summary_5min_sink"
     try:
-        lo = F.lit(EVENTS_GTE).cast("timestamp")
-        for hi_s in [*waves, EVENTS_LT]:
-            hi = F.lit(hi_s).cast("timestamp")
-            pvl.filter((F.col("trade_time") >= lo) & (F.col("trade_time") < hi)).write.mode(
-                "append"
-            ).parquet(src)
-            lo = hi
-        stream = spark.readStream.schema(
-            spark.read.parquet(src).schema
-        ).option("maxFilesPerTrigger", "8").parquet(src)
-        q = start_memory_sink(streaming_trans_summary_5min(stream), sink, mode="complete")
-        try:
-            q.processAllAvailable()
-            pdf = (
-                round_doubles(
-                    spark.table(sink).drop("end_time")
-                ).toPandas()
-            )
-        finally:
-            q.stop()
-            spark.catalog.dropTempView(sink)
+        # r18: state scope (4 partitions) — complete-mode state re-emits
+        # every window per trigger; at the fixture's scale the cost is
+        # state-store commits x partitions x triggers, not rows (same
+        # rationale/measurement as the r13 rows already scoped)
+        with _stream_state_scope(spark):
+            lo = F.lit(EVENTS_GTE).cast("timestamp")
+            for hi_s in [*waves, EVENTS_LT]:
+                hi = F.lit(hi_s).cast("timestamp")
+                pvl.filter((F.col("trade_time") >= lo) & (F.col("trade_time") < hi)).write.mode(
+                    "append"
+                ).parquet(src)
+                lo = hi
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).option("maxFilesPerTrigger", "8").parquet(src)
+            q = start_memory_sink(streaming_trans_summary_5min(stream), sink, mode="complete")
+            try:
+                q.processAllAvailable()
+                pdf = (
+                    round_doubles(
+                        spark.table(sink).drop("end_time")
+                    ).toPandas()
+                )
+            finally:
+                q.stop()
+                spark.catalog.dropTempView(sink)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
@@ -507,18 +517,22 @@ def q_streaming_continuous_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from tg_reporting_etl_spark.streaming.pipeline import start_continuous_topk_sink
 
-        emb.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "vec_id long, embedding array<float>"
-        ).parquet(src)
-        q = start_continuous_topk_sink(stream, queries, f"{tmp}/index", f"{tmp}/ckpt", k=5)
-        try:
-            q.processAllAvailable()
-            emb.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
-            q.processAllAvailable()
-            pdf = spark.read.parquet(f"{tmp}/index/topk").toPandas()
-        finally:
-            q.stop()
+        # r18: state scope (4 partitions) — the foreachBatch body's only
+        # wide op is a |queries| x k window re-rank; 32-way exchanges on
+        # a few-hundred-row frame spend more on task launches than bytes
+        with _stream_state_scope(spark):
+            emb.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(src)
+            q = start_continuous_topk_sink(stream, queries, f"{tmp}/index", f"{tmp}/ckpt", k=5)
+            try:
+                q.processAllAvailable()
+                emb.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = spark.read.parquet(f"{tmp}/index/topk").toPandas()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # pandas -> Arrow LocalRelation (a row list would parallelize to 32 tasks)
@@ -590,37 +604,46 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{tmp}/src"
     sink = "streaming_asof_enrich_sink"
     try:
-        unified.filter(F.col("ts") < split).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "key long, ts timestamp, side string, rid long, val double"
-        ).parquet(src)
-        # retention far above the fixture's one-month span: no pruning,
-        # so the emit-once answer equals the unlimited-lookback closed form
-        out = streaming_asof_enrich(stream, retention_seconds=10 * 366 * 86400)
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            unified.filter(F.col("ts") >= split).write.mode("append").parquet(src)
-            q.processAllAvailable()
-            pdf = (
-                spark.table(sink)
-                .select(
-                    F.col("rid").alias("event_id"),
-                    F.col("key").alias("user_id"),
-                    "ts",
-                    F.col("r_ts").alias("click_ts"),
-                    F.col("r_val").cast("long").alias("click_event_id"),
-                )
-                .toPandas()
+        # r18: state scope at min(16, session width) — applyInPandasWithState
+        # is the one streaming row whose per-trigger cost is PYTHON compute
+        # (the as-of function runs per key group), so unlike the 4-way
+        # scoped rows it still wants worker parallelism: A/B at sf0.1
+        # measured 4p 7.4s / 16p 5.8s / 32p 5.9s (state-commit floor vs
+        # Python parallelism trade).  The min() keeps a lower-core driver
+        # run from being pinned wider than its session.
+        asof_parts = min(16, int(spark.conf.get("spark.sql.shuffle.partitions", "16")))
+        with _stream_state_scope(spark, asof_parts):
+            unified.filter(F.col("ts") < split).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "key long, ts timestamp, side string, rid long, val double"
+            ).parquet(src)
+            # retention far above the fixture's one-month span: no pruning,
+            # so the emit-once answer equals the unlimited-lookback closed form
+            out = streaming_asof_enrich(stream, retention_seconds=10 * 366 * 86400)
+            q = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
             )
-        finally:
-            q.stop()
-            spark.catalog.dropTempView(sink)
+            try:
+                q.processAllAvailable()
+                unified.filter(F.col("ts") >= split).write.mode("append").parquet(src)
+                q.processAllAvailable()
+                pdf = (
+                    spark.table(sink)
+                    .select(
+                        F.col("rid").alias("event_id"),
+                        F.col("key").alias("user_id"),
+                        "ts",
+                        F.col("r_ts").alias("click_ts"),
+                        F.col("r_val").cast("long").alias("click_event_id"),
+                    )
+                    .toPandas()
+                )
+            finally:
+                q.stop()
+                spark.catalog.dropTempView(sink)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # click_event_id is NULLABLE (a purchase with no prior click): on a
