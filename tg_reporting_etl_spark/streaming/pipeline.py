@@ -144,7 +144,10 @@ def start_partitioned_sink(
     part_cols = partition_cols or ["summary_date", "hours", "mins"]
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        from tg_reporting_etl_spark.sources.writers import merge_into
+        from tg_reporting_etl_spark.sources.writers import (
+            _release_local_checkpoint,
+            merge_into,
+        )
 
         out = (
             batch.withColumn(
@@ -154,13 +157,31 @@ def start_partitioned_sink(
             .withColumn("hours", F.hour("start_time"))
             .withColumn("mins", F.minute("start_time"))
         )
-        merge_into(
-            batch.sparkSession,
-            path,
-            out,
-            keys=keys,
-            partition_cols=part_cols,
-        )
+        # Pin the micro-batch output ONCE: merge_into references the
+        # batch three times (touched-partition set, anti-join key set,
+        # union branch), and in foreachBatch each reference re-executes
+        # the whole stateful micro-batch plan (source scan + shuffle +
+        # state-store pass).  One eager localCheckpoint makes the
+        # changed-window set — small by update-mode construction — a
+        # block-backed leaf instead.
+        out = out.localCheckpoint(eager=True)
+        try:
+            # Watermark-advance triggers hand update-mode foreachBatch an
+            # EMPTY batch; merging it is a no-op by construction (no
+            # touched partitions, nothing anti-joined or unioned), so
+            # skip the whole target-read + anti-join + write cycle.  The
+            # emptiness probe is one tiny job over the already-pinned
+            # blocks, not a plan re-execution.
+            if out.take(1):
+                merge_into(
+                    batch.sparkSession,
+                    path,
+                    out,
+                    keys=keys,
+                    partition_cols=part_cols,
+                )
+        finally:
+            _release_local_checkpoint(out)
 
     return (
         agg.writeStream.outputMode("update")
