@@ -50,6 +50,36 @@ def _stream_state_scope(spark, parts: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _stage_waves(df, wave_col, staging: str, src: str, drop=()):
+    """One-pass wave staging for a micro-batch arrival simulation.
+
+    The wave sims fed their file source with one ``df.filter(wave_k)
+    .write`` per wave — N full scans of the source for N waves (the
+    trans update row: 6.7 s of a ~20 s cold run in wave writes alone).
+    Arrival order is about WHEN files land in the source dir, not when
+    their bytes were computed, so stage every wave in ONE scan
+    (``partitionBy`` on the wave id — no shuffle, same bytes, one job)
+    and release wave k between triggers with O(files) same-filesystem
+    renames (~1 ms).  Returns ``release(k)``; a wave with no rows
+    stages no dir and releases as a no-op, exactly like the empty
+    filtered write it replaces.
+    """
+    import glob
+    import os
+
+    staged = df.withColumn("_wave", wave_col)
+    if drop:
+        staged = staged.drop(*drop)  # wave-prep-only columns (after wave_col is bound)
+    staged.write.partitionBy("_wave").parquet(staging)
+    os.makedirs(src, exist_ok=True)
+
+    def release(k: int) -> None:
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/_wave={int(k)}/*.parquet"))):
+            os.rename(f, f"{src}/w{int(k)}_{i}_{os.path.basename(f)}")
+
+    return release
+
+
 # The stream's emitted rows are exactly one per distinct digest seen
 # (first-seen wins; later copies dropped by cross-batch state), so the
 # order-insensitive projection equals DISTINCT over the whole corpus.
@@ -307,18 +337,21 @@ def q_streaming_trans_summary_update(spark: SparkSession, sf_dir: str) -> DataFr
         & (F.col("trade_time") < t("2024-01-20 00:00:00"))
         & (F.col("trade_type") == "OUT")
     )
-    in_range = lambda lo, hi: (F.col("trade_time") >= t(lo)) & (F.col("trade_time") < t(hi))  # noqa: E731
-    waves = [
-        pvl.filter(in_range(EVENTS_GTE, "2024-01-11 00:00:00")),
-        pvl.filter(in_range("2024-01-11 00:00:00", "2024-01-21 00:00:00") & ~straggler),
-        pvl.filter(straggler),  # LATE: watermark is ~Jan 17 when this lands
-        pvl.filter(in_range("2024-01-21 00:00:00", EVENTS_LT)),
-    ]
+    # wave id as ONE when-chain (straggler ⊂ [Jan 19, 20) ⊂ wave 1's
+    # range, so it must be peeled off first) — identical row partition
+    # to the four filters it replaces, computed in a single scan
+    wave_id = (
+        F.when(straggler, 2)  # LATE: watermark is ~Jan 17 when this lands
+        .when(F.col("trade_time") < t("2024-01-11 00:00:00"), 0)
+        .when(F.col("trade_time") < t("2024-01-21 00:00:00"), 1)
+        .otherwise(3)
+    )
     tmp = tempfile.mkdtemp(prefix="stream_t5u_")
     src, table, ckpt = f"{tmp}/src", f"{tmp}/table", f"{tmp}/ckpt"
     try:
+        release = _stage_waves(pvl, wave_id, f"{tmp}/staging", src)
         with _stream_state_scope(spark):
-            waves[0].write.mode("append").parquet(src)
+            release(0)
             stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
             agg = streaming_trans_summary_5min(stream, watermark="3 days")
             # day-grain directories: each wave's merge rewrites O(days
@@ -330,8 +363,8 @@ def q_streaming_trans_summary_update(spark: SparkSession, sf_dir: str) -> DataFr
             )
             try:
                 q.processAllAvailable()
-                for w in waves[1:]:
-                    w.write.mode("append").parquet(src)
+                for k in (1, 2, 3):
+                    release(k)
                     q.processAllAvailable()
             finally:
                 q.stop()
@@ -1080,13 +1113,15 @@ def q_streaming_player_summary_update(spark: SparkSession, sf_dir: str) -> DataF
     straggler = in_range("1996-06-17 00:00:00", "1996-06-18 00:00:00") | (
         in_range("1996-06-15 00:00:00", "1996-06-19 00:00:00") & (F.col("_rn") >= 2)
     )
-    waves = [
-        ppl.filter(in_range(_P5U_GTE, "1996-06-11 00:00:00")),
-        ppl.filter(in_range("1996-06-11 00:00:00", "1996-06-19 00:00:00") & ~straggler),
-        ppl.filter(straggler),  # LATE: watermark is Jun 15 when this lands
-        ppl.filter(in_range("1996-06-19 00:00:00", _P5U_LT)),
-    ]
-    waves = [w.drop("_rn") for w in waves]
+    # wave id as ONE when-chain (straggler ⊂ [Jun 15, 19) ⊂ wave 1's
+    # range, so it is peeled off first) — identical row partition to
+    # the four filters it replaces, computed in a single scan
+    wave_id = (
+        F.when(straggler, 2)  # LATE: watermark is Jun 15 when this lands
+        .when(F.col("round_time") < t("1996-06-11 00:00:00"), 0)
+        .when(F.col("round_time") < t("1996-06-19 00:00:00"), 1)
+        .otherwise(3)
+    )
     tmp = tempfile.mkdtemp(prefix="stream_p5u_")
     src, table, ckpt = f"{tmp}/src", f"{tmp}/table", f"{tmp}/ckpt"
     # SPARK_GRAFT_STREAM_RESTART=1 (r16 verdict task 5, set by
@@ -1097,8 +1132,11 @@ def q_streaming_player_summary_update(spark: SparkSession, sf_dir: str) -> DataF
     # scale with the same oracle, not just on synthetic-fixture pytests.
     restart_before_late = os.environ.get("SPARK_GRAFT_STREAM_RESTART") == "1"
     try:
+        # staging is batch-side prep (the _rn wave-prep window runs at
+        # data width), so it stays OUTSIDE the 4-partition state scope
+        release = _stage_waves(ppl, wave_id, f"{tmp}/staging", src, drop=("_rn",))
         with _stream_state_scope(spark):
-            waves[0].write.mode("append").parquet(src)
+            release(0)
             src_schema = spark.read.parquet(src).schema
 
             def _start():
@@ -1113,11 +1151,11 @@ def q_streaming_player_summary_update(spark: SparkSession, sf_dir: str) -> DataF
             q = _start()
             try:
                 q.processAllAvailable()
-                for i, w in enumerate(waves[1:], start=1):
+                for i in (1, 2, 3):
                     if restart_before_late and i == 2:
                         q.stop()  # KILL while straggler state lives only in ckpt
                         q = _start()  # NEW query, SAME checkpoint
-                    w.write.mode("append").parquet(src)
+                    release(i)
                     q.processAllAvailable()
             finally:
                 q.stop()

@@ -241,19 +241,54 @@ def _merge_parquet(
         writer.parquet(target_path)
         return
 
-    if partition_cols:
-        # restrict the merge to touched partitions (broadcast semi join
-        # on the partition tuple -> partition pruning on the scan)
-        touched = batch.select(*partition_cols).distinct()
-        target = target.join(F.broadcast(touched), partition_cols, "left_semi")
-    kept = target.join(batch.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.select(*batch.columns).unionByName(batch)
+    # Pin the batch ONCE before building the merged plan: it appears
+    # two-to-three times in that DAG (touched-partition set, anti-join
+    # key set, union branch), and each reference re-executes the
+    # caller's batch plan — a stateful micro-batch pipeline in
+    # foreachBatch callers, a multi-day chain in the rtp state saves.
+    # Callers that already hand over a block-backed leaf (the streaming
+    # sinks localCheckpoint for their own emptiness guard) are detected
+    # and not copied again.
+    batch, pinned = _pin_once(batch)
+    try:
+        if partition_cols:
+            # restrict the merge to touched partitions (broadcast semi
+            # join on the partition tuple -> partition pruning on the
+            # scan)
+            touched = batch.select(*partition_cols).distinct()
+            target = target.join(F.broadcast(touched), partition_cols, "left_semi")
+        kept = target.join(batch.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.select(*batch.columns).unionByName(batch)
 
-    if not partition_cols:
-        # temp-dir + rename swap: merged reads the live target, writes
-        # elsewhere — no lineage hazard, no checkpoint
-        _swap_write(spark, target_path, tmp_path, merged)
-        return
+        if not partition_cols:
+            # temp-dir + rename swap: merged reads the live target,
+            # writes elsewhere — no lineage hazard, no checkpoint
+            _swap_write(spark, target_path, tmp_path, merged)
+            return
+        _merge_write_partitioned(spark, target_path, merged, partition_cols)
+    finally:
+        if pinned:
+            _release_local_checkpoint(batch)
+
+
+def _pin_once(df: DataFrame):
+    """``localCheckpoint(eager=True)`` unless the plan already IS a
+    block-backed leaf (LogicalRDD — e.g. a frame the caller pinned);
+    returns ``(frame, we_pinned_it)``.  Detection is best-effort: on
+    any internal-API mismatch the frame is pinned normally."""
+    try:
+        leaf = (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        leaf = False
+    if leaf:
+        return df, False
+    return df.localCheckpoint(eager=True), True
+
+
+def _merge_write_partitioned(spark, target_path: str, merged: DataFrame, partition_cols) -> None:
 
     # Partition-level swap: write the merged rows — which READ the live
     # target files — to a durable sibling temp dir, then swap each

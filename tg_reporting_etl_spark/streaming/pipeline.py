@@ -751,14 +751,23 @@ def cms_ingest_epoch(
     (:func:`cms_counters`); a compaction job may fold closed epochs
     into one row set at any time without changing that view."""
     from tg_reporting_etl_spark.functions.sketch import cms_build
-    from tg_reporting_etl_spark.sources.writers import merge_into
+    from tg_reporting_etl_spark.sources.writers import (
+        _release_local_checkpoint,
+        merge_into,
+    )
 
     delta = cms_build(batch.select(key_col), key_col, width, depth).withColumn(
         "epoch_id", F.lit(int(epoch_id)).cast("long")
     )
-    if not delta.take(1):
-        return
-    merge_into(spark, deltas_path, delta, keys=["epoch_id", "d", "idx"])
+    # Pin the D x W delta (<= depth*width rows) once: the emptiness
+    # guard and the merge's two batch references would otherwise each
+    # re-run the stateful micro-batch plan behind `batch`.
+    delta = delta.localCheckpoint(eager=True)
+    try:
+        if delta.take(1):
+            merge_into(spark, deltas_path, delta, keys=["epoch_id", "d", "idx"])
+    finally:
+        _release_local_checkpoint(delta)
 
 
 def cms_counters(spark, deltas_path: str) -> DataFrame:
