@@ -60,22 +60,44 @@ def _stage_waves(df, wave_col, staging: str, src: str, drop=()):
     their bytes were computed, so stage every wave in ONE scan
     (``partitionBy`` on the wave id — no shuffle, same bytes, one job)
     and release wave k between triggers with O(files) same-filesystem
-    renames (~1 ms).  Returns ``release(k)``; a wave with no rows
+    hard links (~1 ms).  Returns ``release(k)``; a wave with no rows
     stages no dir and releases as a no-op, exactly like the empty
     filtered write it replaces.
+
+    ``release`` generalizes to the OVERLAPPING-wave sims (r18): ``k``
+    may be a tuple of staged group ids, so a corpus staged by
+    ``doc_id % 3`` can release groups ``(0, 1)`` then ``(1, 2)`` — the
+    shared group's files are hard-linked TWICE under distinct names,
+    which is exactly the re-delivery the old second filtered write
+    produced (the file source identifies files by path).  Links, not
+    renames, so a group can be released more than once; each release
+    also stamps its links with a strictly increasing mtime so the file
+    source's timestamp order equals release order, exactly as the old
+    sequential per-wave writes guaranteed (ties in one staged write's
+    mtimes would otherwise leave cross-wave file order to the
+    directory listing).
     """
     import glob
     import os
+    import time
 
     staged = df.withColumn("_wave", wave_col)
     if drop:
         staged = staged.drop(*drop)  # wave-prep-only columns (after wave_col is bound)
     staged.write.partitionBy("_wave").parquet(staging)
     os.makedirs(src, exist_ok=True)
+    t0 = time.time()
+    seq = [0]
 
-    def release(k: int) -> None:
-        for i, f in enumerate(sorted(glob.glob(f"{staging}/_wave={int(k)}/*.parquet"))):
-            os.rename(f, f"{src}/w{int(k)}_{i}_{os.path.basename(f)}")
+    def release(k) -> None:
+        seq[0] += 1
+        stamp = t0 + seq[0]  # strictly increasing, 1 s apart: release order == mtime order
+        groups = k if isinstance(k, (tuple, list)) else (k,)
+        for g in groups:
+            for i, f in enumerate(sorted(glob.glob(f"{staging}/_wave={int(g)}/*.parquet"))):
+                dst = f"{src}/w{seq[0]}_{int(g)}_{i}_{os.path.basename(f)}"
+                os.link(f, dst)
+                os.utime(dst, (stamp, stamp))
 
     return release
 
@@ -131,7 +153,11 @@ def q_streaming_exact_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame
         # the per-trigger cost is state commits x partitions, not data
         # (same rationale/measurement as the r13 rows already scoped)
         with _stream_state_scope(spark):
-            base.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
+            # r18: one scan stages the corpus by doc_id%3; the overlapping
+            # waves {0,1} then {1,2} are hard-link releases (group 1 linked
+            # twice = the re-delivery the second filtered write produced)
+            release = _stage_waves(base, F.col("doc_id") % 3, f"{tmp}/staging", src)
+            release((0, 1))
             stream = spark.readStream.schema(
                 "doc_id long, text string, ingest_time timestamp"
             ).parquet(src)
@@ -140,7 +166,7 @@ def q_streaming_exact_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame
                 q.processAllAvailable()
                 # second wave lands while the query runs: %3==1 docs replay
                 # (cross-batch duplicates -> dropped by state), %3==2 are new
-                base.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
+                release((1, 2))
                 q.processAllAvailable()
                 pdf = spark.sql(f"SELECT digest FROM {sink}").toPandas()
             finally:
@@ -221,13 +247,18 @@ def q_streaming_trans_summary_5min(spark: SparkSession, sf_dir: str) -> DataFram
         # state-store commits x partitions x triggers, not rows (same
         # rationale/measurement as the r13 rows already scoped)
         with _stream_state_scope(spark):
-            lo = F.lit(EVENTS_GTE).cast("timestamp")
-            for hi_s in [*waves, EVENTS_LT]:
-                hi = F.lit(hi_s).cast("timestamp")
-                pvl.filter((F.col("trade_time") >= lo) & (F.col("trade_time") < hi)).write.mode(
-                    "append"
-                ).parquet(src)
-                lo = hi
+            # r18: one scan stages all three time waves (was three filtered
+            # writes = three scans); release order fixes the file-source
+            # timestamp order, so triggers still consume days 1-10 / 11-20 /
+            # rest-of-month in sequence
+            wave_id = (
+                F.when(F.col("trade_time") < F.lit(waves[0]).cast("timestamp"), 0)
+                .when(F.col("trade_time") < F.lit(waves[1]).cast("timestamp"), 1)
+                .otherwise(2)
+            )
+            release = _stage_waves(pvl, wave_id, f"{tmp}/staging", src)
+            for k in (0, 1, 2):
+                release(k)
             stream = spark.readStream.schema(
                 spark.read.parquet(src).schema
             ).option("maxFilesPerTrigger", "8").parquet(src)
@@ -484,12 +515,15 @@ def q_streaming_minhash_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark):
-            docs.filter(F.col("doc_id") % 3 != 2).write.mode("append").parquet(src)
+            # r18: one scan stages the corpus by doc_id%3; overlapping waves
+            # {0,1} / {1,2} are hard-link releases (group 1 re-delivered)
+            release = _stage_waves(docs, F.col("doc_id") % 3, f"{tmp}/staging", src)
+            release((0, 1))
             stream = spark.readStream.schema("doc_id long, text string").parquet(src)
             q = start_near_dup_sink(stream, f"{tmp}/index", f"{tmp}/ckpt")
             try:
                 q.processAllAvailable()
-                docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
+                release((1, 2))
                 q.processAllAvailable()
                 pdf = (
                     spark.read.parquet(f"{tmp}/index/pairs")
@@ -554,14 +588,17 @@ def q_streaming_continuous_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wide op is a |queries| x k window re-rank; 32-way exchanges on
         # a few-hundred-row frame spend more on task launches than bytes
         with _stream_state_scope(spark):
-            emb.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
+            # r18: one scan stages the corpus by vec_id%3; overlapping waves
+            # {0,1} / {1,2} are hard-link releases (group 1 re-delivered)
+            release = _stage_waves(emb, F.col("vec_id") % 3, f"{tmp}/staging", src)
+            release((0, 1))
             stream = spark.readStream.schema(
                 "vec_id long, embedding array<float>"
             ).parquet(src)
             q = start_continuous_topk_sink(stream, queries, f"{tmp}/index", f"{tmp}/ckpt", k=5)
             try:
                 q.processAllAvailable()
-                emb.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
+                release((1, 2))
                 q.processAllAvailable()
                 pdf = spark.read.parquet(f"{tmp}/index/topk").toPandas()
             finally:
@@ -646,7 +683,17 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run from being pinned wider than its session.
         asof_parts = min(16, int(spark.conf.get("spark.sql.shuffle.partitions", "16")))
         with _stream_state_scope(spark, asof_parts):
-            unified.filter(F.col("ts") < split).write.mode("append").parquet(src)
+            # r18: one scan stages both time waves (the rights branch pays
+            # its groupBy once, not per wave)
+            # two whens, no otherwise: a NULL ts matched neither old filter,
+            # so it must land in neither wave (unreleased default partition)
+            release = _stage_waves(
+                unified,
+                F.when(F.col("ts") < split, 0).when(F.col("ts") >= split, 1),
+                f"{tmp}/staging",
+                src,
+            )
+            release(0)
             stream = spark.readStream.schema(
                 "key long, ts timestamp, side string, rid long, val double"
             ).parquet(src)
@@ -661,7 +708,7 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 q.processAllAvailable()
-                unified.filter(F.col("ts") >= split).write.mode("append").parquet(src)
+                release(1)
                 q.processAllAvailable()
                 pdf = (
                     spark.table(sink)
@@ -760,7 +807,17 @@ def _run_wau_sim(spark, ev, split, sentinel, src, sink):
         streaming_trailing_active_users_exact,
     )
 
-    ev.filter(F.col("ts") < split).write.mode("append").parquet(src)
+    # r18: one scan stages both time waves; the far-future sentinel's own
+    # ts lands it in wave 1 (>= split), exactly where the old second write
+    # unioned it
+    release = _stage_waves(
+        ev.unionByName(sentinel),
+        # two whens, no otherwise: a NULL ts matched neither old filter
+        F.when(F.col("ts") < split, 0).when(F.col("ts") >= split, 1),
+        f"{os.path.dirname(src)}/staging",
+        src,
+    )
+    release(0)
     stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
     out = streaming_trailing_active_users_exact(stream)
     q = (
@@ -771,9 +828,7 @@ def _run_wau_sim(spark, ev, split, sentinel, src, sink):
     )
     try:
         q.processAllAvailable()
-        ev.filter(F.col("ts") >= split).unionByName(sentinel).write.mode(
-            "append"
-        ).parquet(src)
+        release(1)
         q.processAllAvailable()
         pdf = spark.table(sink).toPandas()
     finally:
@@ -858,7 +913,17 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_session_sim(spark, ev, split, sentinel, src, sink):
     from tg_reporting_etl_spark.streaming.pipeline import streaming_sessionize
 
-    ev.filter(F.col("ts") < split).write.mode("append").parquet(src)
+    # r18: one scan stages both time waves; the far-future sentinel's own
+    # ts lands it in wave 1 (>= split), exactly where the old second write
+    # unioned it
+    release = _stage_waves(
+        ev.unionByName(sentinel),
+        # two whens, no otherwise: a NULL ts matched neither old filter
+        F.when(F.col("ts") < split, 0).when(F.col("ts") >= split, 1),
+        f"{os.path.dirname(src)}/staging",
+        src,
+    )
+    release(0)
     stream = spark.readStream.schema(
         "user_id long, ts timestamp, event_type string, value double"
     ).parquet(src)
@@ -871,9 +936,7 @@ def _run_session_sim(spark, ev, split, sentinel, src, sink):
     )
     try:
         q.processAllAvailable()
-        ev.filter(F.col("ts") >= split).unionByName(sentinel).write.mode(
-            "append"
-        ).parquet(src)
+        release(1)
         q.processAllAvailable()
         pdf = spark.table(sink).toPandas()
     finally:
@@ -965,7 +1028,12 @@ def q_streaming_player_summary_5min(spark: SparkSession, sf_dir: str) -> DataFra
     sink = "streaming_player_summary_5min_sink"
     try:
         with _stream_state_scope(spark):
-            ppl.filter(wave1).write.mode("append").parquet(src)
+            # r18: one scan of the year slice stages both hash waves (was
+            # two filtered scans of the row's largest input)
+            release = _stage_waves(
+                ppl, F.when(wave1, 0).otherwise(1), f"{tmp}/staging", src
+            )
+            release(0)
             stream = (
                 spark.readStream.schema(spark.read.parquet(src).schema)
                 .option("maxFilesPerTrigger", "8")
@@ -976,7 +1044,7 @@ def q_streaming_player_summary_5min(spark: SparkSession, sf_dir: str) -> DataFra
             )
             try:
                 q.processAllAvailable()
-                ppl.filter(~wave1).write.mode("append").parquet(src)
+                release(1)
                 q.processAllAvailable()
                 pdf = round_doubles(
                     spark.table(sink).select(*P_KEYS, *P_OUT, "start_time")
@@ -1258,7 +1326,10 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark, parts):
-            vecs.filter(F.col("vec_id") % 3 != 2).write.mode("append").parquet(src)
+            # r18: one scan stages the corpus by vec_id%3; overlapping waves
+            # {0,1} / {1,2} are hard-link releases (group 1 re-delivered)
+            release = _stage_waves(vecs, F.col("vec_id") % 3, f"{tmp}/staging", src)
+            release((0, 1))
 
             def _start():
                 stream = spark.readStream.schema(
@@ -1274,7 +1345,7 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
                 if restart_between_waves:
                     q.stop()  # KILL with the wave-1 index only on disk
                     q = _start()  # NEW query, SAME checkpoint + index
-                vecs.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(src)
+                release((1, 2))
                 q.processAllAvailable()
                 pdf = (
                     spark.read.parquet(f"{tmp}/index/pairs")
@@ -1338,7 +1409,9 @@ def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark):
-            docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+            # r18: one scan stages both disjoint parity waves
+            release = _stage_waves(docs, F.col("doc_id") % 2, f"{tmp}/staging", src)
+            release(0)
             stream = (
                 spark.readStream.schema("doc_id long, text string")
                 .parquet(src)
@@ -1347,7 +1420,7 @@ def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = start_cms_sink(stream, f"{tmp}/deltas", f"{tmp}/ckpt")
             try:
                 q.processAllAvailable()
-                docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+                release(1)
                 q.processAllAvailable()
                 pdf = cms_counters(spark, f"{tmp}/deltas").toPandas()
             finally:
@@ -1403,14 +1476,17 @@ def q_streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark):
-            ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+            # r18: one scan stages both disjoint parity waves (one wave =
+            # one release = one trigger = one epoch, unchanged)
+            release = _stage_waves(ev, F.col("event_id") % 2, f"{tmp}/staging", src)
+            release(0)
             stream = spark.readStream.schema(ev.schema).parquet(src)
             q = start_quality_audit_sink(
                 stream, dict(_QUALITY_RULES), f"{tmp}/audit", f"{tmp}/ckpt"
             )
             try:
                 q.processAllAvailable()
-                ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+                release(1)
                 q.processAllAvailable()
                 pdf = (
                     spark.read.parquet(f"{tmp}/audit")
