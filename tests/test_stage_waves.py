@@ -22,7 +22,7 @@ import os
 
 import pyspark.sql.functions as F
 
-from tg_reporting_etl_spark.plans.streaming_plans import _stage_waves
+from tg_reporting_etl_spark.plans.streaming_plans import _overlap_waves, _stage_waves
 
 
 def _read_ids(spark, src):
@@ -61,6 +61,54 @@ def test_stage_waves_overlap_release_and_order(spark, tmp_path):
     # hard links, not copies: staged bytes are shared, not rewritten
     staged = glob.glob(f"{staging}/_wave=1/*.parquet")
     assert staged and all(os.stat(f).st_nlink >= 3 for f in staged)
+    # r18 ADVICE: os.utime on a hard link mutates the SHARED inode, so
+    # re-releasing group 1 retroactively re-stamps release 1's already-
+    # delivered group-1 links to release 2's stamp — "mtime order ==
+    # release order" holds only for first-time links.  Benign for the
+    # file source (tracks seen files by path, consulted between
+    # processAllAvailable calls); pinned so a reader of the docstring
+    # caveat can see the actual behavior.
+    g1_a = [f for f in a_files if "_1_" in os.path.basename(f)]
+    g1_b = [f for f in b_files if "_1_" in os.path.basename(f)]
+    assert g1_a and g1_b
+    assert os.path.getmtime(g1_a[0]) == os.path.getmtime(g1_b[0])
+
+
+def test_overlap_waves_explode_staging(spark, tmp_path):
+    """r19 (verdict task 1): the overlap rows stage by WAVE via explode —
+    each wave is its own file group with the old filtered writes' byte
+    layout (the r18 tuple-release layout was ~25% slower at the 10x
+    probe), every group is released exactly once, and pmod keeps
+    negative ids deliverable (Spark's % would stage them to _wave=-1
+    and silently drop them)."""
+    df = (
+        spark.createDataFrame([(i,) for i in range(9)] + [(-1,)], "doc_id long")
+        .unionByName(spark.createDataFrame([(None,)], "doc_id long"))
+        .withColumn("payload", F.col("doc_id") * 10)
+        .coalesce(1)
+    )
+    staging, src = str(tmp_path / "staging"), str(tmp_path / "src")
+    wave_expr, w1, w2 = _overlap_waves(F.col("doc_id"))
+    release = _stage_waves(df, wave_expr, staging, src)
+
+    release(w1)  # wave A: groups {0,1} = old filter(% 3 != 2)
+    wave_a = _read_ids(spark, src)
+    # pmod(-1,3)=2 -> wave B only; NULL key -> NULL array -> no row staged
+    assert wave_a == [0, 1, 3, 4, 6, 7]
+    a_files = set(glob.glob(f"{src}/*.parquet"))
+    # ONE file group per wave (1-partition source -> 1 file), exactly the
+    # old filtered write's layout — not the tuple release's 2 path groups
+    assert len(a_files) == 1
+    mtime_a = max(os.path.getmtime(f) for f in a_files)
+
+    release(w2)  # wave B: groups {1,2} = old filter(% 3 != 0)
+    all_ids = _read_ids(spark, src)
+    # the shared group {1,4,7} is re-delivered; -1 arrives once, in wave B
+    assert all_ids == sorted([0, 1, 3, 4, 6, 7] + [-1, 1, 2, 4, 5, 7, 8])
+    b_files = set(glob.glob(f"{src}/*.parquet")) - a_files
+    assert len(b_files) == 1
+    # each wave released once -> no shared-inode re-stamp; order holds
+    assert all(os.path.getmtime(f) > mtime_a for f in b_files)
 
 
 def test_stage_waves_empty_group_is_noop(spark, tmp_path):

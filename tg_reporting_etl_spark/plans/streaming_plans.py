@@ -64,18 +64,23 @@ def _stage_waves(df, wave_col, staging: str, src: str, drop=()):
     stages no dir and releases as a no-op, exactly like the empty
     filtered write it replaces.
 
-    ``release`` generalizes to the OVERLAPPING-wave sims (r18): ``k``
-    may be a tuple of staged group ids, so a corpus staged by
-    ``doc_id % 3`` can release groups ``(0, 1)`` then ``(1, 2)`` — the
-    shared group's files are hard-linked TWICE under distinct names,
-    which is exactly the re-delivery the old second filtered write
-    produced (the file source identifies files by path).  Links, not
-    renames, so a group can be released more than once; each release
-    also stamps its links with a strictly increasing mtime so the file
-    source's timestamp order equals release order, exactly as the old
-    sequential per-wave writes guaranteed (ties in one staged write's
-    mtimes would otherwise leave cross-wave file order to the
-    directory listing).
+    ``release`` also accepts a TUPLE of staged group ids (r18), which
+    hard-links the shared group's files TWICE under distinct names.
+    r19: the four overlapping-wave rows no longer use this — their
+    tuple release landed 2 path groups per wave where the old filtered
+    writes landed 1, and the probe measured the embedding index ~25 %
+    slower at 10x under that layout; they now stage via
+    ``_overlap_waves`` (explode), so every production release names a
+    single group exactly once.  The tuple form remains for generality
+    and is pinned by tests/test_stage_waves.py.  Caveat (r18 ADVICE):
+    ``os.utime`` on a hard link mutates the SHARED inode, so
+    re-releasing a group retroactively re-stamps the earlier release's
+    already-delivered links (and the staged copies) — "strictly
+    increasing mtime == release order" holds per release call only for
+    first-time links.  Benign for Spark's file source, which tracks
+    seen files by path and is only consulted between
+    ``processAllAvailable`` calls, but do not rely on the mtimes of a
+    re-released group.
     """
     import glob
     import os
@@ -100,6 +105,43 @@ def _stage_waves(df, wave_col, staging: str, src: str, drop=()):
                 os.utime(dst, (stamp, stamp))
 
     return release
+
+
+def _overlap_waves(key):
+    """Staging plan for the two OVERLAPPING micro-batch waves
+    ``key%3 in {0,1}`` then ``{1,2}``: returns ``(wave_expr, w1, w2)``
+    for ``_stage_waves(df, wave_expr, ...)`` + ``release(w1)`` /
+    ``release(w2)``.
+
+    r19 (verdict task 1): the r18 tuple-release form staged the corpus
+    by GROUP (``key % 3``) and delivered each wave as 2 hard-linked
+    path groups; the 10x probe measured the embedding index ~25 %
+    slower under that layout than the old per-wave filtered writes
+    (interleaved A/B: 87-89 s staged vs 67-70 s filtered).  This form
+    stages by WAVE instead: ``explode`` duplicates the shared group's
+    rows at staging time (group 0 -> wave [0], group 1 -> [0, 1],
+    group 2 -> [1]), so ``partitionBy("_wave")`` writes each wave as
+    its own file(s) with the old filtered writes' byte layout — same
+    file count, same intra-wave row order, one file group per release —
+    while still scanning the source exactly once (guide §6).  Staged
+    bytes are 4/3 of the corpus, identical to what the two filtered
+    writes used to write across their 2 full scans.
+
+    ``pmod`` rather than ``%`` (r18 ADVICE): Spark's ``%`` keeps the
+    dividend's sign, so a negative id would stage to ``_wave=-1`` and
+    never be released — a silent row drop the old filters did not
+    have.  ``pmod`` lands every non-NULL id in {0,1,2}; fixture ids
+    are non-negative, so results are bit-identical.  A NULL key yields
+    a NULL array and ``explode`` emits no row — matching the old
+    NULL-wave exclusion.
+    """
+    g = F.pmod(key, F.lit(3))
+    expr = F.explode(
+        F.when(g == 0, F.array(F.lit(0)))
+        .when(g == 1, F.array(F.lit(0), F.lit(1)))
+        .when(g == 2, F.array(F.lit(1)))
+    )
+    return expr, 0, 1
 
 
 # The stream's emitted rows are exactly one per distinct digest seen
@@ -153,11 +195,12 @@ def q_streaming_exact_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame
         # the per-trigger cost is state commits x partitions, not data
         # (same rationale/measurement as the r13 rows already scoped)
         with _stream_state_scope(spark):
-            # r18: one scan stages the corpus by doc_id%3; the overlapping
-            # waves {0,1} then {1,2} are hard-link releases (group 1 linked
-            # twice = the re-delivery the second filtered write produced)
-            release = _stage_waves(base, F.col("doc_id") % 3, f"{tmp}/staging", src)
-            release((0, 1))
+            # r19: one scan stages the corpus by WAVE (explode: the shared
+            # doc_id%3==1 third is written into both waves — the re-delivery
+            # the old second filtered write produced, with its byte layout)
+            wave_expr, w1, w2 = _overlap_waves(F.col("doc_id"))
+            release = _stage_waves(base, wave_expr, f"{tmp}/staging", src)
+            release(w1)
             stream = spark.readStream.schema(
                 "doc_id long, text string, ingest_time timestamp"
             ).parquet(src)
@@ -166,7 +209,7 @@ def q_streaming_exact_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame
                 q.processAllAvailable()
                 # second wave lands while the query runs: %3==1 docs replay
                 # (cross-batch duplicates -> dropped by state), %3==2 are new
-                release((1, 2))
+                release(w2)
                 q.processAllAvailable()
                 pdf = spark.sql(f"SELECT digest FROM {sink}").toPandas()
             finally:
@@ -515,15 +558,16 @@ def q_streaming_minhash_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark):
-            # r18: one scan stages the corpus by doc_id%3; overlapping waves
-            # {0,1} / {1,2} are hard-link releases (group 1 re-delivered)
-            release = _stage_waves(docs, F.col("doc_id") % 3, f"{tmp}/staging", src)
-            release((0, 1))
+            # r19: one scan stages the corpus by WAVE (explode re-delivers
+            # the shared doc_id%3==1 third with the old byte layout)
+            wave_expr, w1, w2 = _overlap_waves(F.col("doc_id"))
+            release = _stage_waves(docs, wave_expr, f"{tmp}/staging", src)
+            release(w1)
             stream = spark.readStream.schema("doc_id long, text string").parquet(src)
             q = start_near_dup_sink(stream, f"{tmp}/index", f"{tmp}/ckpt")
             try:
                 q.processAllAvailable()
-                release((1, 2))
+                release(w2)
                 q.processAllAvailable()
                 pdf = (
                     spark.read.parquet(f"{tmp}/index/pairs")
@@ -588,17 +632,18 @@ def q_streaming_continuous_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wide op is a |queries| x k window re-rank; 32-way exchanges on
         # a few-hundred-row frame spend more on task launches than bytes
         with _stream_state_scope(spark):
-            # r18: one scan stages the corpus by vec_id%3; overlapping waves
-            # {0,1} / {1,2} are hard-link releases (group 1 re-delivered)
-            release = _stage_waves(emb, F.col("vec_id") % 3, f"{tmp}/staging", src)
-            release((0, 1))
+            # r19: one scan stages the corpus by WAVE (explode re-delivers
+            # the shared vec_id%3==1 third with the old byte layout)
+            wave_expr, w1, w2 = _overlap_waves(F.col("vec_id"))
+            release = _stage_waves(emb, wave_expr, f"{tmp}/staging", src)
+            release(w1)
             stream = spark.readStream.schema(
                 "vec_id long, embedding array<float>"
             ).parquet(src)
             q = start_continuous_topk_sink(stream, queries, f"{tmp}/index", f"{tmp}/ckpt", k=5)
             try:
                 q.processAllAvailable()
-                release((1, 2))
+                release(w2)
                 q.processAllAvailable()
                 pdf = spark.read.parquet(f"{tmp}/index/topk").toPandas()
             finally:
@@ -1326,10 +1371,12 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
     src = f"{tmp}/src"
     try:
         with _stream_state_scope(spark, parts):
-            # r18: one scan stages the corpus by vec_id%3; overlapping waves
-            # {0,1} / {1,2} are hard-link releases (group 1 re-delivered)
-            release = _stage_waves(vecs, F.col("vec_id") % 3, f"{tmp}/staging", src)
-            release((0, 1))
+            # r19: one scan stages the corpus by WAVE (explode re-delivers
+            # the shared vec_id%3==1 third with the old byte layout) — the
+            # r18 tuple-release layout measured ~25% slower at the 10x probe
+            wave_expr, w1, w2 = _overlap_waves(F.col("vec_id"))
+            release = _stage_waves(vecs, wave_expr, f"{tmp}/staging", src)
+            release(w1)
 
             def _start():
                 stream = spark.readStream.schema(
@@ -1345,7 +1392,7 @@ def q_streaming_embedding_dup_index(spark: SparkSession, sf_dir: str) -> DataFra
                 if restart_between_waves:
                     q.stop()  # KILL with the wave-1 index only on disk
                     q = _start()  # NEW query, SAME checkpoint + index
-                release((1, 2))
+                release(w2)
                 q.processAllAvailable()
                 pdf = (
                     spark.read.parquet(f"{tmp}/index/pairs")
