@@ -353,6 +353,19 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
+    # r19 (verdict task 2): PERF_r18 fired ``suspect_cpus_ignored``
+    # because nothing in the bench output PROVES the session width the
+    # run actually used (session.py builds ``local[$SPARK_GRAFT_CPUS]``,
+    # but the driver's low-core run couldn't verify it from the JSON).
+    # Record the live session's master string and defaultParallelism in
+    # both the full report and the compact line — measurement metadata
+    # only; the timed action is unchanged.
+    session_evidence = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not session startup.
     next(iter(qs.values()))(spark, sf_dir).count()
@@ -530,6 +543,7 @@ def main() -> None:
         "vs_latest_close": _vs_latest_close(here, sf, timings, calibration),
         "calibration": calibration,
         "sf": sf,
+        **session_evidence,
     }
     # Rounds 6 and 7 both shipped with the driver recording
     # ``"parsed": null``: the single JSON line grew past the driver's
@@ -568,6 +582,7 @@ def main() -> None:
         },
         "full_report": "BENCH_FULL.json",
         "sf": sf,
+        **session_evidence,
     }
     final_line = json.dumps(compact)
     assert len(final_line) < 1500, f"final bench line {len(final_line)}B >= 1.5KB"

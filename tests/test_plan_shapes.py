@@ -315,6 +315,24 @@ def test_banded_embedding_dup_plan_is_equi_join(spark, sf_dir):
     assert "band_key" in plan
 
 
+def test_ivf_assign_argmin_is_narrow_partial_agg(spark, sf_dir):
+    """r19 (verdict task 5): pin the r18 ivf_assign rework — the
+    per-vector argmin must be a ``min(struct(d2, cell_id))`` hash
+    aggregate with a MAP-SIDE partial (only the narrow triple crosses
+    the n x k expansion), not a row_number window that would sort and
+    shuffle the embedding payload x k."""
+    from tg_reporting_etl_spark.functions.similarity import ivf_assign
+    from tg_reporting_etl_spark.sources.readers import load_table
+
+    df = ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    plan = _plan(df)
+    assert "Window" not in plan, f"ivf_assign regressed to a window:\n{plan}"
+    assert "row_number" not in plan
+    # the partial/final HashAggregate pair: partial_min collapses the
+    # k candidates per vector BEFORE the exchange
+    assert "partial_min" in plan, f"map-side partial argmin lost:\n{plan}"
+
+
 def test_ngram_lsh_unique_exchange_ceiling(spark, sf_dir):
     """r17 verdict task 3: the LSH reroute row's plan was flagged for
     '72 exchanges' at sf0.01 — a LINE count, inflated by formatted

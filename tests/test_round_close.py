@@ -526,6 +526,40 @@ def test_mtime_preserving_overwrite_reruns_step(tmp_path, monkeypatch):
     assert "verify_local" in r2.calls
 
 
+def test_degraded_regime_close_reruns_bench_once_and_flags_stamp(tmp_path, monkeypatch):
+    """r19 (verdict task 8): a close whose bench ran inside a >1.5x
+    in-run calibration swing re-runs the bench ONCE (not a loop), and a
+    persistent swing is flagged in the stamp as close_regime.degraded
+    instead of silently certifying excursion numbers."""
+    import json
+
+    tag = "r99"
+    monkeypatch.setattr(round_close, "ROOT", str(tmp_path))
+    effects = {s["name"]: (0, s["artifacts"]) for s in round_close.steps_for(tag)}
+    base = _stub_runner(effects)
+
+    def runner(argv, env=None, cwd=None):
+        res = base(argv, env=env, cwd=cwd)
+        if base.calls[-1] == "bench":  # every bench run lands in a swing
+            (tmp_path / "BENCH_FULL.json").write_text(
+                json.dumps(
+                    {
+                        "sf": 0.1,
+                        "queries": {"a": 1.0},
+                        "calibration": {"start_s": 1.0, "end_s": 2.0},
+                    }
+                )
+            )
+        return res
+
+    assert round_close.main([tag], runner=runner) == 0
+    assert base.calls.count("bench") == 2  # exactly one retry
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert full["close_regime"] == {"inrun_calibration_swing": 2.0, "degraded": True}
+    # and a steady close is NOT flagged degraded
+    assert round_close._calibration_inrun_swing({"start_s": 1.0, "end_s": 1.2}) == 1.2
+
+
 def test_close_verify_step_is_full_catalog_at_both_sfs():
     """r17 verdict task 7: the driver's correctness sample has been the
     same 50 rows for rounds — verify_local inside the close is the ONLY

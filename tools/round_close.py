@@ -302,6 +302,15 @@ def _stamp_like_for_like(round_tag: str, git_ident: dict | None = None) -> list[
         else:
             field = {"prev_round": best_n, "note": "no common queries"}
     cur["vs_prev_round"] = field
+    # r19 (verdict task 8): the receipt itself states whether the close
+    # bench ran inside a regime excursion — an explicit degraded flag
+    # beats an adjudication paragraph re-litigating the watch rows.
+    swing = _calibration_inrun_swing(cur.get("calibration"))
+    if swing is not None:
+        cur["close_regime"] = {
+            "inrun_calibration_swing": swing,
+            "degraded": swing > REGIME_SWING_MAX,
+        }
     # bind the receipt to a git identity (r17 verdict task 1): the
     # judge verifies "receipts certify HEAD" by comparing this field to
     # the end-of-round snapshot commit's parent, instead of arguing
@@ -316,6 +325,35 @@ def _stamp_like_for_like(round_tag: str, git_ident: dict | None = None) -> list[
         except OSError as e:
             failures.append(f"stamp: cannot write {os.path.basename(p)}: {e}")
     return failures
+
+
+def _calibration_inrun_swing(cal: dict | None) -> float | None:
+    """max/min of a bench run's OWN calibration pairs (cpu start/end and
+    io start/end) — the in-run regime swing.  r19 (verdict task 8): the
+    r18 final close benched inside a 2.3x in-run excursion and fired 17
+    watch rows the next round had to re-litigate; the close now re-runs
+    the bench once when this exceeds 1.5x and flags a persistent swing
+    in the stamp.  None when the pairs are absent/unreadable."""
+    swings = []
+    for a, b in (("start_s", "end_s"), ("io_start_s", "io_end_s")):
+        x, y = (cal or {}).get(a), (cal or {}).get(b)
+        if isinstance(x, (int, float)) and isinstance(y, (int, float)) and x > 0 and y > 0:
+            swings.append(max(x, y) / min(x, y))
+    return round(max(swings), 4) if swings else None
+
+
+def _bench_inrun_swing() -> float | None:
+    """In-run calibration swing of the BENCH_FULL.json on disk."""
+    import json
+
+    try:
+        with open(os.path.join(ROOT, "BENCH_FULL.json")) as fh:
+            return _calibration_inrun_swing(json.load(fh).get("calibration"))
+    except (OSError, ValueError):
+        return None
+
+
+REGIME_SWING_MAX = 1.5
 
 
 def _state_path(round_tag: str) -> str:
@@ -434,6 +472,24 @@ def main(
         dt = time.time() - t0
         rc = proc.returncode
         print(f"== {step['name']}: rc={rc} in {dt:.0f}s")
+        # r19 (verdict task 8): a close benched inside a regime excursion
+        # fires spurious watch rows the next round must re-litigate (r18:
+        # 2.3x in-run swing, 17 watch rows).  When the bench's OWN
+        # calibration pair moved >1.5x within the run, re-run it ONCE;
+        # if the swing persists, _stamp_like_for_like flags the receipt
+        # as degraded-regime instead of silently certifying it.
+        if step["name"] == "bench" and rc == 0:
+            swing = _bench_inrun_swing()
+            if swing is not None and swing > REGIME_SWING_MAX:
+                print(
+                    f"== bench: in-run calibration swing {swing}x > {REGIME_SWING_MAX}x"
+                    " — re-running the bench once (degraded regime)"
+                )
+                t0 = time.time()
+                proc = runner(step["argv"], env=env, cwd=ROOT)
+                rc = proc.returncode
+                print(f"== bench: retry rc={rc} in {time.time() - t0:.0f}s"
+                      f" (in-run swing now {_bench_inrun_swing()})")
         if rc != 0:
             failures.append(f"{step['name']}: exit {rc}")
             # keep going: a later artifact may still be produced, and
