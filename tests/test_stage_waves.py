@@ -25,6 +25,13 @@ import pyspark.sql.functions as F
 from tg_reporting_etl_spark.plans.streaming_plans import _overlap_waves, _stage_waves
 
 
+def _group_of(path):
+    # released names are w{seq}_{group}_{i}_{orig}; substring tests like
+    # `"_1_" in name` are ambiguous (the file INDEX field also matches
+    # when a group stages >1 file), so parse the group field exactly
+    return os.path.basename(path).split("_")[1]
+
+
 def _read_ids(spark, src):
     files = glob.glob(f"{src}/*.parquet")
     if not files:
@@ -47,7 +54,7 @@ def test_stage_waves_overlap_release_and_order(spark, tmp_path):
     assert wave_a == [0, 1, 3, 4, 6, 7]
     a_files = set(glob.glob(f"{src}/*.parquet"))
     # group-0 files exist only in release 1: their mtime must predate release 2
-    g0_mtime = max(os.path.getmtime(f) for f in a_files if "_0_" in os.path.basename(f))
+    g0_mtime = max(os.path.getmtime(f) for f in a_files if _group_of(f) == "0")
 
     release((1, 2))  # wave B: groups {1,2} = old filter(% 3 != 0)
     all_ids = _read_ids(spark, src)
@@ -68,10 +75,10 @@ def test_stage_waves_overlap_release_and_order(spark, tmp_path):
     # file source (tracks seen files by path, consulted between
     # processAllAvailable calls); pinned so a reader of the docstring
     # caveat can see the actual behavior.
-    g1_a = [f for f in a_files if "_1_" in os.path.basename(f)]
-    g1_b = [f for f in b_files if "_1_" in os.path.basename(f)]
+    g1_a = sorted(f for f in a_files if _group_of(f) == "1")
+    g1_b = sorted(f for f in b_files if _group_of(f) == "1")
     assert g1_a and g1_b
-    assert os.path.getmtime(g1_a[0]) == os.path.getmtime(g1_b[0])
+    assert {os.path.getmtime(f) for f in g1_a} == {os.path.getmtime(f) for f in g1_b}
 
 
 def test_overlap_waves_explode_staging(spark, tmp_path):
